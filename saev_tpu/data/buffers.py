@@ -1,0 +1,198 @@
+"""Host-side concurrent buffers: the FIFO ring and the shuffling reservoir.
+
+TPU-native redesign of the reference's shared-memory torch buffers
+(`src/saev/data/buffers.py:16-231`): on a JAX host the dataloader is threads inside
+one process (numpy/memmap reads release the GIL for the big memcpys), so the buffers
+are plain numpy arrays guarded by condition variables — same blocking put/get
+semantics, timeouts and poison behavior, without multiprocessing shared memory.
+"""
+
+import threading
+import typing as tp
+
+import numpy as np
+
+
+class BufferClosed(RuntimeError):
+    """Raised when putting/getting on a closed buffer."""
+
+
+class RingBuffer:
+    """Fixed-capacity MPMC FIFO of equal-shaped numpy batches.
+
+    Mirrors reference buffers.py:16-88 (blocking put/get, advisory qsize/fill, close).
+    """
+
+    def __init__(self, slots: int, shape: tuple[int, ...], dtype=np.float32):
+        assert slots > 0
+        self.slots = slots
+        self.data = np.zeros((slots, *shape), dtype=dtype)
+        self._head = 0  # next slot to read
+        self._tail = 0  # next slot to write
+        self._count = 0
+        self._lock = threading.Lock()
+        self._not_full = threading.Condition(self._lock)
+        self._not_empty = threading.Condition(self._lock)
+        self._closed = False
+
+    def put(self, value: np.ndarray, timeout: float | None = None) -> None:
+        with self._not_full:
+            if not self._not_full.wait_for(
+                lambda: self._count < self.slots or self._closed, timeout=timeout
+            ):
+                raise TimeoutError("RingBuffer.put timed out")
+            if self._closed:
+                raise BufferClosed("RingBuffer is closed")
+            self.data[self._tail] = value
+            self._tail = (self._tail + 1) % self.slots
+            self._count += 1
+            self._not_empty.notify()
+
+    def get(self, timeout: float | None = None) -> np.ndarray:
+        with self._not_empty:
+            if not self._not_empty.wait_for(
+                lambda: self._count > 0 or self._closed, timeout=timeout
+            ):
+                raise TimeoutError("RingBuffer.get timed out")
+            if self._count == 0 and self._closed:
+                raise BufferClosed("RingBuffer is closed")
+            out = self.data[self._head].copy()
+            self._head = (self._head + 1) % self.slots
+            self._count -= 1
+            self._not_full.notify()
+            return out
+
+    def qsize(self) -> int:
+        """Advisory number of filled slots."""
+        return self._count
+
+    def fill(self) -> float:
+        """Advisory fill fraction in [0, 1]."""
+        return self._count / self.slots
+
+    def close(self) -> None:
+        with self._lock:
+            self._closed = True
+            self._not_full.notify_all()
+            self._not_empty.notify_all()
+
+
+class ReservoirBuffer:
+    """The shuffling core: a pool of (activation, metadata) rows; producers `put`
+    batches, consumers `get(n)` draw uniformly-random rows with swap-with-tail removal
+    (a streaming shuffle). Mirrors reference buffers.py:91-231.
+
+    Rows are stored structure-of-arrays: one float32 activation matrix plus int64
+    metadata columns, so `get` is a single fancy-index gather per array.
+    """
+
+    def __init__(
+        self,
+        capacity: int,
+        d_model: int,
+        *,
+        meta_names: tuple[str, ...] = ("example_idx", "token_idx"),
+        seed: int = 0,
+        dtype=np.float32,
+    ):
+        assert capacity > 0
+        self.capacity = capacity
+        self.acts = np.zeros((capacity, d_model), dtype=dtype)
+        self.meta = {name: np.zeros(capacity, dtype=np.int64) for name in meta_names}
+        self._n = 0
+        self._lock = threading.Lock()
+        self._not_full = threading.Condition(self._lock)
+        self._not_empty = threading.Condition(self._lock)
+        self._closed = False
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def fill(self) -> float:
+        return self._n / self.capacity
+
+    def qsize(self) -> int:
+        return self._n
+
+    def put(
+        self,
+        acts: np.ndarray,
+        meta: dict[str, np.ndarray],
+        timeout: float | None = None,
+    ) -> None:
+        """Blocking append of a batch of rows; splits the batch if it doesn't fit."""
+        n = len(acts)
+        assert all(len(v) == n for v in meta.values())
+        start = 0
+        deadline = None if timeout is None else _Deadline(timeout)
+        while start < n:
+            with self._not_full:
+                remaining = None if deadline is None else deadline.remaining()
+                if not self._not_full.wait_for(
+                    lambda: self._n < self.capacity or self._closed, timeout=remaining
+                ):
+                    raise TimeoutError("ReservoirBuffer.put timed out")
+                if self._closed:
+                    raise BufferClosed("ReservoirBuffer is closed")
+                fit = min(self.capacity - self._n, n - start)
+                sl = slice(self._n, self._n + fit)
+                self.acts[sl] = acts[start : start + fit]
+                for name, col in self.meta.items():
+                    col[sl] = meta[name][start : start + fit]
+                self._n += fit
+                start += fit
+                self._not_empty.notify_all()
+
+    def get(
+        self, n: int, timeout: float | None = None
+    ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+        """Draw `n` uniformly random rows, removing them via swap-with-tail.
+
+        Blocks until `n` rows are available or `timeout` expires (TimeoutError; no
+        partial results — matches reference rollback semantics, buffers.py:179-204).
+        """
+        assert n <= self.capacity, f"get({n}) exceeds capacity {self.capacity}"
+        with self._not_empty:
+            if not self._not_empty.wait_for(
+                lambda: self._n >= n or self._closed, timeout=timeout
+            ):
+                raise TimeoutError("ReservoirBuffer.get timed out")
+            if self._closed and self._n < n:
+                raise BufferClosed("ReservoirBuffer is closed")
+
+            idx = self._rng.choice(self._n, size=n, replace=False)
+            out_acts = self.acts[idx].copy()
+            out_meta = {name: col[idx].copy() for name, col in self.meta.items()}
+
+            # Swap-with-tail removal: move the last n unselected rows into the holes.
+            keep_tail = np.setdiff1d(
+                np.arange(self._n - n, self._n), idx, assume_unique=True
+            )
+            holes = idx[idx < self._n - n]
+            assert len(keep_tail) == len(holes)
+            if len(holes):
+                self.acts[holes] = self.acts[keep_tail]
+                for col in self.meta.values():
+                    col[holes] = col[keep_tail]
+            self._n -= n
+            self._not_full.notify_all()
+            return out_acts, out_meta
+
+    def close(self) -> None:
+        with self._lock:
+            self._closed = True
+            self._not_full.notify_all()
+            self._not_empty.notify_all()
+
+
+class _Deadline:
+    def __init__(self, timeout: float):
+        import time
+
+        self._deadline = time.monotonic() + timeout
+
+    def remaining(self) -> float:
+        import time
+
+        return max(0.0, self._deadline - time.monotonic())

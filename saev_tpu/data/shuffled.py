@@ -1,0 +1,621 @@
+"""High-throughput shuffled dataloader (L1 hot path).
+
+TPU-native redesign of the reference's manager-process + shared-memory architecture
+(reference `src/saev/data/shuffled.py:33-699`): a JAX host runs one Python process, so
+the manager is a daemon *thread* that owns N I/O worker threads; workers mmap shards
+and stream (example-chunk × token) slices into a `ReservoirBuffer` (numpy, condition
+variables) from which the consumer draws uniformly-random batches. All reference
+semantics are kept: seeded shard permutation, label filtering, `min_buffer_fill`
+warm-up, batch timeouts with liveness checks, error propagation with remote
+tracebacks, `use_tmpdir` shard staging, and n_samples accounting.
+"""
+
+import collections.abc
+import concurrent.futures
+import dataclasses
+import logging
+import math
+import os
+import pathlib
+import queue
+import shutil
+import threading
+import time
+import traceback
+import typing as tp
+
+import numpy as np
+
+from .. import helpers
+from . import buffers, shards
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Configuration for loading shuffled activation data from disk.
+
+    Attributes:
+        shards: Directory with .bin shards and a metadata.json file.
+        tokens: Which subset of tokens to use ('special' | 'content' | 'all').
+        layer: Which transformer layer(s) to read. -1 must be changed; "all"
+            enumerates every recorded layer.
+        batch_size: Batch size.
+        drop_last: Whether to drop the last batch if it's smaller than the others.
+        scale_norm: Whether to scale norms to sqrt(D).
+        ignore_labels: Exclude tokens with these label values (e.g. [0] = background).
+        n_threads: Number of dataloading threads.
+        buffer_size: Number of batches of reservoir capacity.
+        min_buffer_fill: Fraction of the reservoir that must be populated before
+            yielding batches.
+        batch_timeout_s: How long to wait for at least one batch.
+        seed: Random seed.
+        debug: Whether the dataloader should log debug messages.
+        log_every_s: How frequently to log (debug) performance messages.
+        use_tmpdir: If True and $TMPDIR is set, copy shards to node-local storage.
+    """
+
+    shards: pathlib.Path = pathlib.Path("$SAEV_SCRATCH/saev/shards/abcdefg")
+    tokens: str = "content"
+    layer: int | str = -1
+    batch_size: int = 1024 * 16
+    drop_last: bool = False
+    scale_norm: bool = False
+    ignore_labels: list[int] = dataclasses.field(default_factory=list)
+    n_threads: int = 4
+    buffer_size: int = 64
+    min_buffer_fill: float = 0.0
+    batch_timeout_s: float = 30.0
+    seed: int = 17
+    debug: bool = False
+    log_every_s: float = 30.0
+    use_tmpdir: bool = False
+
+    def __post_init__(self):
+        # Frozen dataclass: normalize list for hashing-by-value comparisons elsewhere.
+        object.__setattr__(self, "ignore_labels", list(self.ignore_labels))
+
+
+class ExampleOutOfBoundsError(Exception):
+    """Guards metadata/shard mismatch (reference shuffled.py:121-128)."""
+
+    def __init__(self, metadata: shards.Metadata, i: int):
+        self.metadata = metadata
+        self.i = i
+        super().__init__(self.message)
+
+    @property
+    def message(self) -> str:
+        return (
+            f"Metadata says there are {self.metadata.n_examples} examples, "
+            f"but we found example {self.i}."
+        )
+
+
+def _copy_shards_to_tmpdir(
+    src_dpath: pathlib.Path, logger: logging.Logger
+) -> pathlib.Path:
+    """Copy shard directory to $TMPDIR for node-local I/O. Returns the new path."""
+    tmpdir = os.environ.get("TMPDIR")
+    if not tmpdir:
+        logger.warning("use_tmpdir=True but $TMPDIR not set; using original path")
+        return src_dpath
+
+    job_id = os.environ.get("SLURM_JOB_ID", "nojob")
+    dst_dpath = pathlib.Path(tmpdir) / job_id / "saev" / "shards" / src_dpath.name
+
+    marker = dst_dpath / ".copy_complete"
+    if marker.exists():
+        logger.info("Reusing existing TMPDIR copy: %s", dst_dpath)
+        return dst_dpath
+
+    dst_dpath.mkdir(parents=True, exist_ok=True)
+    files = [f for f in src_dpath.iterdir() if f.is_file()]
+    total_size = sum(f.stat().st_size for f in files)
+    logger.info(
+        "Copying %d files (%.1f GB) to TMPDIR: %s",
+        len(files),
+        total_size / 1e9,
+        dst_dpath,
+    )
+
+    def copy_file(src: pathlib.Path) -> None:
+        shutil.copy2(src, dst_dpath / src.name)
+
+    with concurrent.futures.ThreadPoolExecutor(min(8, len(files)) or 1) as pool:
+        list(pool.map(copy_file, files))
+
+    marker.touch()
+    logger.info("Finished copying shards to %s", dst_dpath)
+    return dst_dpath
+
+
+def _io_worker(
+    worker_id: int,
+    cfg: Config,
+    md: shards.Metadata,
+    shards_path: pathlib.Path,
+    shard_info: shards.ShardInfo,
+    work_queue: "queue.Queue[int | None]",
+    reservoir: buffers.ReservoirBuffer,
+    stop_event: threading.Event,
+    err_queue: "queue.Queue[tuple[str, str]]",
+    labels_mmap: np.memmap | None = None,
+):
+    """Pull shard indices from the work queue, mmap each shard, and stream
+    (example-chunk × token) activation slices into the reservoir.
+
+    Mirrors reference shuffled.py:132-291.
+    """
+    logger = logging.getLogger(f"shuffled.worker{worker_id}")
+    layer_i = md.layers.index(cfg.layer)
+
+    assert cfg.tokens == "content"
+    assert isinstance(cfg.layer, int)
+
+    if cfg.ignore_labels and labels_mmap is None:
+        raise ValueError("ignore_labels specified but no labels.bin found")
+
+    bytes_sent = 0
+    n_reads = 0
+    t_last_report = time.time()
+
+    chunk_size = min(1024, math.ceil(cfg.batch_size * cfg.buffer_size / cfg.n_threads))
+    reason = ""
+
+    while not stop_event.is_set():
+        try:
+            shard_i = work_queue.get(timeout=0.1)
+        except queue.Empty:
+            continue
+        if shard_i is None:  # poison pill
+            reason = "poison_pill"
+            break
+
+        try:
+            fname = f"acts{shard_i:06}.bin"
+            ex_i_offset = shard_i * md.examples_per_shard
+            mmap = np.memmap(
+                shards_path / fname, mode="r", dtype=np.float32, shape=md.shard_shape
+            )
+
+            for start, end in helpers.batched_idx(
+                shard_info[shard_i].n_examples, chunk_size
+            ):
+                if stop_event.is_set():
+                    break
+                for t in range(md.content_tokens_per_example):
+                    if stop_event.is_set():
+                        break
+                    token_idx = t + int(md.cls_token)
+
+                    if cfg.ignore_labels:
+                        ex_indices = np.arange(ex_i_offset + start, ex_i_offset + end)
+                        patch_labels = labels_mmap[ex_indices, t]
+                        mask = ~np.isin(patch_labels, cfg.ignore_labels)
+                        valid = np.where(mask)[0]
+                        if len(valid) == 0:
+                            continue
+                        t0 = time.perf_counter()
+                        acts = np.array(mmap[start + valid, layer_i, token_idx])
+                        t1 = time.perf_counter()
+                        example_idx = ex_i_offset + start + valid
+                        token_col = np.full(len(valid), t, dtype=np.int64)
+                    else:
+                        t0 = time.perf_counter()
+                        acts = np.array(mmap[start:end, layer_i, token_idx])
+                        t1 = time.perf_counter()
+                        example_idx = np.arange(
+                            ex_i_offset + start, ex_i_offset + end, dtype=np.int64
+                        )
+                        token_col = np.full(end - start, t, dtype=np.int64)
+
+                    last_ex_i = int(example_idx.max())
+                    if last_ex_i >= md.n_examples:
+                        err = ExampleOutOfBoundsError(md, last_ex_i)
+                        logger.warning(err.message)
+                        raise err
+
+                    fill_before = reservoir.fill()
+                    reservoir.put(
+                        acts, {"example_idx": example_idx, "token_idx": token_col}
+                    )
+                    t2 = time.perf_counter()
+
+                    n_reads += 1
+                    bytes_sent += acts.nbytes + example_idx.nbytes + token_col.nbytes
+
+                    now = time.time()
+                    if cfg.debug and now - t_last_report >= cfg.log_every_s:
+                        logger.debug(
+                            "shard=%s mb_sent=%.1f read_ms=%.2f put_ms=%.2f "
+                            "fill-before=%.3f fill-after=%.3f",
+                            shard_i,
+                            bytes_sent / 1e6,
+                            (t1 - t0) * 1e3,
+                            (t2 - t1) * 1e3,
+                            fill_before,
+                            reservoir.fill(),
+                        )
+                        t_last_report = now
+        except buffers.BufferClosed:
+            reason = "buffer_closed"
+            break
+        except Exception as err:
+            logger.exception("Error in worker.")
+            err_queue.put((f"worker{worker_id}", traceback.format_exc()))
+            reason = f"exception:{type(err).__name__}"
+            break
+
+    if not reason:
+        reason = "stop_event_set" if stop_event.is_set() else "loop_exhausted"
+    logger.info(
+        "Worker finished (%s). bytes_sent=%.1fMB n_reads=%d",
+        reason,
+        bytes_sent / 1e6,
+        n_reads,
+    )
+
+
+def _manager_main(
+    cfg: Config,
+    metadata: shards.Metadata,
+    shards_path: pathlib.Path,
+    reservoir: buffers.ReservoirBuffer,
+    stop_event: threading.Event,
+    err_queue: "queue.Queue[tuple[str, str]]",
+    labels_mmap: np.memmap | None = None,
+):
+    """Manager thread: permutes shard order with a seeded RNG and runs I/O workers.
+
+    Mirrors reference shuffled.py:295-376.
+    """
+    logger = logging.getLogger("shuffled.manager")
+
+    if cfg.tokens != "content" or not isinstance(cfg.layer, int):
+        err_queue.put((
+            "manager",
+            "High-throughput loader only supports `content` and fixed `layer` mode "
+            "for now.",
+        ))
+        return
+
+    if cfg.layer not in metadata.layers:
+        err_queue.put((
+            "manager",
+            f"Layer {cfg.layer} not in {metadata.layers}",
+        ))
+        return
+
+    rng = np.random.default_rng(cfg.seed)
+    work_items = rng.permutation(metadata.n_shards)
+    logger.info("First 10 shards: %s", work_items[:10])
+
+    threads: list[threading.Thread] = []
+    try:
+        shard_info = shards.ShardInfo.load(shards_path)
+        work_queue: "queue.Queue[int | None]" = queue.Queue()
+        for shard_i in work_items:
+            work_queue.put(int(shard_i))
+        for _ in range(cfg.n_threads):
+            work_queue.put(None)
+
+        for i in range(cfg.n_threads):
+            thread = threading.Thread(
+                target=_io_worker,
+                args=(
+                    i,
+                    cfg,
+                    metadata,
+                    shards_path,
+                    shard_info,
+                    work_queue,
+                    reservoir,
+                    stop_event,
+                    err_queue,
+                    labels_mmap,
+                ),
+                daemon=True,
+                name=f"shuffled-io-{i}",
+            )
+            thread.start()
+            threads.append(thread)
+        logger.info("Launched %d I/O threads.", cfg.n_threads)
+
+        while any(t.is_alive() for t in threads):
+            if stop_event.wait(timeout=0.25):
+                break
+    except Exception:
+        logger.exception("Fatal error in manager thread")
+        err_queue.put(("manager", traceback.format_exc()))
+    finally:
+        stop_event.set()
+        for t in threads:
+            t.join(timeout=10.0)
+        logger.info("Manager thread finished.")
+
+
+class DataLoader:
+    """High-throughput streaming loader that deterministically shuffles disk shards.
+
+    Yields dict batches `{act: (B, d_model) float32, example_idx: (B,) int64,
+    token_idx: (B,) int64}` as numpy arrays (device transfer is the trainer's job via
+    the prefetch pipeline).
+    """
+
+    class ExampleBatch(tp.TypedDict):
+        act: np.ndarray
+        example_idx: np.ndarray
+        token_idx: np.ndarray
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+
+        self.manager_thread: threading.Thread | None = None
+        self.reservoir: buffers.ReservoirBuffer | None = None
+        self.stop_event: threading.Event | None = None
+        self.err_queue: "queue.Queue[tuple[str, str]] | None" = None
+        self._last_reservoir_fill: float | None = None
+        self._logged_effective_capacity = False
+
+        self.logger = logging.getLogger("shuffled.DataLoader")
+
+        if not os.path.isdir(self.cfg.shards):
+            raise RuntimeError(f"Activations are not saved at '{self.cfg.shards}'.")
+
+        if self.cfg.use_tmpdir:
+            self._shards_path = _copy_shards_to_tmpdir(self.cfg.shards, self.logger)
+        else:
+            self._shards_path = pathlib.Path(self.cfg.shards)
+
+        if self.cfg.scale_norm:
+            raise NotImplementedError("scale_norm not implemented.")
+
+        self.metadata = shards.Metadata.load(self._shards_path)
+
+        shard_info = shards.ShardInfo.load(self._shards_path)
+        shard_info.validate(self._shards_path)
+
+        self._n_samples = self._calculate_n_samples()
+
+        if self.cfg.ignore_labels:
+            labels_path = self._shards_path / "labels.bin"
+            if not labels_path.exists():
+                raise FileNotFoundError(
+                    f"ignore_labels filtering requested but labels.bin not found at "
+                    f"{labels_path}"
+                )
+
+    @property
+    def n_batches(self) -> int:
+        return len(self)
+
+    @property
+    def n_samples(self) -> int:
+        return self._n_samples
+
+    @property
+    def batch_size(self) -> int:
+        return self.cfg.batch_size
+
+    @property
+    def drop_last(self) -> bool:
+        return self.cfg.drop_last
+
+    @property
+    def manager_alive(self) -> bool:
+        return self.manager_thread is not None and self.manager_thread.is_alive()
+
+    def _start_manager(self):
+        if self.manager_alive:
+            return
+
+        self.logger.info("Starting manager thread.")
+        self.reservoir = buffers.ReservoirBuffer(
+            self.cfg.buffer_size * self.cfg.batch_size,
+            self.metadata.d_model,
+            seed=self.cfg.seed,
+        )
+        self.stop_event = threading.Event()
+        self.err_queue = queue.Queue(maxsize=self.cfg.n_threads + 1)
+
+        labels_mmap = None
+        if self.cfg.ignore_labels:
+            labels_mmap = np.memmap(
+                self._shards_path / "labels.bin",
+                mode="r",
+                dtype=np.uint8,
+                shape=(
+                    self.metadata.n_examples,
+                    self.metadata.content_tokens_per_example,
+                ),
+            )
+
+        self.manager_thread = threading.Thread(
+            target=_manager_main,
+            args=(
+                self.cfg,
+                self.metadata,
+                self._shards_path,
+                self.reservoir,
+                self.stop_event,
+                self.err_queue,
+                labels_mmap,
+            ),
+            daemon=True,
+            name="shuffled-manager",
+        )
+        self.manager_thread.start()
+
+    def __iter__(self) -> collections.abc.Iterator[ExampleBatch]:
+        """Yields batches until n_samples have been produced."""
+        self._start_manager()
+        n, b = 0, 0
+
+        try:
+            while n < self.n_samples:
+                need = min(self.cfg.batch_size, self.n_samples - n)
+                remaining = self.n_samples - n
+                self._wait_for_min_buffer_fill(remaining)
+                if self.err_queue is not None and not self.err_queue.empty():
+                    who, tb = self.err_queue.get_nowait()
+                    raise RuntimeError(f"{who} crashed:\n{tb}")
+
+                try:
+                    act, meta = self.reservoir.get(
+                        need, timeout=self.cfg.batch_timeout_s
+                    )
+                    n += need
+                    b += 1
+                    yield self.ExampleBatch(
+                        act=act,
+                        example_idx=meta["example_idx"],
+                        token_idx=meta["token_idx"],
+                    )
+                    continue
+                except TimeoutError:
+                    if self.cfg.ignore_labels:
+                        self.logger.info(
+                            "Did not get a batch from %d worker threads in %.1fs. "
+                            "This can happen when filtering out many labels.",
+                            self.cfg.n_threads,
+                            self.cfg.batch_timeout_s,
+                        )
+                    else:
+                        self.logger.info(
+                            "Did not get a batch from %d worker threads in %.1fs.",
+                            self.cfg.n_threads,
+                            self.cfg.batch_timeout_s,
+                        )
+
+                if not self.manager_alive:
+                    raise RuntimeError(
+                        f"Manager thread died unexpectedly after {b}/{len(self)} "
+                        f"batches."
+                    )
+        finally:
+            self.shutdown()
+
+    def shutdown(self):
+        if self.stop_event is not None and not self.stop_event.is_set():
+            self.stop_event.set()
+        if self.reservoir is not None:
+            self.reservoir.close()
+        if self.manager_thread is not None and self.manager_thread.is_alive():
+            self.manager_thread.join(timeout=5.0)
+            if self.manager_thread.is_alive():
+                self.logger.warning("Manager thread did not shut down cleanly.")
+
+        self.manager_thread = None
+        self.reservoir = None
+        self.stop_event = None
+        self.err_queue = None
+        self._last_reservoir_fill = None
+        self._logged_effective_capacity = False
+
+    def __del__(self):
+        try:
+            self.shutdown()
+        except Exception:
+            pass
+
+    def _wait_for_min_buffer_fill(
+        self, remaining: int, *, poll_interval_s: float = 0.05
+    ) -> None:
+        """Warm-up gate: block until the reservoir is sufficiently full.
+
+        Mirrors reference shuffled.py:586-636, including manager-death and
+        end-of-epoch effective-capacity handling.
+        """
+        if self.cfg.min_buffer_fill <= 0.0 or self.reservoir is None or remaining <= 0:
+            self._last_reservoir_fill = None
+            return
+
+        effective_capacity = min(self.reservoir.capacity, remaining)
+        if effective_capacity <= 0:
+            self._last_reservoir_fill = None
+            return
+
+        if not self._logged_effective_capacity and self.reservoir.capacity > remaining:
+            self.logger.debug(
+                "Reservoir capacity (%d) exceeds remaining samples (%d); using %d "
+                "slots for warmup.",
+                self.reservoir.capacity,
+                remaining,
+                effective_capacity,
+            )
+            self._logged_effective_capacity = True
+
+        while True:
+            if self.err_queue is not None and not self.err_queue.empty():
+                who, tb = self.err_queue.get_nowait()
+                raise RuntimeError(f"{who} crashed:\n{tb}")
+
+            qsize = self.reservoir.qsize()
+            fill_fraction = qsize / effective_capacity
+            if fill_fraction >= self.cfg.min_buffer_fill:
+                self._last_reservoir_fill = fill_fraction
+                return
+
+            if not self.manager_alive:
+                if qsize > 0:
+                    self._last_reservoir_fill = fill_fraction
+                    return
+                raise RuntimeError(
+                    "Manager thread died while waiting for reservoir fill."
+                )
+
+            time.sleep(poll_interval_s)
+
+    def _calculate_n_samples(self) -> int:
+        """Total samples for this (tokens, layer) view, after label filtering.
+
+        Mirrors reference shuffled.py:638-698.
+        """
+        match (self.cfg.tokens, self.cfg.layer):
+            case ("special", "all"):
+                max_samples = self.metadata.n_examples * len(self.metadata.layers)
+            case ("special", int()):
+                max_samples = self.metadata.n_examples
+            case ("content", int()):
+                max_samples = (
+                    self.metadata.n_examples
+                    * self.metadata.content_tokens_per_example
+                )
+            case ("content", "all"):
+                max_samples = (
+                    self.metadata.n_examples
+                    * len(self.metadata.layers)
+                    * self.metadata.content_tokens_per_example
+                )
+            case _:
+                raise ValueError(
+                    f"Unsupported (tokens, layer): "
+                    f"({self.cfg.tokens}, {self.cfg.layer})"
+                )
+
+        if not self.cfg.ignore_labels:
+            return max_samples
+
+        if self.cfg.tokens != "content" or not isinstance(self.cfg.layer, int):
+            raise NotImplementedError(
+                "Patch label filtering only supports 'content' patches with fixed layer"
+            )
+
+        labels_path = self._shards_path / "labels.bin"
+        if not labels_path.exists():
+            raise FileNotFoundError(f"labels.bin not found at {labels_path}")
+
+        labels = np.memmap(
+            labels_path,
+            mode="r",
+            dtype=np.uint8,
+            shape=(self.metadata.n_examples, self.metadata.content_tokens_per_example),
+        )
+        mask = ~np.isin(labels, self.cfg.ignore_labels)
+        n_remaining = int(np.sum(mask))
+        del labels
+        return n_remaining
+
+    def __len__(self) -> int:
+        """Number of batches in an epoch."""
+        return math.ceil(self.n_samples / self.cfg.batch_size)

@@ -1,0 +1,110 @@
+"""Shared pytest fixtures and helpers.
+
+Forces JAX onto CPU with 8 virtual devices so pjit/shard_map multi-chip tests run
+hermetically (the reference's analog is spawned-process dataloader tests; our "fake
+cluster" is XLA's host-platform device-count flag — SURVEY.md §4).
+"""
+
+import os
+
+# Must run before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+FAKE_CKPT = "hf-hub:hf-internal-testing/tiny-open-clip-model"
+
+
+def tmp_shards_root(tmp_path: pathlib.Path) -> pathlib.Path:
+    """Create a path of the required .../saev/shards shape."""
+    root = tmp_path / "saev" / "shards"
+    root.mkdir(parents=True, exist_ok=True)
+    return root
+
+
+def tmp_runs_root(tmp_path: pathlib.Path) -> pathlib.Path:
+    """Create a path of the required .../saev/runs shape."""
+    root = tmp_path / "saev" / "runs"
+    root.mkdir(parents=True, exist_ok=True)
+    return root
+
+
+def write_shards(
+    tmp_path: pathlib.Path,
+    *,
+    n_examples: int = 10,
+    layers: tuple[int, ...] = (0, 1),
+    max_tokens_per_shard: int = 128,
+    cls_token: bool = True,
+    batch_size: int = 4,
+    seg: bool = False,
+) -> pathlib.Path:
+    """Generate a real shard dir by running the full extraction pipeline with the
+    fake backends (FakeImg dataset + fake-clip JAX ViT). Returns the shards dir.
+    """
+    from saev_tpu.data import datasets, extract, fake_vit
+
+    root = tmp_shards_root(tmp_path)
+    if seg:
+        data = datasets.FakeImgSeg(
+            n_examples=n_examples, content_tokens_per_example=fake_vit.N_PATCHES
+        )
+    else:
+        data = datasets.FakeImg(n_examples=n_examples)
+
+    return extract.worker_fn(
+        family="fake-clip",
+        ckpt=FAKE_CKPT,
+        content_tokens_per_example=fake_vit.N_PATCHES,
+        cls_token=cls_token,
+        d_model=fake_vit.D_MODEL,
+        layers=list(layers),
+        data=data,
+        batch_size=batch_size,
+        n_workers=2,
+        max_tokens_per_shard=max_tokens_per_shard,
+        shards_root=root,
+        device="cpu",
+    )
+
+
+def write_token_labels(
+    shards_dir: pathlib.Path, labels: np.ndarray
+) -> pathlib.Path:
+    """Write a labels.bin file into an existing shard dir."""
+    from saev_tpu.data import shards as shards_mod
+
+    md = shards_mod.Metadata.load(shards_dir)
+    assert labels.shape == (md.n_examples, md.content_tokens_per_example)
+    fpath = shards_dir / "labels.bin"
+    mm = np.memmap(fpath, mode="w+", dtype=np.uint8, shape=labels.shape)
+    mm[:] = labels.astype(np.uint8)
+    mm.flush()
+    del mm
+    return fpath
+
+
+class _Helpers:
+    tmp_shards_root = staticmethod(tmp_shards_root)
+    tmp_runs_root = staticmethod(tmp_runs_root)
+    write_shards = staticmethod(write_shards)
+    write_token_labels = staticmethod(write_token_labels)
+    fake_ckpt = FAKE_CKPT
+
+
+@pytest.fixture(scope="session")
+def helpers():
+    return _Helpers
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: slow tests")
+    config.addinivalue_line("markers", "integration: integration tests")
