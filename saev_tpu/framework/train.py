@@ -1,0 +1,991 @@
+"""SAE training: one jitted, vmapped, data-parallel train step.
+
+Capability mirror of reference `src/saev/framework/train.py` (train at :239-462,
+make_saes/datapoint init at :109-189, evaluate at :510-618, split_cfgs at :670,
+main at :706), re-architected for TPU:
+
+- The reference iterates N SAEs in a Python loop over a shared batch
+  (train.py:339-343). Here the whole sweep is *stacked* along a leading axis and
+  the entire step — normalize W_dec, forward, loss, backward, grad projection,
+  per-SAE clip, Adam, LR schedule — is ONE `jax.jit` containing `jax.vmap` over
+  the sweep axis. Float hyperparameters that vary across the sweep (lr, L1 coeff,
+  AuxK alpha, BatchTopK momentum, grad clip) are per-SAE arrays traced into the
+  step; SAEs whose *static* structure differs (activation kind, top_k, k_aux,
+  n_prefixes, ...) are split into separate jitted "cohorts" that still share each
+  host batch.
+- Data parallelism (absent in the reference; SURVEY.md §2.8): the batch is sharded
+  along axis 0 over a 1-D `data` mesh; params/optimizer state are replicated, and
+  XLA inserts the ICI gradient all-reduce. BatchTopK's batch-global top-k keeps
+  exact global semantics under pjit's global view.
+- Adam is implemented inline (elementwise; bias-corrected exactly like
+  torch.optim.Adam) so the per-SAE learning rate is a traced array. Muon (reference
+  train.py:304) orthogonalizes 2-D updates via Newton-Schulz, vmapped over the
+  sweep.
+- float64 metric accumulators (reference train.py:379-390) become f32 on-device
+  sums (TPUs have no f64) accumulated into host numpy float64 across batches;
+  within-batch f32 tree-reduction keeps relative error ~1e-7, far inside the
+  <1e-4 parity budget (BASELINE.md).
+"""
+
+import dataclasses
+import collections
+import logging
+import os
+import pathlib
+import time
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import configs, disk, helpers, nn, parallel
+from ..data import ShuffledConfig, ShuffledDataLoader
+from ..nn import modeling, objectives
+from ..utils import scheduling, statistics
+from ..utils.monitoring import DataloaderMonitor
+from ..utils.wandb import ParallelWandbRun
+
+logger = logging.getLogger("train")
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Configuration for training an SAE on ViT activations (reference train.py:52-105)."""
+
+    train_data: ShuffledConfig = ShuffledConfig()
+    """Training data."""
+    val_data: ShuffledConfig = ShuffledConfig()
+    """Validation data."""
+    n_train: int = 100_000_000
+    """Number of SAE training samples."""
+    n_val: int = 10_000_000
+    """Number of SAE evaluation samples."""
+    sae: modeling.SparseAutoencoderConfig = modeling.SparseAutoencoderConfig()
+    """SAE configuration."""
+    objective: objectives.Matryoshka = objectives.Matryoshka()
+    """SAE objective configuration."""
+    n_sparsity_warmup: int = 0
+    """Number of sparsity coefficient warmup steps."""
+    optim: tp.Literal["adam", "muon"] = "adam"
+    """Optimizer for training."""
+    lr: float = 0.0004
+    """Learning rate."""
+    n_lr_warmup: int = 500
+    """Number of learning rate warmup steps."""
+    grad_clip: float = 1.0
+    """Maximum gradient norm across all SAE parameters."""
+
+    # Logging
+    track: bool = True
+    """Whether to track with WandB (falls back to a local JSONL recorder offline)."""
+    wandb_project: str = "saev"
+    """WandB project name."""
+    tags: tuple[str, ...] = ()
+    """Tags to add to WandB run."""
+    log_every: int = 25
+    """How often to log metrics."""
+    runs_root: pathlib.Path = pathlib.Path("$SAEV_NFS/saev/runs")
+    """Root directory for runs."""
+
+    device: tp.Literal["tpu", "cpu"] = "tpu"
+    """Hardware platform (informational; JAX picks the active backend)."""
+    seed: int = 42
+    """Random seed."""
+    slurm_acct: str = ""
+    """Slurm account string. Empty means to not use Slurm."""
+    slurm_partition: str = ""
+    """Slurm partition."""
+    n_hours: float = 24.0
+    """Slurm job length in hours."""
+    mem_gb: int = 128
+    """Node memory in GB."""
+    log_to: str = os.path.join(".", "logs")
+    """Where to log job stdout/stderr."""
+
+
+# ---------------------------------------------------------------------------
+# Sweep cohorts: SAEs that can share one compiled step
+# ---------------------------------------------------------------------------
+
+
+def _static_key(cfg: Config) -> tuple:
+    """Everything that changes the traced computation (shapes / static ints /
+    branch structure). SAEs with equal keys train in one vmapped step; float knobs
+    are traced per-SAE arrays and do NOT split cohorts."""
+    act = cfg.sae.activation
+    act_static: tuple = (type(act).__name__,)
+    if isinstance(act, (modeling.TopK, modeling.BatchTopK)):
+        act_static += (act.top_k,)
+    aux = act.aux
+    if isinstance(aux, modeling.AuxK):
+        act_static += ("auxk", aux.k_aux)
+    else:
+        act_static += ("no-aux",)
+    act_static += (type(act.sparsity).__name__,)
+    return (
+        cfg.sae.d_model,
+        cfg.sae.d_sae,
+        act_static,
+        cfg.sae.normalize_w_dec,
+        cfg.sae.remove_parallel_grads,
+        cfg.objective.n_prefixes,
+        cfg.objective.dead_threshold_tokens,
+        cfg.optim,
+    )
+
+
+class Cohort(tp.NamedTuple):
+    """A sub-sweep sharing one compiled train step."""
+
+    indices: list[int]  # positions in the original cfgs list
+    cfgs: list[Config]
+
+
+def make_cohorts(cfgs: list[Config]) -> list[Cohort]:
+    groups: dict[tuple, list[int]] = collections.defaultdict(list)
+    for i, cfg in enumerate(cfgs):
+        groups[_static_key(cfg)].append(i)
+    return [
+        Cohort(indices=idxs, cfgs=[cfgs[i] for i in idxs])
+        for idxs in sorted(groups.values())
+    ]
+
+
+def _hp_arrays(cfgs: list[Config]) -> dict[str, np.ndarray]:
+    """Per-SAE float hyperparameters as (n_sae,) arrays traced into the step."""
+    def f32(vals):
+        return np.asarray(vals, dtype=np.float32)
+
+    sparsity_coeff, aux_alpha, momentum = [], [], []
+    for cfg in cfgs:
+        act = cfg.sae.activation
+        sp = act.sparsity
+        sparsity_coeff.append(sp.coeff if isinstance(sp, modeling.L1Sparsity) else 0.0)
+        aux = act.aux
+        aux_alpha.append(aux.alpha if isinstance(aux, modeling.AuxK) else 0.0)
+        momentum.append(act.momentum if isinstance(act, modeling.BatchTopK) else 0.0)
+    return {
+        "lr": f32([c.lr for c in cfgs]),
+        "n_lr_warmup": f32([c.n_lr_warmup for c in cfgs]),
+        "grad_clip": f32([c.grad_clip for c in cfgs]),
+        "sparsity_coeff": f32(sparsity_coeff),
+        "aux_alpha": f32(aux_alpha),
+        "momentum": f32(momentum),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Datapoint initialization (reference make_saes, train.py:109-189)
+# ---------------------------------------------------------------------------
+
+
+class SweepState(tp.NamedTuple):
+    """Stacked train state for one cohort (leading axis = SAE sweep)."""
+
+    params: modeling.Params
+    sae_state: modeling.State
+    obj_state: objectives.ObjectiveState
+    opt_state: dict[str, tp.Any]
+    step: Array  # i32 scalar
+
+
+def make_saes(
+    cfgs: list[Config],
+    dl: tp.Any,
+    *,
+    seed: int = 0,
+) -> tuple[modeling.Params, modeling.State, objectives.ObjectiveState]:
+    """Build and (datapoint-)initialize a stacked sweep of SAEs.
+
+    Mirrors reference train.py:109-189: W_enc columns are initialized from >=
+    max(d_sae, 65536) zero-centered real activations blended with Kaiming noise at
+    `reinit_blend`; optionally W_dec = W_enc^T; W_dec re-normalized; W_enc synced
+    to the normalized W_dec^T (the reference does this unconditionally). All host
+    numpy, then stacked.
+    """
+    assert cfgs, "Need at least one SAE to initialize."
+    sae_cfg0 = cfgs[0].sae
+    d_sae, d_model = sae_cfg0.d_sae, sae_cfg0.d_model
+    assert all(c.sae.d_sae == d_sae and c.sae.d_model == d_model for c in cfgs), (
+        "All SAEs in a cohort must share d_sae/d_model."
+    )
+
+    rng = np.random.default_rng(seed)
+    keys = jax.random.split(jax.random.key(seed), len(cfgs))
+    inits = [modeling.init(c.sae, k) for c, k in zip(cfgs, keys)]
+    params_list = [jax.tree.map(np.asarray, p) for p, _ in inits]
+
+    if any(c.sae.reinit_blend > 0 for c in cfgs):
+        n_samples = max(d_sae, 65_536)
+        if hasattr(dl, "n_samples"):
+            assert dl.n_samples >= d_sae, (
+                f"Need {d_sae} samples for datapoint init; dataloader has {dl.n_samples}."
+            )
+            n_samples = min(n_samples, dl.n_samples)
+
+        batches, n_seen = [], 0
+        for batch in dl:
+            act = np.asarray(batch["act"])
+            batches.append(act)
+            n_seen += len(act)
+            if n_seen >= n_samples:
+                break
+        assert n_seen >= n_samples, (
+            f"Datapoint init requested {n_samples} samples but saw {n_seen}."
+        )
+        acts = np.concatenate(batches, axis=0)[:n_samples]
+        acts = acts[rng.permutation(n_samples)]
+        acts_mean = acts.mean(axis=0, keepdims=True)
+        zero_centered = (acts[:d_sae] - acts_mean).astype(np.float32)
+        bound = np.sqrt(6.0 / d_model)
+        kaiming = rng.uniform(-bound, bound, size=zero_centered.shape).astype(np.float32)
+
+        for cfg, params in zip(cfgs, params_list):
+            blend = cfg.sae.reinit_blend
+            assert 0.0 <= blend <= 1.0, f"reinit_blend must be in [0, 1], got {blend}."
+            if blend == 0:
+                continue
+            idx = rng.permutation(d_sae)
+            enc_rows = blend * zero_centered[idx] + (1 - blend) * kaiming[idx]
+            params["W_enc"] = enc_rows.T.copy()
+            if cfg.sae.reinit_enc_dec_tranpose:
+                params["W_dec"] = enc_rows.copy()
+            if cfg.sae.normalize_w_dec:
+                params["W_dec"] = params["W_dec"] / np.linalg.norm(
+                    params["W_dec"], axis=1, keepdims=True
+                )
+            # Unconditional sync, matching the reference (train.py:185): W_enc
+            # always ends as the normalized W_dec transpose.
+            params["W_enc"] = params["W_dec"].T.copy()
+
+        mean_p = sum(c.sae.reinit_blend for c in cfgs) / len(cfgs)
+        logger.info("Initialized %d SAEs with avg(p)=%.2f", len(cfgs), mean_p)
+
+    stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+    params = stack(params_list)
+    sae_state = stack([s for _, s in inits])
+    obj_state = stack([objectives.init_state(c.sae) for c in cfgs])
+    return params, sae_state, obj_state
+
+
+# ---------------------------------------------------------------------------
+# Optimizers (inline; per-SAE traced learning rates)
+# ---------------------------------------------------------------------------
+
+
+def _adam_init(params) -> dict[str, tp.Any]:
+    zeros = lambda: jax.tree.map(jnp.zeros_like, params)
+    return {"m": zeros(), "v": zeros(), "count": jnp.zeros((), jnp.int32)}
+
+
+def _adam_update(grads, opt_state, lr_per_sae, *, b1=0.9, b2=0.999, eps=1e-8):
+    """torch.optim.Adam-equivalent elementwise update; lr is a (n_sae,) array
+    broadcast over each stacked leaf's leading axis."""
+    count = opt_state["count"] + 1
+    t = count.astype(jnp.float32)
+    bc1 = 1.0 - b1**t
+    bc2 = 1.0 - b2**t
+    m = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, opt_state["m"], grads)
+    v = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g, opt_state["v"], grads)
+
+    def upd(m, v):
+        lr = lr_per_sae.reshape((-1,) + (1,) * (m.ndim - 1))
+        return -lr * (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+
+    updates = jax.tree.map(upd, m, v)
+    return updates, {"m": m, "v": v, "count": count}
+
+
+def _newton_schulz(g: Array, steps: int = 5, eps: float = 1e-7) -> Array:
+    """Orthogonalize the last two axes via the quintic Newton-Schulz iteration
+    (Muon; Jordan et al. 2024). Works on stacked (n_sae, a, b) arrays."""
+    a, b, c = 3.4445, -4.7750, 2.0315
+    transpose = g.shape[-2] > g.shape[-1]
+    x = jnp.swapaxes(g, -2, -1) if transpose else g
+    x = x / (jnp.linalg.norm(x, axis=(-2, -1), keepdims=True) + eps)
+    for _ in range(steps):
+        gram = x @ jnp.swapaxes(x, -2, -1)
+        x = a * x + (b * gram + c * gram @ gram) @ x
+    return jnp.swapaxes(x, -2, -1) if transpose else x
+
+
+def _muon_init(params) -> dict[str, tp.Any]:
+    return {
+        "mu": jax.tree.map(jnp.zeros_like, params),
+        "adam": _adam_init(params),
+        "count": jnp.zeros((), jnp.int32),
+    }
+
+
+def _muon_update(grads, opt_state, lr_per_sae, *, beta=0.95):
+    """Muon on 2-D (stacked 3-D) params, Adam on the rest (reference train.py:296-306).
+
+    The update is scaled by sqrt(max(1, rows/cols)) per Muon convention.
+    """
+    mu = jax.tree.map(lambda m, g: beta * m + g, opt_state["mu"], grads)
+    adam_updates, adam_state = _adam_update(grads, opt_state["adam"], lr_per_sae)
+
+    def upd(path_mu, adam_u):
+        if path_mu.ndim >= 3:  # stacked 2-D param -> Muon
+            ortho = _newton_schulz(path_mu)
+            scale = jnp.sqrt(
+                jnp.maximum(1.0, path_mu.shape[-2] / path_mu.shape[-1])
+            )
+            lr = lr_per_sae.reshape((-1,) + (1,) * (path_mu.ndim - 1))
+            return -lr * scale * ortho
+        return adam_u
+
+    updates = jax.tree.map(upd, mu, adam_updates)
+    return updates, {"mu": mu, "adam": adam_state, "count": opt_state["count"] + 1}
+
+
+# ---------------------------------------------------------------------------
+# The jitted train step
+# ---------------------------------------------------------------------------
+
+
+def _per_sae_global_norm(grads) -> Array:
+    """L2 norm over all of each SAE's params: (n_sae,)."""
+    sq = [
+        jnp.sum(g.reshape(g.shape[0], -1) ** 2, axis=1) for g in jax.tree.leaves(grads)
+    ]
+    return jnp.sqrt(sum(sq))
+
+
+def dictionary_coherence(w: Array, block: int = 1024) -> Array:
+    """max off-diagonal |<w_i/|w_i|, w_j/|w_j|>| over decoder rows, computed in row
+    blocks so the (d_sae, d_sae) Gram matrix is never materialized (the reference
+    materializes it, train.py:414)."""
+    d_sae, d = w.shape
+    wn = w / jnp.linalg.norm(w, axis=1, keepdims=True)
+    block = min(block, d_sae)
+    nb = -(-d_sae // block)
+    pad = nb * block - d_sae
+    wp = jnp.pad(wn, ((0, pad), (0, 0)))
+
+    col_ids = jnp.arange(d_sae)[None, :]
+
+    def body(carry, i):
+        rows = jax.lax.dynamic_slice(wp, (i * block, 0), (block, d))
+        gram = jnp.abs(
+            jnp.dot(rows, wn.T, preferred_element_type=jnp.float32,
+                    precision=modeling.MATMUL_PRECISION)
+        )
+        row_ids = i * block + jnp.arange(block)[:, None]
+        mask = (row_ids != col_ids) & (row_ids < d_sae)
+        m = jnp.max(jnp.where(mask, gram, 0.0))
+        return jnp.maximum(carry, m), None
+
+    coh, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(nb))
+    return coh
+
+
+def make_train_step(
+    sae_cfg: modeling.SparseAutoencoderConfig,
+    obj_cfg: objectives.Matryoshka,
+    n_steps: int,
+    optim: str = "adam",
+):
+    """Build the jitted train step for one cohort.
+
+    Signature: step(sweep_state, x, prefixes, hp) -> (sweep_state, stats)
+      x:        (batch, d_model) f32, sharded over the data mesh axis
+      prefixes: (n_sae, n_prefixes) i32, sampled host-side per step
+      hp:       per-SAE float hyperparameter arrays (_hp_arrays)
+      stats:    light per-step stats {loss terms (n_sae,), grad_norm, lr}
+    """
+
+    def loss_one(params, sae_state, obj_state, x, prefixes, coeff, alpha, momentum):
+        loss, out, s1, s2 = objectives.matryoshka_loss(
+            obj_cfg, sae_cfg, params, sae_state, obj_state, x, prefixes,
+            training=True,
+            hp={"sparsity_coeff": coeff, "aux_alpha": alpha, "momentum": momentum},
+        )
+        return loss, out, s1, s2
+
+    def step(ts: SweepState, x: Array, prefixes: Array, hp: dict[str, Array]):
+        # Normalize W_dec rows before the forward (reference train.py:334).
+        params = jax.vmap(lambda p: modeling.normalize_w_dec(sae_cfg, p))(ts.params)
+
+        def total_loss(params):
+            losses, outs, sae_states, obj_states = jax.vmap(
+                loss_one, in_axes=(0, 0, 0, None, 0, 0, 0, 0)
+            )(
+                params, ts.sae_state, ts.obj_state, x, prefixes,
+                hp["sparsity_coeff"], hp["aux_alpha"], hp["momentum"],
+            )
+            # SAEs are independent; grad of the sum = per-SAE grads.
+            return jnp.sum(losses.loss), (losses, outs, sae_states, obj_states)
+
+        (_, (losses, outs, sae_states, obj_states)), grads = jax.value_and_grad(
+            total_loss, has_aux=True
+        )(params)
+
+        grads = jax.vmap(lambda p, g: modeling.remove_parallel_grads(sae_cfg, p, g))(
+            params, grads
+        )
+
+        # Per-SAE global-norm clip (torch.nn.utils.clip_grad_norm_ semantics).
+        grad_norm = _per_sae_global_norm(grads)
+        clip_coef = jnp.minimum(hp["grad_clip"] / (grad_norm + 1e-6), 1.0)
+        grads = jax.tree.map(
+            lambda g: g * clip_coef.reshape((-1,) + (1,) * (g.ndim - 1)), grads
+        )
+
+        # LR at step t = WarmupCosine after t scheduler steps (lr=0 at t=0,
+        # matching the reference's empty-LR first step, train.py:118).
+        lr = scheduling.warmup_cosine(
+            ts.step, 0.0, hp["n_lr_warmup"], hp["lr"], float(n_steps), 0.0
+        )
+
+        if optim == "adam":
+            updates, opt_state = _adam_update(grads, ts.opt_state, lr)
+        elif optim == "muon":
+            updates, opt_state = _muon_update(grads, ts.opt_state, lr)
+        else:
+            raise ValueError(f"Unknown optimizer: {optim}")
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+        new_ts = SweepState(
+            params=params,
+            sae_state=sae_states,
+            obj_state=obj_states,
+            opt_state=opt_state,
+            step=ts.step + 1,
+        )
+        stats = {
+            "mse": losses.mse,
+            "sparsity": losses.sparsity,
+            "l0": losses.l0,
+            "l1": losses.l1,
+            "aux": losses.aux,
+            "n_dead": losses.n_dead,
+            "loss": losses.loss,
+            "grad_norm": grad_norm,
+            "lr": lr,
+        }
+        return new_ts, stats
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_metrics_fn(sae_cfg: modeling.SparseAutoencoderConfig):
+    """Heavy per-SAE metrics computed every log_every steps (reference
+    train.py:365-432): explained variance, dead %, coherence, SSE terms. Re-runs
+    the (eval-mode-free) forward on the current params; amortized over log_every."""
+
+    def one(params, sae_state, x, prefixes):
+        enc, _ = modeling.encode(sae_cfg, params, sae_state, x, training=True)
+        x_hat = modeling.decode(sae_cfg, params, enc.f_x)[:, -1, :]
+        residual = x - x_hat
+        sse_sae = jnp.sum(residual**2)
+        explained_var = 1.0 - jnp.var(residual) / jnp.var(x)
+        dead_pct = jnp.mean(
+            (jnp.sum(jnp.abs(enc.f_x) > 1e-12, axis=0) == 0).astype(jnp.float32)
+        )
+        coherence = dictionary_coherence(params["W_dec"])
+        avg_row_norm = jnp.mean(jnp.linalg.norm(params["W_dec"], axis=1))
+        return {
+            "sse_sae": sse_sae,
+            "explained_variance": explained_var,
+            "dead_unit_pct": dead_pct,
+            "dictionary_coherence": coherence,
+            "avg_decoder_row_norm": avg_row_norm,
+        }
+
+    def metrics(ts: SweepState, x: Array, prefixes: Array):
+        n_batch = x.shape[0]
+        sum_sq = jnp.sum(x * x)
+        sum_vec = jnp.sum(x, axis=0)
+        sse_baseline = sum_sq - jnp.dot(sum_vec, sum_vec) / n_batch
+        per_sae = jax.vmap(one, in_axes=(0, 0, None, 0))(
+            ts.params, ts.sae_state, x, prefixes
+        )
+        per_sae["sse_baseline"] = jnp.broadcast_to(
+            sse_baseline, per_sae["sse_sae"].shape
+        )
+        per_sae["normalized_mse"] = per_sae["sse_sae"] / sse_baseline
+        return per_sae
+
+    return jax.jit(metrics)
+
+
+# ---------------------------------------------------------------------------
+# Training driver
+# ---------------------------------------------------------------------------
+
+
+class _CohortRuntime(tp.NamedTuple):
+    cohort: Cohort
+    ts: SweepState
+    step_fn: tp.Any
+    metrics_fn: tp.Any
+    hp: dict[str, Array]
+    prefix_rng: np.random.Generator
+
+
+def _device_mesh(batch_size: int):
+    """All local devices whose count divides the batch size."""
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return parallel.make_mesh(n_devices=n)
+
+
+def train(
+    cfgs: list[Config],
+) -> tuple[list[_CohortRuntime], ParallelWandbRun, int]:
+    """Train a parallel sweep of SAEs on one shared data stream
+    (reference train.py:239-462)."""
+    if len(split_cfgs(cfgs)) != 1:
+        raise ValueError(f"Configs are not parallelizeable: {cfgs}.")
+
+    logger.info("Parallelizing %d runs.", len(cfgs))
+    cfg = cfgs[0]
+
+    dataloader = ShuffledDataLoader(cfg.train_data)
+    metadata = dataloader.metadata
+    limited = scheduling.BatchLimiter(dataloader, cfg.n_train)
+    n_steps = len(limited)
+
+    mesh = _device_mesh(cfg.train_data.batch_size)
+    logger.info("Mesh: %d device(s) over '%s'.", mesh.devices.size, parallel.DATA_AXIS)
+
+    cohorts = make_cohorts(cfgs)
+    runtimes: list[_CohortRuntime] = []
+    for ci, cohort in enumerate(cohorts):
+        params, sae_state, obj_state = make_saes(
+            cohort.cfgs, limited, seed=cfg.seed + ci
+        )
+        params = parallel.replicate(mesh, params)
+        sae_state = parallel.replicate(mesh, sae_state)
+        obj_state = parallel.replicate(mesh, obj_state)
+        c0 = cohort.cfgs[0]
+        opt_init = _adam_init if c0.optim == "adam" else _muon_init
+        ts = SweepState(
+            params=params,
+            sae_state=sae_state,
+            obj_state=obj_state,
+            opt_state=parallel.replicate(mesh, opt_init(params)),
+            step=jnp.zeros((), jnp.int32),
+        )
+        hp = {k: jnp.asarray(v) for k, v in _hp_arrays(cohort.cfgs).items()}
+        runtimes.append(
+            _CohortRuntime(
+                cohort=cohort,
+                ts=ts,
+                step_fn=make_train_step(c0.sae, c0.objective, n_steps, c0.optim),
+                metrics_fn=make_metrics_fn(c0.sae),
+                hp=hp,
+                prefix_rng=np.random.default_rng(cfg.seed + 1000 + ci),
+            )
+        )
+
+    mode = "online" if cfg.track else "disabled"
+    metadata_dict = dataclasses.asdict(metadata)
+    wandb_configs = []
+    for c in cfgs:
+        cfg_dict = dataclasses.asdict(c)
+        cfg_dict["train_data"]["metadata"] = metadata_dict
+        wandb_configs.append(cfg_dict)
+    run = ParallelWandbRun(cfg.wandb_project, wandb_configs, mode, list(cfg.tags))
+    slurm_job_id = os.environ.get("SLURM_JOB_ID")
+    if slurm_job_id:
+        run.set_summary("slurm_job_id", slurm_job_id)
+
+    dl_monitor = DataloaderMonitor(dataloader)
+    global_step, n_patches_seen = 0, 0
+
+    for batch in helpers.progress(limited, every=cfg.log_every, desc="train"):
+        x = parallel.shard_batch(mesh, np.asarray(batch["act"]))
+        n_patches_seen += x.shape[0]
+
+        log_now = (global_step + 1) % cfg.log_every == 0
+        all_metrics: list[dict[str, object]] = [None] * len(cfgs)
+
+        for ri, rt in enumerate(runtimes):
+            n_sae = len(rt.cohort.cfgs)
+            n_prefixes = rt.cohort.cfgs[0].objective.n_prefixes
+            d_sae = rt.cohort.cfgs[0].sae.d_sae
+            prefixes = jnp.asarray(
+                np.stack([
+                    objectives.sample_prefixes(d_sae, n_prefixes, rng=rt.prefix_rng)
+                    for _ in range(n_sae)
+                ])
+            )
+            new_ts, stats = rt.step_fn(rt.ts, x, prefixes, rt.hp)
+
+            if log_now:
+                heavy = rt.metrics_fn(new_ts, x, prefixes)
+                stats_np = jax.tree.map(np.asarray, stats)
+                heavy_np = jax.tree.map(np.asarray, heavy)
+                dl_metrics = dl_monitor.compute()
+                dl_metrics.update(
+                    statistics.calc_batch_entropy(
+                        batch["example_idx"],
+                        batch["token_idx"],
+                        metadata.n_examples,
+                        metadata.content_tokens_per_example,
+                    )
+                )
+                for si, gi in enumerate(rt.cohort.indices):
+                    all_metrics[gi] = {
+                        "loss/loss": float(stats_np["loss"][si]),
+                        "loss/mse": float(stats_np["mse"][si]),
+                        "loss/l0": float(stats_np["l0"][si]),
+                        "loss/l1": float(stats_np["l1"][si]),
+                        "loss/sparsity": float(stats_np["sparsity"][si]),
+                        "loss/aux": float(stats_np["aux"][si]),
+                        "loss/n_dead": int(stats_np["n_dead"][si]),
+                        "progress/n_patches_seen": n_patches_seen,
+                        "progress/learning_rate": float(stats_np["lr"][si]),
+                        "metrics/explained_variance": float(heavy_np["explained_variance"][si]),
+                        "metrics/dead_unit_pct": float(heavy_np["dead_unit_pct"][si]),
+                        "metrics/dictionary_coherence": float(heavy_np["dictionary_coherence"][si]),
+                        "metrics/avg_decoder_row_norm": float(heavy_np["avg_decoder_row_norm"][si]),
+                        "metrics/grad_norm": float(stats_np["grad_norm"][si]),
+                        "metrics/sse_sae": float(heavy_np["sse_sae"][si]),
+                        "metrics/sse_baseline": float(heavy_np["sse_baseline"][si]),
+                        "metrics/normalized_mse": float(heavy_np["normalized_mse"][si]),
+                        **dl_metrics,
+                    }
+
+            runtimes[ri] = rt._replace(ts=new_ts)
+
+        if log_now:
+            run.log(all_metrics, step=global_step)
+            m0 = all_metrics[0]
+            logger.info(
+                ", ".join(
+                    f"{k.split('/')[-1]}: {v:.5f}"
+                    for k, v in m0.items()
+                    if k.startswith("loss/")
+                )
+            )
+
+        global_step += 1
+
+    return runtimes, run, global_step
+
+
+# ---------------------------------------------------------------------------
+# Evaluation (reference train.py:510-618)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalMetrics:
+    """Results of evaluating a trained SAE on a dataset (reference train.py:467-507)."""
+
+    l0: float
+    l1: float
+    mse: float
+    normalized_mse: float
+    sse_sae: float
+    sse_baseline: float
+    n_dead: int
+    n_almost_dead: int
+    n_dense: int
+    freqs: np.ndarray
+    mean_values: np.ndarray
+    almost_dead_threshold: float
+    dense_threshold: float
+
+    def for_wandb(self) -> dict[str, object]:
+        dct = dataclasses.asdict(self)
+        dct["freqs"] = dct["freqs"].tolist()
+        dct["mean_values"] = dct["mean_values"].tolist()
+        return {f"eval/{key}": value for key, value in dct.items()}
+
+
+def evaluate(cfgs: list[Config], runtimes: list[_CohortRuntime]) -> list[EvalMetrics]:
+    """Eval pass over the val loader: L0/L1/MSE, normalized MSE vs mean baseline,
+    per-feature firing stats, dead/almost-dead/dense counts."""
+    if len(split_cfgs(cfgs)) != 1:
+        raise ValueError(f"Configs are not parallelizeable: {cfgs}.")
+
+    cfg = cfgs[0]
+    almost_dead_lim, dense_lim = 1e-7, 1e-2
+
+    dataloader = ShuffledDataLoader(cfg.val_data)
+    n_val = min(dataloader.n_samples, cfg.n_val)
+    limited = scheduling.BatchLimiter(dataloader, n_val)
+    mesh = _device_mesh(cfg.val_data.batch_size)
+
+    n_cfgs = len(cfgs)
+    d_sae = cfgs[0].sae.d_sae
+    n_fired = np.zeros((n_cfgs, d_sae), dtype=np.float64)
+    values = np.zeros((n_cfgs, d_sae), dtype=np.float64)
+    total_l0 = np.zeros(n_cfgs, dtype=np.float64)
+    total_l1 = np.zeros(n_cfgs, dtype=np.float64)
+    total_mse = np.zeros(n_cfgs, dtype=np.float64)
+    total_sse = np.zeros(n_cfgs, dtype=np.float64)
+    sum_sq, n_tokens = 0.0, 0
+    sum_vec = np.zeros(cfgs[0].sae.d_model, dtype=np.float64)
+
+    eval_fns = {}
+    for ri, rt in enumerate(runtimes):
+        c0 = rt.cohort.cfgs[0]
+
+        def make(c0=c0):
+            def one(params, sae_state, obj_state, x, prefixes):
+                loss, out, _, _ = objectives.matryoshka_loss(
+                    c0.objective, c0.sae, params, sae_state, obj_state, x, prefixes,
+                    training=False,
+                )
+                residual = x - out.x_hats[:, -1, :]
+                return {
+                    "l0": loss.l0,
+                    "l1": loss.l1,
+                    "mse": loss.mse,
+                    "sse": jnp.sum(residual**2),
+                    "n_fired": jnp.sum(out.f_x > 0, axis=0).astype(jnp.float32),
+                    "values": jnp.sum(out.f_x, axis=0),
+                }
+
+            return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None, 0)))
+
+        eval_fns[ri] = make()
+
+    for batch in helpers.progress(limited, desc="eval", every=cfg.log_every):
+        x_np = np.asarray(batch["act"])
+        bsz = x_np.shape[0]
+        x64 = x_np.astype(np.float64)
+        sum_sq += float(np.sum(x64 * x64))
+        sum_vec += x64.sum(axis=0)
+        n_tokens += bsz
+        x = parallel.shard_batch(mesh, x_np)
+
+        for ri, rt in enumerate(runtimes):
+            n_sae = len(rt.cohort.cfgs)
+            n_prefixes = rt.cohort.cfgs[0].objective.n_prefixes
+            prefixes = jnp.asarray(
+                np.stack([
+                    objectives.sample_prefixes(d_sae, n_prefixes, rng=rt.prefix_rng)
+                    for _ in range(n_sae)
+                ])
+            )
+            out = jax.tree.map(
+                np.asarray, eval_fns[ri](rt.ts.params, rt.ts.sae_state, rt.ts.obj_state, x, prefixes)
+            )
+            for si, gi in enumerate(rt.cohort.indices):
+                total_l0[gi] += float(out["l0"][si]) * bsz
+                total_l1[gi] += float(out["l1"][si]) * bsz
+                total_mse[gi] += float(out["mse"][si]) * bsz
+                total_sse[gi] += float(out["sse"][si])
+                n_fired[gi] += out["n_fired"][si]
+                values[gi] += out["values"][si]
+
+    assert n_tokens > 0, "Validation dataloader yielded zero tokens."
+    sse_baseline = sum_sq - float(sum_vec @ sum_vec) / n_tokens
+    assert sse_baseline > 0, (
+        f"Validation baseline variance non-positive: sse_baseline={sse_baseline:.6e}"
+    )
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_values = values / n_fired
+    freqs = n_fired / n_tokens
+
+    metrics = []
+    for i in range(n_cfgs):
+        metrics.append(
+            EvalMetrics(
+                l0=float(total_l0[i] / n_tokens),
+                l1=float(total_l1[i] / n_tokens),
+                mse=float(total_mse[i] / n_tokens),
+                normalized_mse=float(total_sse[i] / sse_baseline),
+                sse_sae=float(total_sse[i]),
+                sse_baseline=sse_baseline,
+                n_dead=int((freqs[i] == 0).sum()),
+                n_almost_dead=int((freqs[i] < almost_dead_lim).sum()),
+                n_dense=int((freqs[i] > dense_lim).sum()),
+                freqs=freqs[i],
+                mean_values=mean_values[i],
+                almost_dead_threshold=almost_dead_lim,
+                dense_threshold=dense_lim,
+            )
+        )
+    return metrics
+
+
+# ---------------------------------------------------------------------------
+# Worker + parallel grouping + main (reference train.py:193-235, :626-797)
+# ---------------------------------------------------------------------------
+
+
+def worker_fn(cfgs: list[Config]) -> list[str]:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s] [%(levelname)s] [%(name)s] %(message)s",
+    )
+    runtimes, run, steps = train(cfgs)
+    eval_metrics = evaluate(cfgs, runtimes)
+    run.log([m.for_wandb() for m in eval_metrics], step=steps)
+    ids = run.finish()
+
+    # Unstack the trained sweep back into per-config checkpoints.
+    flat: dict[int, tuple[Config, modeling.Params, modeling.State]] = {}
+    for rt in runtimes:
+        params_np = jax.tree.map(np.asarray, rt.ts.params)
+        state_np = jax.tree.map(np.asarray, rt.ts.sae_state)
+        for si, gi in enumerate(rt.cohort.indices):
+            flat[gi] = (
+                rt.cohort.cfgs[si],
+                jax.tree.map(lambda a: a[si], params_np),
+                jax.tree.map(lambda a: a[si], state_np),
+            )
+
+    for gi, id in enumerate(ids):
+        cfg, params, state = flat[gi]
+        metric = eval_metrics[gi]
+        logger.info(
+            "Checkpoint %s: %d dense, %d dead, %d almost-dead features.",
+            id, metric.n_dense, metric.n_dead, metric.n_almost_dead,
+        )
+        run_dir = disk.Run.new(
+            id,
+            train_shards_dir=cfg.train_data.shards,
+            val_shards_dir=cfg.val_data.shards,
+            runs_root=cfg.runs_root,
+        )
+        nn.dump(run_dir.ckpt, cfg.sae, params, state)
+        logger.info("Dumped checkpoint to '%s'.", run_dir.ckpt)
+        with open(run_dir.run_dir / "checkpoint" / "config.json", "wb") as fd:
+            helpers.jdump(cfg, fd, indent=2)
+
+    return ids
+
+
+CANNOT_PARALLELIZE = set([
+    "train_data",
+    "val_data",
+    "n_train",
+    "n_val",
+    "track",
+    "wandb_project",
+    "tags",
+    "log_every",
+    "runs_root",
+    "device",
+    "slurm_acct",
+    "slurm_partition",
+    "n_hours",
+    "log_to",
+    "sae.d_sae",
+    "sae.d_model",
+    "sae.reinit_blend",
+    "sae.reinit_enc_dec_tranpose",
+])
+
+
+def _parallel_key(cfg: Config) -> tuple:
+    """Grouping key ignoring dataloader seeds but respecting all other
+    non-parallelizable fields (reference train.py:649-666)."""
+    d = dataclasses.asdict(cfg)
+    for field in ("train_data", "val_data"):
+        sub = dict(d[field])
+        sub["seed"] = "IGNORED_FOR_PARALLEL"
+        d[field] = sub
+    return tuple(
+        (key, helpers.make_hashable(helpers.get(d, key)))
+        for key in sorted(CANNOT_PARALLELIZE)
+    )
+
+
+def split_cfgs(cfgs: list[Config]) -> list[list[Config]]:
+    """Split configs into groups that can train on one shared data stream
+    (reference train.py:670-695)."""
+    groups = collections.defaultdict(list)
+    for cfg in cfgs:
+        groups[_parallel_key(cfg)].append(cfg)
+    return [
+        [
+            dataclasses.replace(
+                cfg,
+                train_data=dataclasses.replace(cfg.train_data, seed=cfg.seed),
+                val_data=dataclasses.replace(cfg.val_data, seed=cfg.seed),
+            )
+            for cfg in group
+        ]
+        for _, group in sorted(groups.items())
+    ]
+
+
+def _split_by_cap(group: list[Config], cap: int) -> list[list[Config]]:
+    assert cap > 0, "max_parallel must be > 0"
+    return [group[start:end] for start, end in helpers.batched_idx(len(group), cap)]
+
+
+def main(
+    cfg: Config,
+    sweep: pathlib.Path | None = None,
+    max_parallel: int | None = None,
+):
+    """Train SAEs, optionally as a parallel grid search (reference train.py:706-797).
+
+    Jobs run inline by default; with slurm_acct set and submitit available, they
+    are submitted as Slurm batch jobs.
+    """
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s] [%(levelname)s] [%(name)s] %(message)s",
+    )
+
+    if sweep is not None:
+        sweep_dcts = configs.load_sweep(sweep)
+        if not sweep_dcts:
+            logger.error("No valid sweeps found in '%s'.", sweep)
+            raise SystemExit(1)
+        cfgs, errs = configs.load_cfgs(cfg, default=Config(), sweep_dcts=sweep_dcts)
+        if errs:
+            for err in errs:
+                logger.warning("Error in config: %s", err)
+            return []
+    else:
+        cfgs = [cfg]
+
+    groups = split_cfgs(cfgs)
+    if max_parallel:
+        groups = [sub for group in groups for sub in _split_by_cap(group, max_parallel)]
+
+    logger.info("Running %d training jobs.", len(groups))
+    cfg = groups[0][0]
+
+    if cfg.slurm_acct:
+        try:
+            import submitit
+        except ImportError as err:
+            raise RuntimeError(
+                "slurm_acct set but submitit is not installed; run without Slurm."
+            ) from err
+        executor = submitit.SlurmExecutor(folder=cfg.log_to)
+        executor.update_parameters(
+            job_name="sae-train",
+            time=int(cfg.n_hours * 60),
+            partition=cfg.slurm_partition,
+            ntasks_per_node=1,
+            mem=f"{cfg.mem_gb}GB",
+            stderr_to_stdout=True,
+            account=cfg.slurm_acct,
+        )
+        with executor.batch():
+            jobs = [executor.submit(worker_fn, group) for group in groups]
+        time.sleep(5.0)
+        ids = []
+        for j, job in enumerate(jobs):
+            try:
+                ids.extend(job.result())
+                logger.info("Job %d/%d finished.", j + 1, len(jobs))
+            except Exception:
+                logger.warning("Job %s (%d) did not finish.", job.job_id, j)
+        return ids
+
+    ids = []
+    for group in groups:
+        ids.extend(worker_fn(group))
+    logger.info("Jobs done.")
+    return ids

@@ -1,0 +1,236 @@
+"""Matryoshka training objective as pure JAX functions.
+
+Capability mirror of reference `src/saev/nn/objectives.py` (MatryoshkaObjective at
+objectives.py:93, sample_prefixes at :161, scale-stabilized MSE at :224), rebuilt
+for the jitted train step:
+
+- The objective is a pure function of (params, state, batch, prefixes); the dead-
+  latent counter (`toks_since_active`, a mutable attribute in the reference) is
+  explicit state threaded through the step so it vmaps over the SAE sweep axis.
+- Prefix cuts are sampled *host-side* with numpy each step (they are data-dependent
+  values, not shapes; the decode keeps static shapes regardless — see
+  modeling.decode) and passed in as a small int32 array.
+- AuxK's `k_use = min(k_aux, n_dead)` dynamic top-k (reference modeling.py:93-97)
+  becomes a static-k threshold mask restricted to dead latents, which reproduces
+  the same selected set for every n_dead (see `_aux_loss`).
+"""
+
+import dataclasses
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import modeling
+
+Array = jax.Array
+
+# Cap for the tokens-since-active counter so int32 never overflows on long runs;
+# far above any dead_threshold_tokens in practice.
+_TOKS_CAP = np.int32(1 << 30)
+
+
+@dataclasses.dataclass(frozen=True)
+class Matryoshka:
+    """Config for the Matryoshka loss (reference objectives.py:15-25; per
+    arxiv.org/abs/2503.17547)."""
+
+    n_prefixes: int = 10
+    """Number of random length prefixes to use for loss calculation."""
+    dead_threshold_tokens: int = 10_000_000
+    """Tokens without activation before a latent is considered dead."""
+
+
+ObjectiveConfig = Matryoshka
+
+
+class MatryoshkaLoss(tp.NamedTuple):
+    """Composite loss terms for a training batch (reference objectives.py:59-89)."""
+
+    mse: Array
+    """Average reconstruction MSE over all prefix lengths."""
+    sparsity: Array
+    """Sparsity loss, typically lambda * L1."""
+    l0: Array
+    """Mean per-example L0 of the full encoding."""
+    l1: Array
+    """Mean per-example L1 of the full encoding."""
+    aux: Array
+    """Auxiliary loss term (AuxK)."""
+    n_dead: Array
+    """Number of dead latents (per aux loss threshold)."""
+
+    @property
+    def loss(self) -> Array:
+        """Total loss."""
+        return self.mse + self.sparsity + self.aux
+
+    def metrics(self) -> dict[str, object]:
+        return {
+            "loss": float(self.loss),
+            "mse": float(self.mse),
+            "l0": float(self.l0),
+            "l1": float(self.l1),
+            "sparsity": float(self.sparsity),
+            "aux": float(self.aux),
+            "n_dead": int(self.n_dead),
+        }
+
+
+ObjectiveState = dict[str, Array]
+# {"toks_since_active": int32 (d_sae,)}
+
+
+def init_state(sae_cfg: modeling.SparseAutoencoderConfig) -> ObjectiveState:
+    return {"toks_since_active": jnp.zeros((sae_cfg.d_sae,), dtype=jnp.int32)}
+
+
+def sample_prefixes(
+    d_sae: int,
+    n_prefixes: int,
+    *,
+    min_prefix_length: int = 1,
+    pareto_power: float = 0.5,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Sample ascending prefix lengths from a Pareto-ish distribution favoring short
+    prefixes (reference objectives.py:161-201). Host-side numpy: runs once per step
+    outside the jitted computation.
+
+    Returns a sorted int32 array of length n_prefixes ending in d_sae.
+    """
+    if n_prefixes <= 1:
+        return np.array([d_sae], dtype=np.int32)
+    assert n_prefixes <= d_sae
+    if rng is None:
+        rng = np.random.default_rng()
+
+    lengths = np.arange(1, d_sae)
+    pareto_cdf = 1.0 - (min_prefix_length / lengths.astype(np.float64)) ** pareto_power
+    pareto_pdf = np.concatenate([pareto_cdf[:1], np.diff(pareto_cdf)])
+    p = pareto_pdf / pareto_pdf.sum()
+
+    sampled = rng.choice(lengths.shape[0], size=n_prefixes - 1, replace=False, p=p)
+    prefixes = np.concatenate([lengths[sampled], [d_sae]])
+    prefixes.sort()
+    return prefixes.astype(np.int32)
+
+
+def scale_stabilized_mse(x_hat: Array, x: Array) -> Array:
+    """Elementwise MSE normalized by max|x| before squaring for numerical stability
+    (reference objectives.py:224-237, norm=False path)."""
+    upper = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12)
+    return ((x_hat / upper - x / upper) ** 2) * upper * upper
+
+
+def _aux_loss(
+    aux_cfg: modeling.AuxK,
+    sae_cfg: modeling.SparseAutoencoderConfig,
+    params: modeling.Params,
+    x: Array,
+    h_x: Array,
+    x_hat_full: Array,
+    dead_mask: Array,
+    alpha: Array | float | None = None,
+) -> Array:
+    """AuxK dead-latent resurrection loss (reference modeling.py:75-103).
+
+    Top-k_aux pre-activations among dead latents reconstruct the detached main
+    residual. Static-k threshold selection: with kth = k_aux-th largest of
+    (h masked to dead, else -inf), the kept set {h >= kth and dead} equals the
+    reference's dynamic top-min(k_aux, n_dead) for every n_dead (when n_dead <
+    k_aux the threshold is -inf and all dead latents are kept).
+    """
+    residual = jax.lax.stop_gradient(x - x_hat_full)
+    neg_inf = jnp.array(-jnp.inf, h_x.dtype)
+    masked = jnp.where(dead_mask[None, :], h_x, neg_inf)
+    k_aux = min(aux_cfg.k_aux, sae_cfg.d_sae)
+    kth = jax.lax.top_k(masked, k_aux)[0][..., -1:]
+    keep = (masked >= kth) & dead_mask[None, :]
+    aux_acts = jnp.where(keep, h_x, jnp.zeros((), h_x.dtype))
+    aux_recon = modeling.decode(sae_cfg, params, aux_acts)[:, -1, :]
+    alpha = aux_cfg.alpha if alpha is None else alpha
+    loss = alpha * jnp.mean((aux_recon - residual) ** 2)
+    n_dead = jnp.sum(dead_mask)
+    return jnp.where(n_dead > 0, loss, jnp.zeros((), loss.dtype))
+
+
+def matryoshka_loss(
+    obj_cfg: Matryoshka,
+    sae_cfg: modeling.SparseAutoencoderConfig,
+    params: modeling.Params,
+    sae_state: modeling.State,
+    obj_state: ObjectiveState,
+    x: Array,
+    prefixes: Array,
+    *,
+    training: bool,
+    hp: dict[str, Array] | None = None,
+) -> tuple[MatryoshkaLoss, modeling.Output, modeling.State, ObjectiveState]:
+    """One objective forward (reference MatryoshkaObjective.forward,
+    objectives.py:101-156). Pure: returns updated SAE state (BatchTopK threshold)
+    and objective state (dead-latent counters) alongside the loss and outputs.
+
+    `hp` optionally overrides float hyperparameters with traced scalars — keys
+    "sparsity_coeff", "aux_alpha", "momentum" — so a vmapped sweep can vary them
+    per SAE within one compiled step.
+    """
+    hp = hp or {}
+    enc, new_sae_state = modeling.encode(
+        sae_cfg, params, sae_state, x, training=training,
+        momentum=hp.get("momentum"),
+    )
+    bsz, d_sae = enc.f_x.shape
+
+    new_obj_state = obj_state
+    if training:
+        toks = obj_state["toks_since_active"]
+        active = jnp.any(jnp.abs(enc.f_x) > 0, axis=0)
+        toks = jnp.minimum(toks + jnp.int32(bsz), _TOKS_CAP)
+        toks = jnp.where(active, jnp.zeros((), toks.dtype), toks)
+        dead_mask = toks >= obj_cfg.dead_threshold_tokens
+        new_obj_state = {**obj_state, "toks_since_active": toks}
+    else:
+        dead_mask = None
+
+    x_hats = modeling.decode(sae_cfg, params, enc.f_x, prefixes)
+    out = modeling.Output(h_x=enc.h_x, f_x=enc.f_x, x_hats=x_hats)
+
+    n_prefixes = x_hats.shape[1]
+    mse = scale_stabilized_mse(
+        x_hats, jnp.broadcast_to(x[:, None, :], (bsz, n_prefixes, x.shape[-1]))
+    ).mean()
+
+    aux_cfg = sae_cfg.activation.aux
+    if training and isinstance(aux_cfg, modeling.AuxK):
+        aux = _aux_loss(
+            aux_cfg, sae_cfg, params, x, enc.h_x, x_hats[:, -1, :], dead_mask,
+            alpha=hp.get("aux_alpha"),
+        )
+    else:
+        aux = jnp.zeros((), x.dtype)
+
+    n_dead = (
+        jnp.sum(dead_mask).astype(jnp.int32)
+        if dead_mask is not None
+        else jnp.zeros((), jnp.int32)
+    )
+
+    l1_full = jnp.abs(enc.f_x).sum(axis=1).mean(axis=0)
+    if hp.get("sparsity_coeff") is not None and isinstance(
+        sae_cfg.activation.sparsity, modeling.L1Sparsity
+    ):
+        sparsity = l1_full * hp["sparsity_coeff"]
+    else:
+        sparsity = sae_cfg.activation.sparsity.loss(enc.f_x)
+
+    loss = MatryoshkaLoss(
+        mse=mse,
+        sparsity=sparsity,
+        l0=(enc.f_x != 0).astype(x.dtype).sum(axis=1).mean(axis=0),
+        l1=l1_full,
+        aux=aux,
+        n_dead=n_dead,
+    )
+    return loss, out, new_sae_state, new_obj_state

@@ -8,7 +8,8 @@ cluster" is XLA's host-platform device-count flag — SURVEY.md §4).
 import os
 
 # Must run before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image presets JAX_PLATFORMS=axon (real TPU tunnel); tests must override it.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,8 +18,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import pathlib  # noqa: E402
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The image's site hook (PYTHONPATH=.axon_site) re-selects the axon TPU plugin even
+# when JAX_PLATFORMS=cpu is in the env, so force the config directly too.
+jax.config.update("jax_platforms", "cpu")
 
 FAKE_CKPT = "hf-hub:hf-internal-testing/tiny-open-clip-model"
 

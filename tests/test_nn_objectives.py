@@ -1,0 +1,205 @@
+"""Tests for the Matryoshka objective (mirrors reference tests/test_nn_objectives.py
+and test_auxk.py coverage)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from saev_tpu.nn import modeling, objectives
+
+
+def make_sae(d_model=8, d_sae=32, activation=None):
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=d_model, d_sae=d_sae, activation=activation or modeling.TopK(top_k=4)
+    )
+    params, state = modeling.init(cfg, jax.random.key(0))
+    return cfg, params, state
+
+
+def test_sample_prefixes_properties():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        p = objectives.sample_prefixes(64, 10, rng=rng)
+        assert p.shape == (10,)
+        assert p[-1] == 64
+        assert (np.diff(p) > 0).all()
+        assert p[0] >= 1
+    # n_prefixes=1 -> just [d_sae]
+    np.testing.assert_array_equal(objectives.sample_prefixes(64, 1), [64])
+
+
+def test_sample_prefixes_favors_short():
+    rng = np.random.default_rng(1)
+    samples = np.concatenate([
+        objectives.sample_prefixes(1024, 10, rng=rng)[:-1] for _ in range(200)
+    ])
+    # Pareto(0.5) puts most mass on short prefixes.
+    assert np.median(samples) < 1024 / 2
+
+
+def test_scale_stabilized_mse_matches_plain_mse():
+    x = jax.random.normal(jax.random.key(1), (5, 8))
+    x_hat = x + 0.1
+    out = objectives.scale_stabilized_mse(x_hat, x)
+    np.testing.assert_allclose(np.asarray(out), 0.01, rtol=1e-4)
+
+
+def test_scale_stabilized_mse_large_values():
+    # Stable under large magnitudes (the point of the upper normalization).
+    x = jnp.full((4, 4), 1e18)
+    x_hat = jnp.full((4, 4), 1.5e18)
+    out = objectives.scale_stabilized_mse(x_hat, x)
+    np.testing.assert_allclose(np.asarray(out), 0.25e36, rtol=1e-5)
+
+
+def test_matryoshka_loss_values():
+    cfg, params, state = make_sae()
+    obj_cfg = objectives.Matryoshka(n_prefixes=4)
+    obj_state = objectives.init_state(cfg)
+    x = jax.random.normal(jax.random.key(2), (16, 8))
+    prefixes = jnp.asarray(objectives.sample_prefixes(32, 4, rng=np.random.default_rng(0)))
+
+    loss, out, sae_st, obj_st = objectives.matryoshka_loss(
+        obj_cfg, cfg, params, state, obj_state, x, prefixes, training=True
+    )
+    assert float(loss.l0) == 4.0  # TopK k=4
+    assert float(loss.mse) > 0
+    assert float(loss.aux) == 0.0  # no dead latents yet
+    assert int(loss.n_dead) == 0
+    assert out.x_hats.shape == (16, 4, 8)
+    assert np.isfinite(float(loss.loss))
+    # Counter: inactive latents incremented by bsz, active reset to zero.
+    toks = np.asarray(obj_st["toks_since_active"])
+    fired = np.asarray((jnp.abs(out.f_x) > 0).any(axis=0))
+    assert (toks[fired] == 0).all()
+    assert (toks[~fired] == 16).all()
+
+
+def test_matryoshka_loss_eval_mode_no_state_update():
+    cfg, params, state = make_sae()
+    obj_cfg = objectives.Matryoshka(n_prefixes=2)
+    obj_state = {"toks_since_active": jnp.full((32,), 100, dtype=jnp.int32)}
+    x = jax.random.normal(jax.random.key(3), (8, 8))
+    prefixes = jnp.array([5, 32], dtype=jnp.int32)
+    loss, out, sae_st, obj_st = objectives.matryoshka_loss(
+        obj_cfg, cfg, params, state, obj_state, x, prefixes, training=False
+    )
+    np.testing.assert_array_equal(
+        np.asarray(obj_st["toks_since_active"]), np.asarray(obj_state["toks_since_active"])
+    )
+    assert float(loss.aux) == 0.0
+    assert int(loss.n_dead) == 0
+
+
+def test_dead_mask_threshold():
+    cfg, params, state = make_sae()
+    obj_cfg = objectives.Matryoshka(n_prefixes=2, dead_threshold_tokens=20)
+    # Counters just under the threshold: one batch of 16 pushes inactive ones over.
+    obj_state = {"toks_since_active": jnp.full((32,), 10, dtype=jnp.int32)}
+    x = jax.random.normal(jax.random.key(4), (16, 8))
+    prefixes = jnp.array([5, 32], dtype=jnp.int32)
+    loss, out, _, obj_st = objectives.matryoshka_loss(
+        obj_cfg, cfg, params, state, obj_state, x, prefixes, training=True
+    )
+    fired = np.asarray((jnp.abs(out.f_x) > 0).any(axis=0))
+    assert int(loss.n_dead) == int((~fired).sum())
+    if int(loss.n_dead) > 0:
+        assert float(loss.aux) > 0
+
+
+def test_aux_loss_gradients_only_to_dead_latents():
+    d_model, d_sae = 8, 16
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=d_model, d_sae=d_sae, activation=modeling.TopK(top_k=2, aux=modeling.AuxK(k_aux=4, alpha=1.0))
+    )
+    params, _ = modeling.init(cfg, jax.random.key(5))
+    x = jax.random.normal(jax.random.key(6), (8, d_model))
+    dead_mask = jnp.zeros((d_sae,), dtype=bool).at[:4].set(True)
+
+    def aux_only(params):
+        enc_h = x @ params["W_enc"] + params["b_enc"]
+        x_hat = jnp.zeros_like(x)
+        return objectives._aux_loss(
+            cfg.activation.aux, cfg, params, x, enc_h, x_hat, dead_mask
+        )
+
+    g = jax.grad(aux_only)(params)
+    g_wdec = np.asarray(g["W_dec"])
+    # Decoder gradient lands only on dead-latent rows (aux acts are zero elsewhere).
+    assert np.abs(g_wdec[:4]).sum() > 0
+    np.testing.assert_allclose(g_wdec[4:], 0.0, atol=1e-7)
+
+
+def test_aux_loss_zero_when_no_dead():
+    cfg, params, _ = make_sae(d_sae=16)
+    x = jax.random.normal(jax.random.key(7), (4, 8))
+    h = x @ params["W_enc"] + params["b_enc"]
+    dead_mask = jnp.zeros((16,), dtype=bool)
+    out = objectives._aux_loss(
+        modeling.AuxK(k_aux=4), cfg, params, x, h, jnp.zeros_like(x), dead_mask
+    )
+    assert float(out) == 0.0
+
+
+def test_aux_loss_fewer_dead_than_k_aux():
+    """n_dead < k_aux: all dead latents participate (reference k_use=min(k_aux, n_dead))."""
+    d_model, d_sae = 4, 8
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=d_model, d_sae=d_sae, activation=modeling.TopK(top_k=2)
+    )
+    params, _ = modeling.init(cfg, jax.random.key(8))
+    x = jax.random.normal(jax.random.key(9), (4, d_model))
+    h = x @ params["W_enc"] + params["b_enc"]
+    dead_mask = jnp.zeros((d_sae,), dtype=bool).at[jnp.array([1, 5])].set(True)
+    aux_cfg = modeling.AuxK(k_aux=4, alpha=1.0)
+    got = objectives._aux_loss(aux_cfg, cfg, params, x, h, jnp.zeros_like(x), dead_mask)
+    # Naive recomputation: aux acts = h on the two dead latents.
+    aux_acts = np.zeros_like(np.asarray(h))
+    aux_acts[:, [1, 5]] = np.asarray(h)[:, [1, 5]]
+    recon = aux_acts @ np.asarray(params["W_dec"]) + np.asarray(params["b_dec"])
+    residual = np.asarray(x)  # x_hat_full = 0
+    expected = np.mean((recon - residual) ** 2)
+    np.testing.assert_allclose(float(got), expected, rtol=1e-5)
+
+
+def test_loss_total_is_mse_plus_sparsity_plus_aux():
+    cfg, params, state = make_sae(activation=modeling.Relu())
+    obj_cfg = objectives.Matryoshka(n_prefixes=3)
+    obj_state = objectives.init_state(cfg)
+    x = jax.random.normal(jax.random.key(10), (8, 8))
+    prefixes = jnp.array([4, 12, 32], dtype=jnp.int32)
+    loss, *_ = objectives.matryoshka_loss(
+        obj_cfg, cfg, params, state, obj_state, x, prefixes, training=True
+    )
+    np.testing.assert_allclose(
+        float(loss.loss), float(loss.mse) + float(loss.sparsity) + float(loss.aux), rtol=1e-6
+    )
+    # ReLU + L1Sparsity: sparsity = coeff * l1.
+    np.testing.assert_allclose(
+        float(loss.sparsity), 4e-4 * float(loss.l1), rtol=1e-5
+    )
+
+
+def test_matryoshka_loss_jits_and_grads():
+    cfg, params, state = make_sae()
+    obj_cfg = objectives.Matryoshka(n_prefixes=4)
+    obj_state = objectives.init_state(cfg)
+    x = jax.random.normal(jax.random.key(11), (8, 8))
+    prefixes = jnp.asarray(objectives.sample_prefixes(32, 4, rng=np.random.default_rng(1)))
+
+    @jax.jit
+    def step(params, sae_state, obj_state, x, prefixes):
+        def loss_fn(params):
+            loss, out, s1, s2 = objectives.matryoshka_loss(
+                obj_cfg, cfg, params, sae_state, obj_state, x, prefixes, training=True
+            )
+            return loss.loss, (loss, s1, s2)
+
+        (total, (loss, s1, s2)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return total, grads, s1, s2
+
+    total, grads, s1, s2 = step(params, state, obj_state, x, prefixes)
+    assert np.isfinite(float(total))
+    for k, v in grads.items():
+        assert np.isfinite(np.asarray(v)).all(), k
