@@ -232,7 +232,7 @@ def dump(
     fpath = pathlib.Path(fpath)
     fpath.parent.mkdir(exist_ok=True, parents=True)
     sd = {
-        k: torch.from_numpy(np.ascontiguousarray(v))
+        k: torch.from_numpy(np.array(v, copy=True))
         for k, v in _state_dict_from_params(cfg, params, state).items()
     }
     with open(fpath, "wb") as fd:
