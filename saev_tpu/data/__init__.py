@@ -31,9 +31,12 @@ def _register_families():
     # themselves imported lazily at model construction time.
     from . import fake_vit  # noqa: F401  (registers "fake-clip")
 
-    for mod_name in ("clip", "siglip", "dinov2", "dinov3", "pe", "bird_mae"):
+    pkg = __name__.rsplit(".", 1)[0]
+    # clip/siglip/dinov2/pe-core/pe-spatial live in models.families; dinov3 and
+    # bird-mae have their own modules.
+    for mod_name in ("models.families", "models.dinov3", "models.bird_mae"):
         try:
-            __import__(f"{__name__}.{mod_name}")
+            __import__(f"{pkg}.{mod_name}")
         except ImportError:
             # Optional model families degrade gracefully when deps are missing.
             pass
