@@ -1,0 +1,71 @@
+"""Viz tests (mirror of reference tests/test_viz.py color parsing coverage)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from saev_tpu import viz
+
+
+def test_add_highlights_shapes():
+    img = Image.new("RGB", (32, 32), (255, 255, 255))
+    patches = np.linspace(0, 1, 16).astype(np.float64)
+    out = viz.add_highlights(img, patches, patch_size=8, upper=1.0)
+    assert out.size == (32, 32)
+    assert out.mode == "RGBA"
+    arr = np.asarray(out)
+    # Patch 0 has activation 0 -> untouched white; last patch is colored.
+    assert (arr[0, 0, :3] == 255).all()
+    assert not (arr[-1, -1, :3] == 255).all()
+
+
+def test_add_highlights_empty():
+    img = Image.new("RGB", (16, 16))
+    out = viz.add_highlights(img, np.zeros(0), patch_size=8)
+    assert out is img
+
+
+@pytest.mark.parametrize(
+    "line,expected",
+    [
+        ("#ff0000", (1.0, 0.0, 0.0)),
+        ("#00ff00", (0.0, 1.0, 0.0)),
+        ("rgb(255, 0, 0)", (1.0, 0.0, 0.0)),
+        ("rgb(0.5, 0.5, 0.5)", (0.5, 0.5, 0.5)),
+        ("  #0000ff  ", (0.0, 0.0, 1.0)),
+        ("RGB(128, 64, 32)", (128 / 255, 64 / 255, 32 / 255)),
+    ],
+)
+def test_parse_color_valid(line, expected):
+    got = viz.parse_color(line)
+    np.testing.assert_allclose(got, expected, atol=1e-9)
+
+
+@pytest.mark.parametrize(
+    "line", ["", "#ff00", "notacolor", "rgb(1,2)", "rgb(-1, 0, 0)", "rgb(300, 0, 0)"]
+)
+def test_parse_color_invalid(line):
+    with pytest.raises(AssertionError):
+        viz.parse_color(line)
+
+
+def test_load_palette_with_gaps(tmp_path):
+    f = tmp_path / "palette.txt"
+    f.write_text("#ff0000\n\n#0000ff\n")  # 4 lines: color, gap, color, gap
+    palette = viz.load_palette(f)
+    assert len(palette) == 4
+    assert palette[0] == (1.0, 0.0, 0.0)
+    assert palette[2] == (0.0, 0.0, 1.0)
+    for color in palette:
+        assert all(0 <= c <= 1 for c in color)
+    # Generated fills are distinct from each other.
+    assert palette[1] != palette[3]
+
+
+def test_colors_module():
+    from saev_tpu import colors
+
+    assert len(colors.ALL_HEX) == 10
+    assert len(colors.ALL_RGB01) == 10
+    for rgb in colors.ALL_RGB01:
+        assert all(0 <= c < 1 for c in rgb)
