@@ -1,0 +1,454 @@
+"""Dictionary-learning baselines: mini-batch k-means, streaming PCA, semi-NMF.
+
+Capability mirror of reference contrib/trait_discovery/src/tdiscovery/baselines.py
+(MiniBatchKMeans :58, MiniBatchPCA :183, MiniBatchSemiNMF :284, dump/load
+:588-677): sklearn-style `partial_fit`/`transform` estimators over activation
+batches, rebuilt with jitted JAX updates. Checkpoints keep the reference layout
+(`checkpoint/baseline.pt`, JSON header line + torch-codec state dict).
+"""
+
+import dataclasses
+import json
+import logging
+import pathlib
+import typing as tp
+
+import numpy as np
+
+import saev_tpu.disk
+
+logger = logging.getLogger("baselines")
+
+BaselineMethod = tp.Literal["kmeans", "pca", "semi-nmf"]
+BASELINE_SCHEMA_VERSION = 1
+
+
+def baseline_ckpt(run: saev_tpu.disk.Run) -> pathlib.Path:
+    """Baseline weights live beside sae.pt as checkpoint/baseline.pt
+    (reference baselines.py:38-45)."""
+    return run.ckpt.parent / "baseline.pt"
+
+
+def _pos_part(x):
+    return (abs(x) + x) * 0.5
+
+
+def _neg_part(x):
+    return (abs(x) - x) * 0.5
+
+
+class MiniBatchKMeans:
+    """Mini-batch k-means with empty-cluster resurrection and collapsed-center
+    splitting (reference baselines.py:58-180). The assignment + accumulation
+    step is one jitted function."""
+
+    method = "kmeans"
+
+    def __init__(self, k: int, collapse_tol: float = 0.5, seed: int = 0):
+        self.k = k
+        self.collapse_tol = collapse_tol
+        self.cluster_centers_: np.ndarray | None = None
+        self.cluster_counts_: np.ndarray | None = None
+        self.n_steps_ = 0
+        self.n_features_in_: int | None = None
+        self.last_batch_inertia_: float | None = None
+        self._rng = np.random.default_rng(seed)
+        self._step_fn = None
+
+    def _make_step(self):
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def step(centers, counts, batch):
+            d2 = (
+                jnp.sum(batch**2, axis=1, keepdims=True)
+                - 2.0 * batch @ centers.T
+                + jnp.sum(centers**2, axis=1)[None, :]
+            )
+            assign = jnp.argmin(d2, axis=1)
+            counts_batch = jnp.zeros(self.k, batch.dtype).at[assign].add(1.0)
+            sums_batch = jnp.zeros_like(centers).at[assign].add(batch)
+            inertia = jnp.mean(jnp.take_along_axis(d2, assign[:, None], axis=1))
+            return assign, counts_batch, sums_batch, jnp.maximum(inertia, 0.0)
+
+        return step
+
+    def partial_fit(self, batch: np.ndarray) -> "MiniBatchKMeans":
+        import jax.numpy as jnp
+
+        batch = np.asarray(batch, dtype=np.float32)
+        assert batch.ndim == 2, f"batch must be 2D, got {batch.shape}"
+        if self.n_features_in_ is None:
+            self.n_features_in_ = batch.shape[1]
+        assert batch.shape[1] == self.n_features_in_
+
+        if self.cluster_centers_ is None:
+            n = batch.shape[0]
+            if n >= self.k:
+                idx = self._rng.permutation(n)[: self.k]
+                self.cluster_centers_ = batch[idx].copy()
+            else:
+                reps = -(-self.k // n)
+                self.cluster_centers_ = np.tile(batch, (reps, 1))[: self.k].copy()
+            self.cluster_counts_ = np.zeros(self.k, dtype=np.float32)
+
+        if self._step_fn is None:
+            self._step_fn = self._make_step()
+        _, counts_batch, sums_batch, inertia = map(
+            np.asarray,
+            self._step_fn(
+                jnp.asarray(self.cluster_centers_),
+                jnp.asarray(self.cluster_counts_),
+                jnp.asarray(batch),
+            ),
+        )
+        prev_counts = self.cluster_counts_.copy()
+
+        # Resurrect clusters that have never seen data.
+        empty = (prev_counts == 0) & (counts_batch == 0)
+        if empty.any():
+            repl = batch[self._rng.integers(0, batch.shape[0], size=int(empty.sum()))]
+            counts_batch = counts_batch.copy()
+            counts_batch[empty] = 1.0
+            sums_batch = sums_batch.copy()
+            sums_batch[empty] = repl
+
+        self.cluster_counts_ = prev_counts + counts_batch
+        mask = counts_batch > 0
+        self.cluster_centers_[mask] = (
+            self.cluster_centers_[mask] * prev_counts[mask, None] + sums_batch[mask]
+        ) / self.cluster_counts_[mask, None]
+        self.last_batch_inertia_ = float(inertia)
+
+        self._split_collapsed_centers(batch)
+        self.n_steps_ += 1
+        return self
+
+    def _split_collapsed_centers(self, batch: np.ndarray) -> None:
+        """Replace near-duplicate centers with far-away batch points
+        (reference baselines.py:146-172)."""
+        if self.k < 2:
+            return
+        c = self.cluster_centers_
+        pairwise = np.sqrt(
+            np.maximum(
+                ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1), 0.0
+            )
+        )
+        close = np.triu(pairwise < self.collapse_tol, k=1)
+        if not close.any():
+            return
+        pairs = np.argwhere(close)
+        cnt_i = self.cluster_counts_[pairs[:, 0]]
+        cnt_j = self.cluster_counts_[pairs[:, 1]]
+        losers = np.where(cnt_i <= cnt_j, pairs[:, 0], pairs[:, 1])
+        loser_mask = np.zeros(self.k, dtype=bool)
+        loser_mask[losers] = True
+        n_needed = int(loser_mask.sum())
+        cand = batch
+        if cand.shape[0] < n_needed:
+            cand = np.tile(cand, (-(-n_needed // cand.shape[0]), 1))
+        cand_dist = np.sqrt(
+            np.maximum(
+                (cand**2).sum(1, keepdims=True) - 2 * cand @ c.T + (c**2).sum(1)[None],
+                0.0,
+            )
+        )
+        order = np.argsort(-cand_dist.max(axis=1))[:n_needed]
+        self.cluster_centers_[loser_mask] = cand[order]
+        self.cluster_counts_[loser_mask] = 0.0
+
+    def transform(self, batch: np.ndarray) -> np.ndarray:
+        """Negative distances to the centers (higher = closer), matching the
+        reference's score convention (baselines.py:174-180)."""
+        assert self.cluster_centers_ is not None, "not fitted"
+        batch = np.asarray(batch, dtype=np.float32)
+        c = self.cluster_centers_
+        d2 = np.maximum(
+            (batch**2).sum(1, keepdims=True) - 2 * batch @ c.T + (c**2).sum(1)[None],
+            0.0,
+        )
+        return -np.sqrt(d2)
+
+    def state_dict(self) -> dict[str, np.ndarray]:
+        return {
+            "cluster_centers_": self.cluster_centers_,
+            "cluster_counts_": self.cluster_counts_,
+        }
+
+    def load_state_dict(self, sd):
+        self.cluster_centers_ = np.asarray(sd["cluster_centers_"])
+        self.cluster_counts_ = np.asarray(sd["cluster_counts_"])
+        self.n_features_in_ = self.cluster_centers_.shape[1]
+
+
+class MiniBatchPCA:
+    """Streaming PCA via online mean/scatter accumulation + eigh
+    (reference baselines.py:183-282)."""
+
+    method = "pca"
+
+    def __init__(self, n_components: int):
+        self.n_components = n_components
+        self.components_: np.ndarray | None = None
+        self.explained_variance_: np.ndarray | None = None
+        self.mean_: np.ndarray | None = None
+        self.scatter_: np.ndarray | None = None
+        self.n_samples_seen_ = 0
+        self.n_steps_ = 0
+        self.n_features_in_: int | None = None
+        self.total_variance_: float | None = None
+        self.last_batch_recon_error_: float | None = None
+        self.last_batch_var_ratio_: float | None = None
+
+    def partial_fit(self, batch: np.ndarray) -> "MiniBatchPCA":
+        batch = np.asarray(batch, dtype=np.float64)
+        if batch.shape[0] == 0:
+            return self
+        n_batch, n_features = batch.shape
+        if self.n_features_in_ is None:
+            self.n_features_in_ = n_features
+        assert n_features == self.n_features_in_
+        assert self.n_components <= n_features
+
+        batch_mean = batch.mean(axis=0)
+        centered = batch - batch_mean
+        scatter_update = centered.T @ centered
+
+        if self.n_samples_seen_ == 0:
+            self.mean_ = batch_mean
+            self.scatter_ = scatter_update
+            self.n_samples_seen_ = n_batch
+        else:
+            n_prev = self.n_samples_seen_
+            n_total = n_prev + n_batch
+            delta = batch_mean - self.mean_
+            correction = np.outer(delta, delta) * (n_prev * n_batch / n_total)
+            self.scatter_ = self.scatter_ + scatter_update + correction
+            self.mean_ = self.mean_ + delta * (n_batch / n_total)
+            self.n_samples_seen_ = n_total
+
+        cov = self.scatter_ / max(self.n_samples_seen_ - 1, 1)
+        cov = 0.5 * (cov + cov.T)
+        eigvals, eigvecs = np.linalg.eigh(cov)
+        order = np.argsort(eigvals)[::-1][: self.n_components]
+        self.explained_variance_ = eigvals[order]
+        self.components_ = eigvecs[:, order].T.copy()
+        total_var = float(eigvals.sum())
+        self.total_variance_ = total_var if np.isfinite(total_var) else None
+        self.last_batch_var_ratio_ = float(
+            self.explained_variance_.sum() / max(total_var, 1e-12)
+        )
+
+        scores = (batch - self.mean_) @ self.components_.T
+        recon = scores @ self.components_ + self.mean_
+        self.last_batch_recon_error_ = float(((batch - recon) ** 2).mean())
+        self.n_steps_ += 1
+        return self
+
+    def transform(self, batch: np.ndarray) -> np.ndarray:
+        assert self.components_ is not None, "not fitted"
+        return (np.asarray(batch, np.float64) - self.mean_) @ self.components_.T
+
+    def state_dict(self):
+        return {
+            "components_": self.components_,
+            "mean_": self.mean_,
+            "explained_variance_": self.explained_variance_,
+        }
+
+    def load_state_dict(self, sd):
+        self.components_ = np.asarray(sd["components_"])
+        self.mean_ = np.asarray(sd["mean_"])
+        self.explained_variance_ = np.asarray(sd["explained_variance_"])
+        self.n_features_in_ = self.components_.shape[1]
+
+
+class MiniBatchSemiNMF:
+    """Mini-batch semi-NMF: non-negative codes, unconstrained dictionary
+    (reference baselines.py:284-463). The multiplicative encode loop is a
+    jitted `lax.fori_loop`."""
+
+    method = "semi-nmf"
+
+    def __init__(
+        self,
+        n_concepts: int,
+        *,
+        z_iters: int = 10,
+        encode_iters: int = 300,
+        ridge: float = 1e-6,
+        eps: float = 1e-8,
+        forget_factor: float = 0.7,
+        d_update_every: int = 10,
+        seed: int = 0,
+    ):
+        assert 0.0 <= forget_factor < 1.0
+        self.n_concepts = n_concepts
+        self.z_iters = z_iters
+        self.encode_iters = encode_iters
+        self.ridge = float(ridge)
+        self.eps = float(eps)
+        self.forget_factor = float(forget_factor)
+        self.d_update_every = d_update_every
+        self._rng = np.random.default_rng(seed)
+
+        self.D_: np.ndarray | None = None
+        self.n_features_in_: int | None = None
+        self.n_samples_seen_ = 0
+        self.n_steps_ = 0
+        self.ZtZ_acc_: np.ndarray | None = None
+        self.ZtA_acc_: np.ndarray | None = None
+        self.last_batch_recon_mse_: float | None = None
+        self.last_batch_nmse_: float | None = None
+        self._encode_fns: dict[int, tp.Any] = {}
+
+    def _encode_fn(self, n_iters: int):
+        import jax
+        import jax.numpy as jnp
+
+        if n_iters not in self._encode_fns:
+            eps = self.eps
+
+            @jax.jit
+            def encode(D, acts):
+                ddt = D @ D.T
+                k = D.shape[0]
+                ddt_reg_inv = jnp.linalg.solve(
+                    ddt + eps * jnp.eye(k, dtype=D.dtype), jnp.eye(k, dtype=D.dtype)
+                )
+                z = jnp.maximum(acts @ D.T @ ddt_reg_inv, eps)
+                if n_iters == 0:
+                    return z
+                atd = acts @ D.T
+                atd_pos, atd_neg = _pos_part(atd), _neg_part(atd)
+                ddt_pos, ddt_neg = _pos_part(ddt), _neg_part(ddt)
+
+                def body(_, z):
+                    num = atd_pos + z @ ddt_neg
+                    den = atd_neg + z @ ddt_pos + eps
+                    return z * jnp.sqrt(num / den)
+
+                return jax.lax.fori_loop(0, n_iters, body, z)
+
+            self._encode_fns[n_iters] = encode
+        return self._encode_fns[n_iters]
+
+    def partial_fit(self, batch: np.ndarray) -> "MiniBatchSemiNMF":
+        import jax.numpy as jnp
+
+        acts = np.asarray(batch, dtype=np.float32)
+        if acts.shape[0] == 0:
+            return self
+        n_batch, n_features = acts.shape
+        if self.n_features_in_ is None:
+            self.D_ = self._rng.normal(size=(self.n_concepts, n_features)).astype(
+                np.float32
+            )
+            self.n_features_in_ = n_features
+            self.ZtZ_acc_ = np.zeros((self.n_concepts, self.n_concepts), np.float32)
+            self.ZtA_acc_ = np.zeros((self.n_concepts, n_features), np.float32)
+        assert n_features == self.n_features_in_
+
+        z = np.asarray(self._encode_fn(self.z_iters)(jnp.asarray(self.D_), jnp.asarray(acts)))
+        self._update_last_batch_metrics(acts, z)
+
+        ztz = z.T @ z
+        zta = z.T @ acts
+        f = self.forget_factor
+        self.ZtZ_acc_ = f * self.ZtZ_acc_ + (1.0 - f) * ztz
+        self.ZtA_acc_ = f * self.ZtA_acc_ + (1.0 - f) * zta
+        self.n_samples_seen_ += n_batch
+        self.n_steps_ += 1
+        if self.n_steps_ % self.d_update_every == 0:
+            reg = self.ZtZ_acc_ + self.ridge * np.eye(self.n_concepts, dtype=np.float32)
+            self.D_ = np.linalg.solve(reg, self.ZtA_acc_)
+        return self
+
+    def transform(self, batch: np.ndarray, *, n_iters: int | None = None) -> np.ndarray:
+        import jax.numpy as jnp
+
+        assert self.D_ is not None, "not fitted"
+        n_iters = self.encode_iters if n_iters is None else n_iters
+        return np.asarray(
+            self._encode_fn(n_iters)(
+                jnp.asarray(self.D_), jnp.asarray(np.asarray(batch, np.float32))
+            )
+        )
+
+    def _update_last_batch_metrics(self, acts: np.ndarray, z: np.ndarray) -> None:
+        recon = z @ self.D_
+        diff = (acts - recon).astype(np.float64)
+        recon_sse = float((diff**2).sum())
+        n_batch = acts.shape[0]
+        self.last_batch_recon_mse_ = recon_sse / n_batch
+        a64 = acts.astype(np.float64)
+        sse_baseline = float((a64 * a64).sum()) - float(
+            a64.sum(0) @ a64.sum(0)
+        ) / n_batch
+        assert sse_baseline > 0.0, (
+            f"Baseline variance is non-positive (sse_baseline={sse_baseline:.6e})."
+        )
+        self.last_batch_nmse_ = recon_sse / sse_baseline
+
+    def state_dict(self):
+        return {"D_": self.D_, "ZtZ_acc_": self.ZtZ_acc_, "ZtA_acc_": self.ZtA_acc_}
+
+    def load_state_dict(self, sd):
+        self.D_ = np.asarray(sd["D_"])
+        self.ZtZ_acc_ = np.asarray(sd["ZtZ_acc_"])
+        self.ZtA_acc_ = np.asarray(sd["ZtA_acc_"])
+        self.n_features_in_ = self.D_.shape[1]
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (reference baselines.py:588-677)
+# ---------------------------------------------------------------------------
+
+_METHODS = {
+    "kmeans": MiniBatchKMeans,
+    "pca": MiniBatchPCA,
+    "semi-nmf": MiniBatchSemiNMF,
+}
+
+
+def dump(run: saev_tpu.disk.Run, method: str, model, extra: dict | None = None) -> pathlib.Path:
+    import torch
+
+    fpath = baseline_ckpt(run)
+    header = {
+        "schema": BASELINE_SCHEMA_VERSION,
+        "method": method,
+        **(extra or {}),
+    }
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(np.asarray(v, dtype=np.float32)))
+        for k, v in model.state_dict().items()
+    }
+    with open(fpath, "wb") as fd:
+        fd.write(json.dumps(header).encode() + b"\n")
+        torch.save(sd, fd)
+    return fpath
+
+
+def load(run: saev_tpu.disk.Run, **kwargs):
+    import io
+
+    import torch
+
+    fpath = baseline_ckpt(run)
+    with open(fpath, "rb") as fd:
+        header = json.loads(fd.readline())
+        sd = torch.load(io.BytesIO(fd.read()), weights_only=True, map_location="cpu")
+    sd = {k: v.numpy() for k, v in sd.items()}
+    method = header["method"]
+    cls = _METHODS[method]
+    if method == "kmeans":
+        model = cls(k=sd["cluster_centers_"].shape[0], **kwargs)
+    elif method == "pca":
+        model = cls(n_components=sd["components_"].shape[0], **kwargs)
+    else:
+        model = cls(n_concepts=sd["D_"].shape[0], **kwargs)
+    model.load_state_dict(sd)
+    return model

@@ -185,7 +185,8 @@ def worker_fn(cfg: Config) -> None:
         sparsity_s = np.zeros((d_sae,), dtype=np.float64)
         mean_values_s = np.zeros((d_sae,), dtype=np.float64)
         token_acts_blocks: list[scipy.sparse.csr_array] = []
-        distributions_nm = np.zeros((n_samples, cfg.n_dists), dtype=np.float32)
+        n_dists = min(cfg.n_dists, d_sae)
+        distributions_nm = np.zeros((n_samples, n_dists), dtype=np.float32)
 
     sse_recon = 0.0
     sum_sq = 0.0
@@ -225,7 +226,7 @@ def worker_fn(cfg: Config) -> None:
 
         # distributions are indexed by global token position (the reference indexes
         # by example_idx with a token-granular array; we keep token granularity).
-        distributions_nm[batch_idx] = f_np[:, : cfg.n_dists]
+        distributions_nm[batch_idx] = f_np[:, :n_dists]
         mean_values_s += stats["mean_values"].astype(np.float64)
         sparsity_s += stats["sparsity"].astype(np.float64)
         token_acts_blocks.append(scipy.sparse.csr_array(f_np))
