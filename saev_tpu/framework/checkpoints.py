@@ -1,0 +1,72 @@
+"""Mid-training checkpoint/resume for the SAE train loop.
+
+The reference has NO optimizer-state checkpointing and no resume-from-step
+(SURVEY.md §5.4; reference recovery granularity = re-run the Slurm job). This
+module adds step checkpointing of the full `SweepState` (params + optimizer
+moments + BatchTopK thresholds + dead-latent counters + step) via orbax, keyed
+by a stable hash of the training-group config so a re-submitted job resumes
+where it crashed.
+
+The data stream is NOT checkpointed: on resume the shuffled loader restarts
+with its seeded RNG, which re-reads data in a new random order. This is
+statistically benign for i.i.d.-shuffled token streams (each step still sees a
+uniform sample of the corpus) and keeps the checkpoint format tiny.
+"""
+
+import logging
+import pathlib
+import typing as tp
+
+import jax
+import numpy as np
+
+logger = logging.getLogger("checkpoints")
+
+
+def state_dir(runs_root: pathlib.Path, group_key: str) -> pathlib.Path:
+    return pathlib.Path(runs_root) / ".train_state" / group_key
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save(
+    runs_root: pathlib.Path, group_key: str, step: int, state: tp.Any
+) -> pathlib.Path:
+    """Write the sweep state at `step`; keeps only the latest checkpoint."""
+    root = state_dir(runs_root, group_key)
+    root.mkdir(parents=True, exist_ok=True)
+    path = root / f"step_{step:08d}"
+    ckptr = _checkpointer()
+    host_state = jax.tree.map(np.asarray, state)
+    ckptr.save(path, host_state, force=True)
+    # Prune older checkpoints (keep the newest only).
+    for old in sorted(root.glob("step_*"))[:-1]:
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+    logger.info("Saved train state at step %d to '%s'.", step, path)
+    return path
+
+
+def latest_step(runs_root: pathlib.Path, group_key: str) -> int | None:
+    root = state_dir(runs_root, group_key)
+    if not root.exists():
+        return None
+    steps = sorted(int(p.name.split("_")[1]) for p in root.glob("step_*"))
+    return steps[-1] if steps else None
+
+
+def restore(
+    runs_root: pathlib.Path, group_key: str, step: int, template: tp.Any
+) -> tp.Any:
+    """Restore the sweep state saved at `step`, shaped like `template`."""
+    path = state_dir(runs_root, group_key) / f"step_{step:08d}"
+    ckptr = _checkpointer()
+    host_template = jax.tree.map(np.asarray, template)
+    restored = ckptr.restore(path, item=host_template)
+    logger.info("Restored train state from '%s'.", path)
+    return restored

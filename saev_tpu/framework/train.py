@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import configs, disk, helpers, nn, parallel
+from . import checkpoints
 from ..data import ShuffledConfig, ShuffledDataLoader
 from ..nn import modeling, objectives
 from ..utils import scheduling, statistics
@@ -77,6 +78,13 @@ class Config:
     """Number of learning rate warmup steps."""
     grad_clip: float = 1.0
     """Maximum gradient norm across all SAE parameters."""
+    ckpt_every: int = 0
+    """Save the full train state (params + optimizer + counters) every N steps
+    under runs_root/.train_state (0 disables). The reference has no mid-run
+    checkpointing (SURVEY.md §5.4)."""
+    resume: bool = False
+    """Resume from the latest saved train state if one exists. The data stream
+    restarts reshuffled; optimizer state and step counters are restored."""
 
     # Logging
     track: bool = True
@@ -585,6 +593,29 @@ def train(
             )
         )
 
+    # Resume from the latest saved train state (stable key per training group;
+    # sha256 — Python's hash() is randomized per process).
+    import hashlib
+
+    group_key = hashlib.sha256(
+        repr(_parallel_key(cfg)).encode()
+    ).hexdigest()[:16]
+    start_step = 0
+    if cfg.resume:
+        latest = checkpoints.latest_step(cfg.runs_root, f"{group_key}_c0")
+        if latest is not None:
+            for ci, rt in enumerate(runtimes):
+                restored = checkpoints.restore(
+                    cfg.runs_root, f"{group_key}_c{ci}", latest, rt.ts
+                )
+                runtimes[ci] = rt._replace(
+                    ts=jax.tree.map(jnp.asarray, restored)
+                )
+            start_step = latest
+            logger.info("Resuming training from step %d.", start_step)
+        else:
+            logger.info("No saved train state found; starting fresh.")
+
     mode = "online" if cfg.track else "disabled"
     metadata_dict = dataclasses.asdict(metadata)
     wandb_configs = []
@@ -598,9 +629,17 @@ def train(
         run.set_summary("slurm_job_id", slurm_job_id)
 
     dl_monitor = DataloaderMonitor(dataloader)
-    global_step, n_patches_seen = 0, 0
+    global_step, n_patches_seen = start_step, start_step * cfg.train_data.batch_size
 
-    for batch in helpers.progress(limited, every=cfg.log_every, desc="train"):
+    import itertools
+
+    batches = helpers.progress(limited, every=cfg.log_every, desc="train")
+    if start_step:
+        # The stream restarts reshuffled on resume; only consume the remaining
+        # step budget.
+        batches = itertools.islice(iter(batches), max(n_steps - start_step, 0))
+
+    for batch in batches:
         x = parallel.shard_batch(mesh, np.asarray(batch["act"]))
         n_patches_seen += x.shape[0]
 
@@ -668,6 +707,12 @@ def train(
             )
 
         global_step += 1
+
+        if cfg.ckpt_every and global_step % cfg.ckpt_every == 0:
+            for ci, rt in enumerate(runtimes):
+                checkpoints.save(
+                    cfg.runs_root, f"{group_key}_c{ci}", global_step, rt.ts
+                )
 
     return runtimes, run, global_step
 

