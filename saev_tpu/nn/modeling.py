@@ -210,14 +210,27 @@ def _kth_largest(x: Array, k: int) -> Array:
     return jax.lax.top_k(x, k)[0][..., -1:]
 
 
-def topk_activation(h: Array, k: int) -> Array:
+def topk_activation(h: Array, k: int, *, fast: bool = False) -> Array:
     """Per-row TopK via threshold mask (reference TopKActivation, modeling.py:160).
 
     Keeps all entries >= the k-th largest per row; exact ties at the boundary may
     keep more than k entries (torch keeps exactly k by index order).
+
+    With fast=True (the training path) the threshold comes from
+    `ops.two_stage_kth_value` — exact on CPU and >97% of TPU rows; when the
+    approximate candidate set misses, the threshold is smaller than the true
+    k-th, so slightly MORE than k entries stay active (measured mean L0 32.02
+    for k=32 on v5e; ~12x faster than lax.top_k's full row sort). Eval and
+    inference always use the exact threshold for reference parity.
     """
+    from .. import ops
+
     k = min(k, h.shape[-1])
-    kth = _kth_largest(h, k)
+    if fast:
+        kth = ops.two_stage_kth_value(h, k)
+    else:
+        kth = _kth_largest(h, k)
+    kth = jax.lax.stop_gradient(kth)
     return jnp.where(h >= kth, h, jnp.zeros((), h.dtype))
 
 
@@ -226,11 +239,15 @@ def batch_topk_train(h: Array, k: int, momentum: float, threshold: Array) -> tup
 
     Flattens the batch, keeps the largest batch*k entries globally, and updates an
     EMA of the minimum surviving positive activation (the eval-time JumpReLU
-    threshold). Returns (f, new_threshold).
+    threshold). Returns (f, new_threshold). The global k-th value comes from
+    `ops.batch_global_kth_value` (per-row candidate gather; a full flat sort of
+    B*d_sae elements is prohibitive on TPU).
     """
+    from .. import ops
+
     bsz, d_sae = h.shape
     k_flat = min(k * bsz, d_sae * bsz)
-    kth = jax.lax.top_k(h.reshape(-1), k_flat)[0][-1]
+    kth = jax.lax.stop_gradient(ops.batch_global_kth_value(h, k_flat))
     f = jnp.where(h >= kth, h, jnp.zeros((), h.dtype))
     pos_min = jnp.min(jnp.where(f > 0, f, jnp.inf))
     new_threshold = jnp.where(
@@ -273,7 +290,7 @@ def encode(
     if isinstance(act, Relu):
         f_x = jnp.maximum(h_x, jnp.zeros((), h_x.dtype))
     elif isinstance(act, TopK):
-        f_x = topk_activation(h_x, act.top_k)
+        f_x = topk_activation(h_x, act.top_k, fast=training)
     elif isinstance(act, BatchTopK):
         if training:
             f_x, new_threshold = batch_topk_train(

@@ -142,11 +142,16 @@ def _aux_loss(
     reference's dynamic top-min(k_aux, n_dead) for every n_dead (when n_dead <
     k_aux the threshold is -inf and all dead latents are kept).
     """
+    from .. import ops
+
     residual = jax.lax.stop_gradient(x - x_hat_full)
     neg_inf = jnp.array(-jnp.inf, h_x.dtype)
     masked = jnp.where(dead_mask[None, :], h_x, neg_inf)
     k_aux = min(aux_cfg.k_aux, sae_cfg.d_sae)
-    kth = jax.lax.top_k(masked, k_aux)[0][..., -1:]
+    # ApproxTopK threshold: <= the exact k_aux-th, so the mask keeps at least
+    # min(k_aux, n_dead) dead latents — a harmless direction of error for an
+    # auxiliary resurrection loss, and ~7x faster than lax.top_k's row sort.
+    kth = jax.lax.stop_gradient(ops.approx_kth_value(masked, k_aux))
     keep = (masked >= kth) & dead_mask[None, :]
     aux_acts = jnp.where(keep, h_x, jnp.zeros((), h_x.dtype))
     aux_recon = modeling.decode(sae_cfg, params, aux_acts)[:, -1, :]

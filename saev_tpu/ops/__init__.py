@@ -1,0 +1,9 @@
+"""TPU-optimized compute primitives for the SAE hot path."""
+
+from .topk import (  # noqa: F401
+    approx_kth_value,
+    batch_global_kth_value,
+    exact_kth_value,
+    hier_kth_value,
+    two_stage_kth_value,
+)

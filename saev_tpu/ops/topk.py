@@ -1,0 +1,97 @@
+"""Fast k-th-largest (top-k threshold) primitives for TPU.
+
+XLA lowers `lax.top_k` on TPU to a full row sort: ~230 ms for a
+(16384, 16384) f32 batch on v5e regardless of k — it dominates the SAE train
+step (the reference's torch.topk runs as a CUDA radix select and never faced
+this; SURVEY.md §3.4). The SAE only needs the k-th largest *value* per row
+(selection happens with a `>= kth` compare mask, modeling.py), so these
+primitives compute thresholds directly. Measured on v5e, same batch:
+
+    lax.top_k (exact)          ~230 ms
+    hier_kth_value (exact)     ~77 ms   chunked top-k merge
+    two_stage_kth_value        ~20 ms   approx candidates -> exact top-k
+    approx_kth_value           ~5 ms    TPU ApproxTopK PartialReduce
+
+`two_stage` is exact whenever ApproxTopK's candidate set contains the true
+top-k of the row (>97% of rows at m=8k on Gaussian data; when it misses, the
+returned value is *smaller* than the true k-th, so a `>= thr` mask keeps
+slightly more than k entries — measured mean L0 of 32.02 for k=32). On CPU
+backends ApproxTopK falls back to exact top-k, so tests are deterministic.
+"""
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def exact_kth_value(h: Array, k: int) -> Array:
+    """Exact k-th largest along the last axis via lax.top_k. (B, ..., 1)."""
+    k = min(k, h.shape[-1])
+    return jax.lax.top_k(h, k)[0][..., -1:]
+
+
+def hier_kth_value(h: Array, k: int, *, chunk: int = 256) -> Array:
+    """Exact k-th largest via hierarchical chunked top-k.
+
+    Each row's top-k is contained in the union of its per-chunk top-k's, so a
+    (B, S) sort becomes (B, S/chunk) small sorts plus a merge — ~3x faster than
+    lax.top_k on v5e and bit-identical.
+    """
+    b = h.shape[0]
+    s = h.shape[-1]
+    if s <= max(4096, 2 * chunk) or k >= chunk:
+        return exact_kth_value(h, k)
+    n_chunks = s // chunk
+    rem = s - n_chunks * chunk
+    main = h[..., : n_chunks * chunk].reshape(b, n_chunks, chunk)
+    cand = jax.lax.top_k(main, k)[0].reshape(b, n_chunks * k)
+    if rem:
+        cand = jnp.concatenate([cand, h[..., n_chunks * chunk :]], axis=-1)
+    while cand.shape[-1] > 4096:
+        c = cand.shape[-1] // chunk * chunk
+        folded = jax.lax.top_k(cand[..., :c].reshape(b, -1, chunk), k)[0]
+        cand = jnp.concatenate([folded.reshape(b, -1), cand[..., c:]], axis=-1)
+    return exact_kth_value(cand, k)
+
+
+def two_stage_kth_value(h: Array, k: int, *, oversample: int = 8) -> Array:
+    """Near-exact k-th largest: ApproxTopK candidates, then exact top-k among
+    them. The result is <= the true k-th value (candidates are a subset of the
+    row), so `h >= thr` masks keep AT LEAST k entries."""
+    m = min(max(k * oversample, k), h.shape[-1])
+    if m >= h.shape[-1]:
+        return exact_kth_value(h, k)
+    cand = jax.lax.approx_max_k(h, m)[0]
+    return exact_kth_value(cand, k)
+
+
+def approx_kth_value(h: Array, k: int) -> Array:
+    """Fastest: ApproxTopK's k-th candidate directly (<= the true k-th)."""
+    if k >= h.shape[-1]:
+        return exact_kth_value(h, k)
+    return jax.lax.approx_max_k(h, k)[0][..., -1:]
+
+
+def batch_global_kth_value(
+    h: Array, k_total: int, *, row_oversample: int = 4, exact: bool = False
+) -> Array:
+    """k_total-th largest over the WHOLE (B, S) batch (BatchTopK's flattened
+    global top-k, reference modeling.py:216-244).
+
+    Exact mode sorts the full flat batch (lax.top_k over B*S elements — very
+    expensive on TPU). The fast path gathers per-row candidates first: with
+    m_row = row_oversample * ceil(k_total / B) candidates per row, the global
+    top-k_total is exact unless some row contributes more than m_row winners
+    (rare for activation batches; the error direction keeps more entries).
+    """
+    b, s = h.shape
+    k_total = min(k_total, b * s)
+    if exact:
+        return jax.lax.top_k(h.reshape(-1), k_total)[0][-1]
+    m_row = min(max(-(-k_total // b) * row_oversample, 1), s)
+    if m_row >= s:
+        return jax.lax.top_k(h.reshape(-1), k_total)[0][-1]
+    cand = jax.lax.approx_max_k(h, m_row)[0].reshape(-1)
+    k_eff = min(k_total, cand.shape[0])
+    return jax.lax.top_k(cand, k_eff)[0][-1]

@@ -1,0 +1,103 @@
+"""Tests for the TPU top-k threshold primitives (exactness and error-direction
+guarantees; on CPU ApproxTopK falls back to exact, so these are deterministic)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from saev_tpu import ops
+
+
+def _rand(b=64, s=2048, seed=0):
+    return np.random.default_rng(seed).normal(size=(b, s)).astype(np.float32)
+
+
+def _exact_kth(h, k):
+    return np.sort(h, axis=-1)[:, ::-1][:, k - 1 : k]
+
+
+@pytest.mark.parametrize("k", [1, 7, 32, 200])
+def test_exact_kth_value(k):
+    h = _rand()
+    out = np.asarray(ops.exact_kth_value(jnp.asarray(h), k))
+    np.testing.assert_array_equal(out, _exact_kth(h, k))
+
+
+@pytest.mark.parametrize("k,chunk", [(32, 256), (32, 128), (7, 64), (512, 1024)])
+def test_hier_kth_value_exact(k, chunk):
+    h = _rand(b=32, s=8192, seed=1)
+    out = np.asarray(ops.hier_kth_value(jnp.asarray(h), k, chunk=chunk))
+    np.testing.assert_array_equal(out, _exact_kth(h, k))
+
+
+def test_hier_kth_value_nondivisible_chunk():
+    h = _rand(b=8, s=5000, seed=2)  # 5000 not divisible by 256
+    out = np.asarray(ops.hier_kth_value(jnp.asarray(h), 32, chunk=256))
+    np.testing.assert_array_equal(out, _exact_kth(h, 32))
+
+
+@pytest.mark.parametrize("k", [32, 512])
+def test_two_stage_never_exceeds_exact(k):
+    """The two-stage threshold is <= the true k-th value (mask keeps >= k)."""
+    h = _rand(b=32, s=4096, seed=3)
+    out = np.asarray(ops.two_stage_kth_value(jnp.asarray(h), k))
+    exact = _exact_kth(h, k)
+    assert (out <= exact).all()
+    # On CPU the fallback is exact.
+    np.testing.assert_array_equal(out, exact)
+
+
+def test_approx_kth_value_bound():
+    h = _rand(b=16, s=4096, seed=4)
+    out = np.asarray(ops.approx_kth_value(jnp.asarray(h), 64))
+    assert (out <= _exact_kth(h, 64)).all()
+
+
+def test_batch_global_kth_value():
+    h = _rand(b=32, s=512, seed=5)
+    k_total = 32 * 16
+    got = float(ops.batch_global_kth_value(jnp.asarray(h), k_total))
+    exact = float(np.sort(h.ravel())[::-1][k_total - 1])
+    # Fast path is <= exact; on CPU (exact fallback candidates) it matches
+    # unless one row holds > 4*16 of the global winners.
+    assert got <= exact or np.isclose(got, exact)
+    exact_mode = float(
+        ops.batch_global_kth_value(jnp.asarray(h), k_total, exact=True)
+    )
+    assert exact_mode == exact
+
+
+def test_batch_global_concentrated_row():
+    """When one row holds all winners, the fast threshold errs low (keeps more)."""
+    h = np.full((16, 256), -1.0, dtype=np.float32)
+    h[3] = np.linspace(10, 20, 256)
+    got = float(ops.batch_global_kth_value(jnp.asarray(h), 64))
+    exact = float(np.sort(h.ravel())[::-1][63])
+    assert got <= exact
+
+
+def test_topk_activation_fast_keeps_at_least_k():
+    from saev_tpu.nn import modeling
+
+    h = jnp.asarray(_rand(b=16, s=512, seed=6))
+    f = modeling.topk_activation(h, 8, fast=True)
+    nnz = np.count_nonzero(np.asarray(f), axis=1)
+    assert (nnz >= 8).all()
+    # CPU: exact fallback -> exactly k.
+    assert (nnz == 8).all()
+
+
+def test_grad_does_not_flow_through_threshold():
+    from saev_tpu.nn import modeling
+
+    h = jnp.asarray(_rand(b=4, s=64, seed=7))
+
+    def loss(h):
+        return jnp.sum(modeling.topk_activation(h, 4, fast=True))
+
+    g = np.asarray(jax.grad(loss)(h))
+    # Gradient is exactly the selection mask.
+    f = np.asarray(modeling.topk_activation(h, 4, fast=True))
+    np.testing.assert_array_equal(g, (f != 0).astype(np.float32))
