@@ -22,6 +22,7 @@ Key invariants shared with the reference:
 
 import dataclasses
 import logging
+import pathlib
 import typing as tp
 
 import numpy as np
@@ -498,9 +499,143 @@ class Sparse1DProbe:
         zero_loss = -(pos_zero * np.log(mu0) + neg_zero * np.log1p(-np.minimum(mu0, 1 - self.hp.eps)))
         return (np.asarray(loss_nz) / n_samples + zero_loss).astype(np.float32)
 
+    def loss_matrix_with_aux(
+        self, x: scipy.sparse.csr_matrix, y: np.ndarray
+    ) -> tuple[np.ndarray, ...]:
+        """(loss, tp, fp, tn, fn) per (latent, class) at decision threshold 0
+        (reference loss_matrix_with_aux, probe1d.py:1267-1336). Confusion counts
+        decompose into streamed nonzero events + analytic zero-feature terms."""
+        import jax
+        import jax.numpy as jnp
+
+        n_samples = x.shape[0]
+        y = np.asarray(y, dtype=np.float32)
+        loss = self.loss_matrix(x, y)
+
+        cols_c, vals_c, rows_c = self._events(x)
+        nnz_counts, _ = self._latent_counts(x)
+
+        b = jnp.concatenate(
+            [jnp.asarray(self.intercept_), jnp.zeros((1, self.n_classes), jnp.float32)]
+        )
+        w = jnp.concatenate(
+            [jnp.asarray(self.coef_), jnp.zeros((1, self.n_classes), jnp.float32)]
+        )
+        y_j = jnp.asarray(y)
+        L = self.n_latents
+
+        def chunk_body(carry, inputs):
+            cols, vals, rows = inputs
+            z = b[cols] + w[cols] * vals[:, None]
+            pred = (z > 0).astype(jnp.float32)
+            yc = y_j[rows]
+            valid = (cols < L)[:, None].astype(jnp.float32)
+            seg = lambda t: jax.ops.segment_sum(t, cols, num_segments=L + 1)[:L]
+            return (
+                carry[0] + seg(pred * yc * valid),        # tp_nz
+                carry[1] + seg(pred * (1 - yc) * valid),  # fp_nz
+                carry[2] + seg(yc * valid),               # pos_nz
+            ), None
+
+        init = tuple(jnp.zeros((L, self.n_classes), jnp.float32) for _ in range(3))
+        (tp_nz, fp_nz, pos_nz), _ = jax.lax.scan(
+            chunk_body, init,
+            (jnp.asarray(cols_c), jnp.asarray(vals_c), jnp.asarray(rows_c)),
+        )
+        tp_nz, fp_nz, pos_nz = map(np.asarray, (tp_nz, fp_nz, pos_nz))
+
+        n_nz = nnz_counts.astype(np.float64)[:, None]
+        n_zero = np.maximum(n_samples - n_nz, 0.0)
+        total_pos = y.sum(axis=0)[None, :]
+        pos_zero = np.clip(total_pos - pos_nz, 0.0, None)
+        pred0 = (self.intercept_ > 0).astype(np.float64)
+
+        tp = tp_nz + pred0 * pos_zero
+        fp = fp_nz + pred0 * (n_zero - pos_zero)
+        fn = total_pos - tp
+        tn = n_samples - tp - fp - fn
+        return (
+            loss,
+            tp.astype(np.float32),
+            fp.astype(np.float32),
+            tn.astype(np.float32),
+            fn.astype(np.float32),
+        )
+
     def decision_function(self, x: scipy.sparse.csr_matrix, latent: int) -> np.ndarray:
         col = np.asarray(x[:, latent].todense()).reshape(-1)
         return self.intercept_[latent][None, :] + self.coef_[latent][None, :] * col[:, None]
 
     def predict_proba(self, x: scipy.sparse.csr_matrix, latent: int) -> np.ndarray:
         return sigmoid(self.decision_function(x, latent))
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Probe training pipeline config (reference probe1d.py:1343-1374)."""
+
+    run: pathlib.Path = pathlib.Path("./runs/abcdefg")
+    """Run directory."""
+    train_shards: pathlib.Path = pathlib.Path("./shards/01234567")
+    """Training shards directory."""
+    test_shards: pathlib.Path = pathlib.Path("./shards/abcdef01")
+    """Test shards directory."""
+    ridge: float = 1e-8
+    class_slab_size: int = 8
+    max_iter: int = 30
+    debug: bool = False
+
+
+def worker_fn(cfg: Config) -> int:
+    """Fit probes on the train split, dump probe1d_metrics.npz (loss, weights,
+    biases, confusion counts) for both splits (reference probe1d.py:1390-1694)."""
+    import saev_tpu.disk
+    from saev_tpu.data import Metadata
+
+    logger = logging.getLogger("probe1d")
+    run = saev_tpu.disk.Run(cfg.run)
+
+    def load_split(shards: pathlib.Path):
+        art = run.inference / shards.name
+        acts = scipy.sparse.load_npz(art / "token_acts.npz").tocsr()
+        md = Metadata.load(shards)
+        labels = np.memmap(
+            shards / "labels.bin", mode="r", dtype=np.uint8,
+            shape=(md.n_examples, md.content_tokens_per_example),
+        ).reshape(-1)
+        return art, acts, np.asarray(labels)
+
+    train_art, train_acts, train_labels = load_split(cfg.train_shards)
+    test_art, test_acts, test_labels = load_split(cfg.test_shards)
+
+    n_classes = int(max(train_labels.max(), test_labels.max())) + 1
+    n_latents = train_acts.shape[1]
+    assert test_acts.shape[1] == n_latents
+
+    def one_hot(labels, n):
+        out = np.zeros((labels.size, n), dtype=np.float32)
+        out[np.arange(labels.size), labels] = 1.0
+        return out
+
+    probe = Sparse1DProbe(
+        n_latents=n_latents, n_classes=n_classes,
+        class_slab_size=cfg.class_slab_size, ridge=cfg.ridge, max_iter=cfg.max_iter,
+    )
+    probe.fit(train_acts, one_hot(train_labels, n_classes))
+    logger.info("Fit probe on %d samples.", train_acts.shape[0])
+
+    for art, acts, labels in (
+        (train_art, train_acts, train_labels),
+        (test_art, test_acts, test_labels),
+    ):
+        loss, tp, fp, tn, fn = probe.loss_matrix_with_aux(
+            acts, one_hot(labels, n_classes)
+        )
+        out_fpath = art / "probe1d_metrics.npz"
+        np.savez(
+            out_fpath,
+            loss=loss, weights=probe.coef_, biases=probe.intercept_,
+            tp=tp, fp=fp, tn=tn, fn=fn,
+        )
+        logger.info("Saved probe outputs to %s.", out_fpath)
+    return 0
