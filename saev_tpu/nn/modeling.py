@@ -31,10 +31,18 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-# TPU default matmul precision is bf16 passes; SAE math is f32 end-to-end for
-# parity with the reference (<1e-4 relative MSE target, BASELINE.md). The bf16
-# fast path belongs in deliberate kernels (ops/), not silent defaults.
+# Default matmul precision: HIGHEST (6-pass f32 emulation) for parity with the
+# reference (<1e-4 relative MSE target, BASELINE.md). Eval/inference always use
+# this; the training step may lower it via the explicit `precision` arguments
+# (train.Config.matmul_precision: "high" = bf16x3 ~1e-7 rel err, 1.3x faster;
+# "default" = bf16 ~1e-5 rel err, 1.5x faster — both inside the parity budget).
 MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
 
 # ---------------------------------------------------------------------------
 # Sparsity / aux-loss / activation configs (reference modeling.py:25-146).
@@ -273,6 +281,7 @@ def encode(
     *,
     training: bool,
     momentum: Array | float | None = None,
+    precision: jax.lax.Precision | None = None,
 ) -> tuple[EncodeOut, State]:
     """x @ W_enc + b_enc, then the configured activation (reference modeling.py:343).
 
@@ -282,7 +291,10 @@ def encode(
     sweep can vary it without retracing).
     """
     h_x = (
-        jnp.dot(x, params["W_enc"], preferred_element_type=jnp.float32, precision=MATMUL_PRECISION)
+        jnp.dot(
+            x, params["W_enc"], preferred_element_type=jnp.float32,
+            precision=precision or MATMUL_PRECISION,
+        )
         + params["b_enc"]
     )
     act = cfg.activation
@@ -319,6 +331,7 @@ def decode(
     prefixes: Array | None = None,
     *,
     group_size: int = 512,
+    precision: jax.lax.Precision | None = None,
 ) -> Array:
     """Decode latents to per-prefix reconstructions (batch, n_prefixes, d_model).
 
@@ -331,19 +344,20 @@ def decode(
     boundaries, and each prefix adds a single masked remainder-group matmul picked
     out with `lax.dynamic_slice`. All shapes static; prefix values may be traced.
     """
+    precision = precision or MATMUL_PRECISION
     w_dec = params["W_dec"]  # (d_sae, d_model)
     b_dec = params["b_dec"]
     b, d_sae = f_x.shape
     d_model = w_dec.shape[1]
 
     if prefixes is None:
-        x_hat = jnp.dot(f_x, w_dec, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION) + b_dec
+        x_hat = jnp.dot(f_x, w_dec, preferred_element_type=jnp.float32, precision=precision) + b_dec
         return x_hat[:, None, :]
 
     n_prefixes = prefixes.shape[0]
     if n_prefixes == 1:
         # Single prefix must be d_sae (asserted host-side by callers); full decode.
-        x_hat = jnp.dot(f_x, w_dec, preferred_element_type=jnp.float32, precision=MATMUL_PRECISION) + b_dec
+        x_hat = jnp.dot(f_x, w_dec, preferred_element_type=jnp.float32, precision=precision) + b_dec
         return x_hat[:, None, :]
 
     g = min(group_size, d_sae)
@@ -361,7 +375,7 @@ def decode(
         f_pad.reshape(b, n_groups, g),
         w_pad.reshape(n_groups, g, d_model),
         preferred_element_type=jnp.float32,
-        precision=MATMUL_PRECISION,
+        precision=precision,
     )
     # Prefix sums at group boundaries: s0[:, m] = sum of groups < m. (b, G+1, d)
     s0 = jnp.concatenate(

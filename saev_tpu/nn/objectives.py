@@ -133,6 +133,7 @@ def _aux_loss(
     x_hat_full: Array,
     dead_mask: Array,
     alpha: Array | float | None = None,
+    precision=None,
 ) -> Array:
     """AuxK dead-latent resurrection loss (reference modeling.py:75-103).
 
@@ -154,7 +155,7 @@ def _aux_loss(
     kth = jax.lax.stop_gradient(ops.approx_kth_value(masked, k_aux))
     keep = (masked >= kth) & dead_mask[None, :]
     aux_acts = jnp.where(keep, h_x, jnp.zeros((), h_x.dtype))
-    aux_recon = modeling.decode(sae_cfg, params, aux_acts)[:, -1, :]
+    aux_recon = modeling.decode(sae_cfg, params, aux_acts, precision=precision)[:, -1, :]
     alpha = aux_cfg.alpha if alpha is None else alpha
     loss = alpha * jnp.mean((aux_recon - residual) ** 2)
     n_dead = jnp.sum(dead_mask)
@@ -172,6 +173,7 @@ def matryoshka_loss(
     *,
     training: bool,
     hp: dict[str, Array] | None = None,
+    precision=None,
 ) -> tuple[MatryoshkaLoss, modeling.Output, modeling.State, ObjectiveState]:
     """One objective forward (reference MatryoshkaObjective.forward,
     objectives.py:101-156). Pure: returns updated SAE state (BatchTopK threshold)
@@ -184,7 +186,7 @@ def matryoshka_loss(
     hp = hp or {}
     enc, new_sae_state = modeling.encode(
         sae_cfg, params, sae_state, x, training=training,
-        momentum=hp.get("momentum"),
+        momentum=hp.get("momentum"), precision=precision,
     )
     bsz, d_sae = enc.f_x.shape
 
@@ -199,7 +201,7 @@ def matryoshka_loss(
     else:
         dead_mask = None
 
-    x_hats = modeling.decode(sae_cfg, params, enc.f_x, prefixes)
+    x_hats = modeling.decode(sae_cfg, params, enc.f_x, prefixes, precision=precision)
     out = modeling.Output(h_x=enc.h_x, f_x=enc.f_x, x_hats=x_hats)
 
     n_prefixes = x_hats.shape[1]
@@ -211,7 +213,7 @@ def matryoshka_loss(
     if training and isinstance(aux_cfg, modeling.AuxK):
         aux = _aux_loss(
             aux_cfg, sae_cfg, params, x, enc.h_x, x_hats[:, -1, :], dead_mask,
-            alpha=hp.get("aux_alpha"),
+            alpha=hp.get("aux_alpha"), precision=precision,
         )
     else:
         aux = jnp.zeros((), x.dtype)
