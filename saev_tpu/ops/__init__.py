@@ -5,5 +5,6 @@ from .topk import (  # noqa: F401
     batch_global_kth_value,
     exact_kth_value,
     hier_kth_value,
+    sampled_kth_value,
     two_stage_kth_value,
 )

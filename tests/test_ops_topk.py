@@ -101,3 +101,24 @@ def test_grad_does_not_flow_through_threshold():
     # Gradient is exactly the selection mask.
     f = np.asarray(modeling.topk_activation(h, 4, fast=True))
     np.testing.assert_array_equal(g, (f != 0).astype(np.float32))
+
+
+def test_sampled_kth_value_statistics():
+    h = _rand(b=64, s=8192, seed=8)
+    out = np.asarray(ops.sampled_kth_value(jnp.asarray(h), 256, n_sample=2048))
+    kept = (h >= out).sum(axis=1)
+    # Statistical estimate: within ~25% of the target count on Gaussian rows.
+    assert abs(kept.mean() - 256) < 64, kept.mean()
+    # Small arrays take the exact path.
+    h_small = _rand(b=8, s=512, seed=9)
+    out = np.asarray(ops.sampled_kth_value(jnp.asarray(h_small), 32))
+    np.testing.assert_array_equal(out, _exact_kth(h_small, 32))
+
+
+def test_sampled_kth_value_few_finite_rows():
+    """Rows with fewer finite entries than the sampled rank threshold at -inf
+    (AuxK keeps all dead latents when n_dead < k_aux)."""
+    h = np.full((4, 8192), -np.inf, dtype=np.float32)
+    h[:, :10] = 1.0  # only 10 finite entries
+    out = np.asarray(ops.sampled_kth_value(jnp.asarray(h), 512, n_sample=2048))
+    assert np.isneginf(out).all()
