@@ -78,6 +78,10 @@ class Config:
     """Number of learning rate warmup steps."""
     grad_clip: float = 1.0
     """Maximum gradient norm across all SAE parameters."""
+    sweep_parallel: int = 1
+    """Shard the stacked-SAE sweep axis over this many devices (the `sweep`
+    mesh axis): each chip trains its slice of the sweep with no gradient
+    traffic. Cohort sizes must divide it. 1 = replicate (pure DP)."""
     matmul_precision: tp.Literal["highest", "high", "default"] = "high"
     """Train-step matmul precision: highest = f32 emulation (reference parity
     mode), high = bf16x3 (~1e-7 rel err, +25% throughput; the default),
@@ -545,13 +549,16 @@ class _CohortRuntime(tp.NamedTuple):
     prefix_rng: np.random.Generator
 
 
-def _device_mesh(batch_size: int):
-    """All local devices whose count divides the batch size."""
+def _device_mesh(batch_size: int, sweep: int = 1):
+    """All devices whose data extent divides the batch size, with the requested
+    sweep-axis extent."""
     devices = jax.devices()
     n = len(devices)
-    while n > 1 and batch_size % n != 0:
-        n -= 1
-    return parallel.make_mesh(n_devices=n)
+    assert n % sweep == 0, f"{n} devices not divisible by sweep_parallel={sweep}"
+    n_data = n // sweep
+    while n_data > 1 and batch_size % n_data != 0:
+        n_data -= 1
+    return parallel.make_mesh(n_devices=n_data * sweep, sweep=sweep)
 
 
 def train(
@@ -570,7 +577,7 @@ def train(
     limited = scheduling.BatchLimiter(dataloader, cfg.n_train)
     n_steps = len(limited)
 
-    mesh = _device_mesh(cfg.train_data.batch_size)
+    mesh = _device_mesh(cfg.train_data.batch_size, cfg.sweep_parallel)
     logger.info("Mesh: %d device(s) over '%s'.", mesh.devices.size, parallel.DATA_AXIS)
 
     cohorts = make_cohorts(cfgs)
@@ -579,19 +586,23 @@ def train(
         params, sae_state, obj_state = make_saes(
             cohort.cfgs, limited, seed=cfg.seed + ci
         )
-        params = parallel.replicate(mesh, params)
-        sae_state = parallel.replicate(mesh, sae_state)
-        obj_state = parallel.replicate(mesh, obj_state)
+        # Sweep axis shards over the `sweep` mesh axis (replicates at extent 1).
+        params = parallel.shard_sweep(mesh, params)
+        sae_state = parallel.shard_sweep(mesh, sae_state)
+        obj_state = parallel.shard_sweep(mesh, obj_state)
         c0 = cohort.cfgs[0]
         opt_init = _adam_init if c0.optim == "adam" else _muon_init
         ts = SweepState(
             params=params,
             sae_state=sae_state,
             obj_state=obj_state,
-            opt_state=parallel.replicate(mesh, opt_init(params)),
+            opt_state=parallel.shard_sweep(mesh, opt_init(params)),
             step=jnp.zeros((), jnp.int32),
         )
-        hp = {k: jnp.asarray(v) for k, v in _hp_arrays(cohort.cfgs).items()}
+        hp = {
+            k: parallel.shard_sweep(mesh, jnp.asarray(v))
+            for k, v in _hp_arrays(cohort.cfgs).items()
+        }
         runtimes.append(
             _CohortRuntime(
                 cohort=cohort,
@@ -918,6 +929,7 @@ def worker_fn(cfgs: list[Config]) -> list[str]:
 
 
 CANNOT_PARALLELIZE = set([
+    "sweep_parallel",
     "train_data",
     "val_data",
     "n_train",

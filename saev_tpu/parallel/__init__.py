@@ -1,47 +1,129 @@
 """Device mesh + sharding utilities (the reference has no multi-device training —
-SURVEY.md §2.8; this is the one true distributed feature added in the TPU rebuild).
+SURVEY.md §2.8; this subsystem is the distributed feature added in the TPU
+rebuild).
 
-The training layout is pure data parallelism over a 1-D `data` mesh axis: the token
-batch is sharded along axis 0 across chips, SAE parameters/optimizer state are
-replicated, and XLA inserts the gradient all-reduce over ICI when the jitted step
-consumes a sharded batch with replicated params. BatchTopK's batch-global top-k
-keeps its exact global semantics under pjit's global view (XLA lowers the flattened
-top-k to cross-chip collectives).
+Two mesh axes:
+
+- `data`: pure data parallelism. The token batch shards along axis 0; SAE
+  params/optimizer state replicate, and XLA inserts the gradient all-reduce
+  over ICI. BatchTopK's batch-global top-k keeps exact global semantics under
+  pjit's global view.
+- `sweep`: model-sweep parallelism. The stacked SAE axis (leading axis of every
+  param/optimizer leaf) shards across devices — each chip trains its slice of
+  the sweep with NO cross-chip gradient traffic (SAEs are independent); only
+  the batch broadcasts. This scales the reference's signature same-batch
+  multi-SAE training (reference train.py:339-343 loops in Python on one GPU)
+  to pods.
+
+Multi-host: call `init_distributed()` before any JAX op on each host of a pod
+slice; `jax.devices()` then spans the slice and the same mesh code works.
 """
+
+import logging
+import os
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
+logger = logging.getLogger("parallel")
+
 DATA_AXIS = "data"
+SWEEP_AXIS = "sweep"
 
 
-def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """A 1-D mesh over the `data` axis using all (or the first n) local devices."""
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize multi-host JAX (one process per host on a pod slice).
+
+    On Cloud TPU pods the arguments auto-detect from the metadata server; on
+    other clusters set $JAX_COORDINATOR_ADDRESS / $JAX_NUM_PROCESSES /
+    $JAX_PROCESS_ID or pass them explicitly. The reference has no analog (each
+    Slurm job is an independent single-GPU process)."""
+    kwargs = {}
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    logger.info(
+        "jax.distributed initialized: process %d/%d, %d global devices.",
+        jax.process_index(), jax.process_count(), jax.device_count(),
+    )
+
+
+def make_mesh(
+    n_devices: int | None = None, devices=None, *, sweep: int = 1
+) -> Mesh:
+    """A ("data", "sweep") mesh over the first n local (or all global) devices.
+
+    sweep=1 (default) degenerates to pure data parallelism.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    n = len(devices)
+    assert n % sweep == 0, f"{n} devices not divisible by sweep={sweep}"
+    grid = np.asarray(devices).reshape(n // sweep, sweep)
+    return Mesh(grid, (DATA_AXIS, SWEEP_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Token batches shard along axis 0 (the token/batch dimension)."""
+    """Token batches shard along axis 0 over `data` (replicated over `sweep`)."""
     return NamedSharding(mesh, PartitionSpec(DATA_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
-    """Params / optimizer state / RNG are replicated on every chip."""
+    """Fully replicated (scalars, small state)."""
     return NamedSharding(mesh, PartitionSpec())
+
+
+def sweep_sharding(mesh: Mesh) -> NamedSharding:
+    """Stacked-SAE pytree leaves shard their leading (sweep) axis."""
+    return NamedSharding(mesh, PartitionSpec(SWEEP_AXIS))
 
 
 def shard_batch(mesh: Mesh, batch: np.ndarray) -> jax.Array:
     """Host numpy batch -> device array sharded along axis 0 of the mesh.
 
-    The batch size must divide evenly by the mesh size (the loaders' batch_size is
-    controlled by config, so callers pick a multiple of the device count).
+    The batch size must divide evenly by the mesh's data extent (the loaders'
+    batch_size is controlled by config, so callers pick a multiple).
     """
     return jax.device_put(batch, batch_sharding(mesh))
+
+
+def shard_sweep(mesh: Mesh, tree):
+    """Place a stacked-SAE pytree with the sweep axis sharded over `sweep`
+    (replicated when the mesh has sweep extent 1). Leaves whose leading axis
+    does not divide the sweep extent are replicated."""
+    n_sweep = mesh.shape[SWEEP_AXIS]
+    repl = replicated(mesh)
+    shard = sweep_sharding(mesh)
+
+    def place(x):
+        if (
+            n_sweep > 1
+            and hasattr(x, "ndim")
+            and x.ndim >= 1
+            and x.shape[0] % n_sweep == 0
+        ):
+            return jax.device_put(x, shard)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(place, tree)
 
 
 def replicate(mesh: Mesh, tree):

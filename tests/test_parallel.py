@@ -1,0 +1,137 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU mesh (the hermetic analog of
+a pod slice — SURVEY.md §4 'fake cluster')."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from saev_tpu import parallel
+from conftest import _Helpers as helpers
+
+
+def test_make_mesh_shapes():
+    mesh = parallel.make_mesh()
+    assert mesh.shape[parallel.DATA_AXIS] == 8
+    assert mesh.shape[parallel.SWEEP_AXIS] == 1
+
+    mesh = parallel.make_mesh(sweep=2)
+    assert mesh.shape[parallel.DATA_AXIS] == 4
+    assert mesh.shape[parallel.SWEEP_AXIS] == 2
+
+    with pytest.raises(AssertionError):
+        parallel.make_mesh(n_devices=6, sweep=4)
+
+
+def test_shard_batch_and_sweep_placement():
+    mesh = parallel.make_mesh(sweep=2)
+    x = parallel.shard_batch(mesh, np.zeros((16, 4), np.float32))
+    assert x.sharding.spec == jax.sharding.PartitionSpec(parallel.DATA_AXIS)
+
+    tree = {"w": jnp.zeros((4, 3, 2)), "scalar": jnp.zeros(())}
+    placed = parallel.shard_sweep(mesh, tree)
+    assert placed["w"].sharding.spec == jax.sharding.PartitionSpec(parallel.SWEEP_AXIS)
+    # Scalars replicate.
+    assert placed["scalar"].sharding.spec == jax.sharding.PartitionSpec()
+
+    # Leading axis not divisible by sweep -> replicated.
+    odd = parallel.shard_sweep(mesh, {"w": jnp.zeros((3, 2))})
+    assert odd["w"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_data_parallel_equals_single_device():
+    """The sharded train step produces the same numbers as a 1-device run."""
+    from saev_tpu.framework import train as T
+    from saev_tpu.nn import modeling, objectives
+
+    n_sae, d_model, d_sae, batch = 2, 16, 32, 32
+    sae_cfg = modeling.SparseAutoencoderConfig(
+        d_model=d_model, d_sae=d_sae, activation=modeling.TopK(top_k=4)
+    )
+    obj_cfg = objectives.Matryoshka(n_prefixes=2)
+
+    def build(mesh):
+        keys = jax.random.split(jax.random.key(0), n_sae)
+        inits = [modeling.init(sae_cfg, k) for k in keys]
+        stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+        params = parallel.shard_sweep(mesh, stack([p for p, _ in inits]))
+        ts = T.SweepState(
+            params=params,
+            sae_state=parallel.shard_sweep(mesh, stack([s for _, s in inits])),
+            obj_state=parallel.shard_sweep(
+                mesh, stack([objectives.init_state(sae_cfg)] * n_sae)
+            ),
+            opt_state=parallel.shard_sweep(mesh, T._adam_init(params)),
+            step=jnp.zeros((), jnp.int32),
+        )
+        return ts
+
+    hp = {
+        "lr": jnp.asarray([1e-3, 3e-3], jnp.float32),
+        "n_lr_warmup": jnp.asarray([2.0, 2.0], jnp.float32),
+        "grad_clip": jnp.asarray([1.0, 1.0], jnp.float32),
+        "sparsity_coeff": jnp.zeros(n_sae, jnp.float32),
+        "aux_alpha": jnp.full((n_sae,), 1 / 32, jnp.float32),
+        "momentum": jnp.zeros(n_sae, jnp.float32),
+    }
+    # "highest" precision so 1-device and 8-device runs agree tightly.
+    step_fn = T.make_train_step(sae_cfg, obj_cfg, n_steps=10, matmul_precision="highest")
+    rng = np.random.default_rng(0)
+    x_np = rng.normal(size=(batch, d_model)).astype(np.float32)
+    prefixes = jnp.asarray(
+        np.stack([objectives.sample_prefixes(d_sae, 2, rng=rng) for _ in range(n_sae)])
+    )
+
+    results = {}
+    for name, mesh in [
+        ("single", parallel.make_mesh(n_devices=1)),
+        ("dp8", parallel.make_mesh()),
+        ("dp4xsweep2", parallel.make_mesh(sweep=2)),
+    ]:
+        ts = build(mesh)
+        x = parallel.shard_batch(mesh, x_np)
+        for _ in range(3):
+            ts, stats = step_fn(ts, x, prefixes, hp)
+        results[name] = (
+            np.asarray(stats["loss"]),
+            np.asarray(jax.device_get(ts.params["W_dec"])),
+        )
+
+    for name in ("dp8", "dp4xsweep2"):
+        np.testing.assert_allclose(
+            results[name][0], results["single"][0], rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            results[name][1], results["single"][1], rtol=1e-4, atol=1e-6
+        )
+
+
+def test_train_with_sweep_parallel(tmp_path):
+    """End-to-end train() with sweep_parallel=2 over the virtual mesh."""
+    from saev_tpu.data import ShuffledConfig, fake_vit
+    from saev_tpu.framework import train as train_mod
+    from saev_tpu.nn import modeling, objectives
+
+    shards_dir = helpers.write_shards(tmp_path, n_examples=16, layers=(0,))
+    runs_root = helpers.tmp_runs_root(tmp_path)
+    data_cfg = ShuffledConfig(
+        shards=shards_dir, layer=0, batch_size=32, n_threads=2, seed=7
+    )
+    base = train_mod.Config(
+        train_data=data_cfg, val_data=data_cfg, n_train=128, n_val=64,
+        sae=modeling.SparseAutoencoderConfig(
+            d_model=fake_vit.D_MODEL, d_sae=32, activation=modeling.TopK(top_k=4)
+        ),
+        objective=objectives.Matryoshka(n_prefixes=2),
+        lr=1e-3, n_lr_warmup=2, log_every=2, track=False,
+        runs_root=runs_root, device="cpu", seed=1, sweep_parallel=2,
+    )
+    cfgs = [base, dataclasses.replace(base, lr=3e-3, seed=2)]
+    runtimes, run, steps = train_mod.train(cfgs)
+    run.finish()
+    assert steps > 0
+    w = np.asarray(jax.device_get(runtimes[0].ts.params["W_dec"]))
+    assert np.isfinite(w).all()
