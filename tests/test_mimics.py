@@ -1,0 +1,103 @@
+"""Mimics contrib tests: max pooling, AUROC math, end-to-end scoring."""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+import scipy.sparse
+
+sys.path.insert(
+    0, str(pathlib.Path(__file__).parent.parent / "contrib" / "mimics" / "src")
+)
+
+from conftest import _Helpers as helpers
+from mimics import scoring
+
+
+def test_max_pool_csr():
+    acts = scipy.sparse.csr_matrix(
+        np.array([[1.0, 0.0], [3.0, 2.0], [0.0, 5.0], [0.0, 4.0]], dtype=np.float32)
+    )
+    pooled = scoring.max_pool_csr(acts, 2, 2)
+    np.testing.assert_allclose(pooled, [[3.0, 2.0], [0.0, 5.0]])
+
+
+def test_auroc_known_values():
+    # Perfect separation -> 1.0; inverted -> 0.0; random-ish -> 0.5.
+    scores = np.array([[0.1, 0.9, 0.5], [0.2, 0.8, 0.5], [0.8, 0.2, 0.5], [0.9, 0.1, 0.5]])
+    binary = np.array([0, 0, 1, 1], dtype=np.int8)
+    auroc = scoring.auroc_per_latent(scores, binary)
+    np.testing.assert_allclose(auroc, [1.0, 0.0, 0.5], atol=1e-9)
+
+
+def test_auroc_matches_sklearn():
+    sk = pytest.importorskip("sklearn.metrics")
+    rng = np.random.default_rng(0)
+    scores = rng.normal(size=(64, 7))
+    scores[:, 2] = np.round(scores[:, 2])  # introduce ties
+    binary = (rng.uniform(size=64) < 0.4).astype(np.int8)
+    ours = scoring.auroc_per_latent(scores, binary, chunk=3)
+    theirs = np.array([
+        sk.roc_auc_score(binary, scores[:, j]) for j in range(7)
+    ])
+    np.testing.assert_allclose(ours, theirs, atol=1e-12)
+
+
+def test_build_task_specs():
+    labels = ["a"] * 12 + ["b"] * 12 + ["c"] * 3
+    specs = scoring.build_task_specs(
+        labels, pairs=[("a", "b"), ("a", "c")], min_samples=10
+    )
+    assert len(specs) == 1  # a_vs_c dropped (c has 3 < 10)
+    assert specs[0].name == "a_vs_b"
+    assert specs[0].n_pos == 12 and specs[0].n_neg == 12
+
+
+def test_score_run_end_to_end(tmp_path):
+    import jax
+
+    from saev_tpu import disk, nn
+    from saev_tpu.data import Metadata, OrderedConfig, fake_vit
+    from saev_tpu.framework import inference
+    from saev_tpu.nn import modeling
+
+    shards_dir = helpers.write_shards(tmp_path, n_examples=24, layers=(0,))
+    md = Metadata.load(shards_dir)
+    runs_root = helpers.tmp_runs_root(tmp_path)
+    run = disk.Run.new(
+        "mimrun", train_shards_dir=shards_dir, val_shards_dir=shards_dir,
+        runs_root=runs_root,
+    )
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=fake_vit.D_MODEL, d_sae=16, activation=modeling.TopK(top_k=3)
+    )
+    params, state = modeling.init(cfg, jax.random.key(0))
+    nn.dump(run.ckpt, cfg, params, state)
+    inference.worker_fn(
+        inference.Config(
+            run=run.run_dir,
+            data=OrderedConfig(shards=shards_dir, layer=0, batch_size=64),
+            device="cpu",
+        )
+    )
+
+    labels = tuple("erato" if i % 2 == 0 else "melpomene" for i in range(24))
+    results = scoring.score_run(
+        scoring.Config(
+            run=run.run_dir, shards=shards_dir, labels=labels,
+            pairs=(("erato", "melpomene"),), min_samples=5,
+        )
+    )
+    assert "erato_vs_melpomene" in results
+    task = results["erato_vs_melpomene"]
+    assert 0.5 <= task["best_separation"] <= 1.0
+    assert len(task["top10"]) == 10
+    # Idempotent: second call reads the cached json.
+    again = scoring.score_run(
+        scoring.Config(
+            run=run.run_dir, shards=shards_dir, labels=labels,
+            pairs=(("erato", "melpomene"),), min_samples=5,
+        )
+    )
+    assert again == results
