@@ -222,23 +222,18 @@ def topk_activation(h: Array, k: int, *, fast: bool = False) -> Array:
     """Per-row TopK via threshold mask (reference TopKActivation, modeling.py:160).
 
     Keeps all entries >= the k-th largest per row; exact ties at the boundary may
-    keep more than k entries (torch keeps exactly k by index order).
-
-    With fast=True (the training path) the threshold comes from
-    `ops.two_stage_kth_value` — exact on CPU and >97% of TPU rows; when the
-    approximate candidate set misses, the threshold is smaller than the true
-    k-th, so slightly MORE than k entries stay active (measured mean L0 32.02
-    for k=32 on v5e; ~12x faster than lax.top_k's full row sort). Eval and
-    inference always use the exact threshold for reference parity.
+    keep more than k entries (torch keeps exactly k by index order). The
+    threshold is EXACT on every backend and path: on TPU it comes from the
+    Pallas bitwise-bisection kernel (ops/pallas_topk.py, one HBM pass, ~12x
+    faster than lax.top_k's row sort and bit-identical), elsewhere from
+    lax.top_k. `fast` is kept for API stability; both paths are exact now.
     """
     from .. import ops
 
     k = min(k, h.shape[-1])
-    if fast:
-        kth = ops.two_stage_kth_value(h, k)
-    else:
-        kth = _kth_largest(h, k)
-    kth = jax.lax.stop_gradient(kth)
+    # stop_gradient on the INPUT: the threshold is piecewise-constant in h, and
+    # the Pallas kernel has no JVP rule (nor needs one).
+    kth = ops.exact_kth_value(jax.lax.stop_gradient(h), k)
     return jnp.where(h >= kth, h, jnp.zeros((), h.dtype))
 
 

@@ -149,12 +149,10 @@ def _aux_loss(
     neg_inf = jnp.array(-jnp.inf, h_x.dtype)
     masked = jnp.where(dead_mask[None, :], h_x, neg_inf)
     k_aux = min(aux_cfg.k_aux, sae_cfg.d_sae)
-    # Sampled-quantile threshold: selects ~k_aux (+/- ~12%) dead latents — a
-    # harmless tolerance for an auxiliary resurrection loss, and ~16x faster
-    # than lax.top_k's row sort / ApproxTopK at k=512 (ops/topk.py). Rows with
-    # too few dead latents threshold at -inf and keep all dead latents,
-    # preserving the reference's min(k_aux, n_dead) behavior.
-    kth = jax.lax.stop_gradient(ops.sampled_kth_value(masked, k_aux))
+    # Exact k_aux-th threshold from the Pallas bisection kernel (ops/topk.py;
+    # -inf-masked rows with fewer than k_aux dead latents threshold at -inf and
+    # keep all dead latents, the reference's min(k_aux, n_dead) behavior).
+    kth = ops.exact_kth_value(jax.lax.stop_gradient(masked), k_aux)
     keep = (masked >= kth) & dead_mask[None, :]
     aux_acts = jnp.where(keep, h_x, jnp.zeros((), h_x.dtype))
     aux_recon = modeling.decode(sae_cfg, params, aux_acts, precision=precision)[:, -1, :]
