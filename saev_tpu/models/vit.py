@@ -298,6 +298,77 @@ def embed_tokens(spec: Spec, params: dict, tokens: Array) -> Array:
     return x
 
 
+
+def _apply_block(spec: Spec, blk: dict, x: Array, sin, cos, compute_dtype):
+    """One transformer block; returns (x_out, norm2_output)."""
+    b, t, d = x.shape
+    n_prefix = spec.n_prefix_tokens
+    scale = 1.0 / np.sqrt(spec.d_head)
+
+    h = _layer_norm(x, blk["ln1"], spec.ln_eps)
+    qkv = (
+        jnp.dot(h, blk["attn"]["qkv"]["w"], preferred_element_type=jnp.float32)
+        + blk["attn"]["qkv"]["b"]
+    )
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(z):
+        return z.reshape(b, t, spec.n_heads, spec.d_head).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    if spec.qk_norm:
+        q = _layer_norm(q, blk["attn"]["q_norm"], spec.ln_eps)
+        k = _layer_norm(k, blk["attn"]["k_norm"], spec.ln_eps)
+    if sin is not None:
+        q = apply_rope(q, sin, cos, n_prefix)
+        k = apply_rope(k, sin, cos, n_prefix)
+
+    attn = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
+    o = o.astype(compute_dtype).transpose(0, 2, 1, 3).reshape(b, t, d)
+    o = (
+        jnp.dot(o, blk["attn"]["proj"]["w"], preferred_element_type=jnp.float32)
+        + blk["attn"]["proj"]["b"]
+    )
+    if spec.layerscale:
+        o = o * blk["ls1"]
+    x = x + o.astype(compute_dtype)
+
+    h = _layer_norm(x, blk["ln2"], spec.ln_eps)
+    h_norm2 = h
+    if spec.mlp_kind == "swiglu":
+        h12 = (
+            jnp.dot(h, blk["mlp"]["w12"]["w"], preferred_element_type=jnp.float32)
+            + blk["mlp"]["w12"]["b"]
+        )
+        h1, h2 = jnp.split(h12, 2, axis=-1)
+        h = jax.nn.silu(h1) * h2
+        h = (
+            jnp.dot(h, blk["mlp"]["w3"]["w"], preferred_element_type=jnp.float32)
+            + blk["mlp"]["w3"]["b"]
+        )
+    else:
+        h = (
+            jnp.dot(h, blk["mlp"]["fc1"]["w"], preferred_element_type=jnp.float32)
+            + blk["mlp"]["fc1"]["b"]
+        )
+        if spec.act == "quick_gelu":
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = jax.nn.gelu(h, approximate=spec.act == "gelu_tanh")
+        h = (
+            jnp.dot(h, blk["mlp"]["fc2"]["w"], preferred_element_type=jnp.float32)
+            + blk["mlp"]["fc2"]["b"]
+        )
+    if spec.layerscale:
+        h = h * blk["ls2"]
+    x = x + h.astype(compute_dtype)
+    return x, h_norm2
+
+
 def forward(
     spec: Spec,
     params: dict,
@@ -355,74 +426,12 @@ def forward(
 
     x = x.astype(compute_dtype)
     taps = []
-    scale = 1.0 / np.sqrt(spec.d_head)
 
     for i, blk in enumerate(params["blocks"]):
-        h = _layer_norm(x, blk["ln1"], spec.ln_eps)
-        qkv = (
-            jnp.dot(h, blk["attn"]["qkv"]["w"], preferred_element_type=jnp.float32)
-            + blk["attn"]["qkv"]["b"]
-        )
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads(z):
-            return z.reshape(b, t, spec.n_heads, spec.d_head).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(q), heads(k), heads(v)
-        if spec.qk_norm:
-            q = _layer_norm(q, blk["attn"]["q_norm"], spec.ln_eps)
-            k = _layer_norm(k, blk["attn"]["k_norm"], spec.ln_eps)
-        if sin is not None:
-            q = apply_rope(q, sin, cos, n_prefix)
-            k = apply_rope(k, sin, cos, n_prefix)
-
-        attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
-        o = o.astype(compute_dtype).transpose(0, 2, 1, 3).reshape(b, t, d)
-        o = (
-            jnp.dot(o, blk["attn"]["proj"]["w"], preferred_element_type=jnp.float32)
-            + blk["attn"]["proj"]["b"]
-        )
-        if spec.layerscale:
-            o = o * blk["ls1"]
-        x = x + o.astype(compute_dtype)
-
-        h = _layer_norm(x, blk["ln2"], spec.ln_eps)
-        if spec.tap_point == "norm2" and i in layers:
-            taps.append(h.astype(jnp.float32))
-        if spec.mlp_kind == "swiglu":
-            h12 = (
-                jnp.dot(h, blk["mlp"]["w12"]["w"], preferred_element_type=jnp.float32)
-                + blk["mlp"]["w12"]["b"]
-            )
-            h1, h2 = jnp.split(h12, 2, axis=-1)
-            h = jax.nn.silu(h1) * h2
-            h = (
-                jnp.dot(h, blk["mlp"]["w3"]["w"], preferred_element_type=jnp.float32)
-                + blk["mlp"]["w3"]["b"]
-            )
-        else:
-            h = (
-                jnp.dot(h, blk["mlp"]["fc1"]["w"], preferred_element_type=jnp.float32)
-                + blk["mlp"]["fc1"]["b"]
-            )
-            if spec.act == "quick_gelu":
-                h = h * jax.nn.sigmoid(1.702 * h)
-            else:
-                h = jax.nn.gelu(h, approximate=spec.act == "gelu_tanh")
-            h = (
-                jnp.dot(h, blk["mlp"]["fc2"]["w"], preferred_element_type=jnp.float32)
-                + blk["mlp"]["fc2"]["b"]
-            )
-        if spec.layerscale:
-            h = h * blk["ls2"]
-        x = x + h.astype(compute_dtype)
-
-        if spec.tap_point == "block" and i in layers:
-            taps.append(x.astype(jnp.float32))
+        x, h_norm2 = _apply_block(spec, blk, x, sin, cos, compute_dtype)
+        if i in layers:
+            tap = h_norm2 if spec.tap_point == "norm2" else x
+            taps.append(tap.astype(jnp.float32))
 
     assert len(taps) == len(set(layers)), (
         f"Requested layers {layers} out of range for n_layers={spec.n_layers}"
@@ -438,6 +447,42 @@ def forward(
     if spec.final_norm:
         x_out = _layer_norm(x_out, params["ln_f"], spec.ln_eps)
     return x_out, taps_arr
+
+
+
+def forward_from(
+    spec: Spec,
+    params: dict,
+    x_tap: Array,
+    start_layer: int,
+    *,
+    grid: tuple[int, int],
+    rope_sincos=None,
+    compute_dtype=jnp.float32,
+) -> Array:
+    """Continue the forward from a residual tap: run blocks [start_layer+1:)
+    plus the final norm. Enables differentiating a model-output score w.r.t. an
+    intermediate activation (Grad-CAM style saliency; scripts/gradcam.py).
+
+    Only valid for `tap_point == "block"` taps (the residual stream after block
+    `start_layer`).
+    """
+    assert spec.tap_point == "block"
+    sin = cos = None
+    if spec.pos_kind == "rope":
+        if rope_sincos is not None:
+            sin, cos = rope_sincos
+        else:
+            sin_np, cos_np = rope_angles(spec, *grid)
+            sin, cos = jnp.asarray(sin_np), jnp.asarray(cos_np)
+
+    x = x_tap.astype(compute_dtype)
+    for blk in params["blocks"][start_layer + 1 :]:
+        x, _ = _apply_block(spec, blk, x, sin, cos, compute_dtype)
+    x = x.astype(jnp.float32)
+    if spec.final_norm:
+        x = _layer_norm(x, params["ln_f"], spec.ln_eps)
+    return x
 
 
 def interpolate_pos(
