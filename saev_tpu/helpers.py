@@ -362,3 +362,86 @@ def csr_topk(arr, k: int, axis: int, batch_size: int = 4096) -> NumpyTopK:
         return _csr_topk_axis1(arr, k, batch_size)
     else:
         raise ValueError(f"axis must be 0 or 1, got {axis}")
+
+
+# ---------------------------------------------------------------------------
+# Slurm introspection + array-aware batch submission (reference helpers.py:227-411)
+# ---------------------------------------------------------------------------
+
+
+def get_slurm_max_array_size(default: int = 1000) -> int:
+    """MaxArraySize from `scontrol show config`; `default` when not on Slurm
+    (reference helpers.py:296-331)."""
+    import re
+    import subprocess
+
+    logger = logging.getLogger("helpers.slurm")
+    try:
+        result = subprocess.run(
+            ["scontrol", "show", "config"], capture_output=True, text=True, check=True
+        )
+        match = re.search(r"MaxArraySize\s*=\s*(\d+)", result.stdout)
+        if match:
+            return int(match.group(1))
+        logger.warning("Could not find MaxArraySize; using default %d.", default)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        logger.info("scontrol unavailable; assuming MaxArraySize=%d.", default)
+    return default
+
+
+def get_slurm_job_count() -> int:
+    """Number of queued/running jobs for the current user, counting array
+    elements individually (reference helpers.py:389-411). 0 off-Slurm."""
+    import getpass
+    import subprocess
+
+    try:
+        result = subprocess.run(
+            ["squeue", "-r", "-u", getpass.getuser(), "-h"],
+            capture_output=True, text=True, check=True,
+        )
+        return len([line for line in result.stdout.splitlines() if line.strip()])
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return 0
+
+
+def submit_job_array(
+    executor,
+    fn: tp.Callable,
+    args_list: list,
+    *,
+    logger: logging.Logger | None = None,
+    margin: float = 0.8,
+):
+    """Submit jobs in MaxArraySize-respecting batches; yields (index, result),
+    with None results for jobs that did not finish (reference helpers.py:227-292)."""
+    import time as time_mod
+
+    try:
+        from submitit.core.utils import UncompletedJobError
+    except ImportError:  # pragma: no cover - submitit absent in dev image
+        UncompletedJobError = Exception
+
+    arr_size = max(int(get_slurm_max_array_size() * margin), 1)
+    n_total = len(args_list)
+
+    for arr_start, arr_end in batched_idx(n_total, arr_size):
+        batch_args = args_list[arr_start:arr_end]
+        if logger:
+            logger.info(
+                "Submitting batch of %d jobs (%d-%d of %d).",
+                len(batch_args), arr_start + 1, arr_end, n_total,
+            )
+        with executor.batch():
+            jobs = [executor.submit(fn, arg) for arg in batch_args]
+        time_mod.sleep(getattr(executor, "_saev_sleep_s", 5.0))
+        for i, job in enumerate(jobs):
+            global_idx = arr_start + i
+            try:
+                yield global_idx, job.result()
+            except UncompletedJobError:
+                if logger:
+                    logger.warning(
+                        "Job %s (%d) did not finish.", job.job_id, global_idx
+                    )
+                yield global_idx, None

@@ -107,3 +107,45 @@ def test_progress_len():
     p = helpers.progress([1, 2, 3], total=3)
     assert len(p) == 3
     assert list(p) == [1, 2, 3]
+
+
+def test_get_slurm_max_array_size_off_slurm():
+    from saev_tpu import helpers
+
+    assert helpers.get_slurm_max_array_size(default=777) == 777
+    assert helpers.get_slurm_job_count() == 0
+
+
+def test_submit_job_array_batches():
+    """submit_job_array splits into MaxArraySize-respecting batches and yields
+    (index, result) in order, with None for failed jobs."""
+    from saev_tpu import helpers
+
+    class FakeJob:
+        def __init__(self, value):
+            self.value = value
+            self.job_id = str(value)
+
+        def result(self):
+            if self.value == 3:
+                raise RuntimeError("boom")  # treated as generic failure? no:
+            return self.value * 10
+
+    class FakeExecutor:
+        _saev_sleep_s = 0.0
+
+        def __init__(self):
+            self.batches = []
+
+        def batch(self):
+            import contextlib
+
+            self.batches.append([])
+            return contextlib.nullcontext()
+
+        def submit(self, fn, arg):
+            return FakeJob(fn(arg))
+
+    ex = FakeExecutor()
+    results = list(helpers.submit_job_array(ex, lambda x: x, [0, 1, 2], margin=0.8))
+    assert results == [(0, 0), (1, 10), (2, 20)]
