@@ -94,6 +94,10 @@ class Config:
     resume: bool = False
     """Resume from the latest saved train state if one exists. The data stream
     restarts reshuffled; optimizer state and step counters are restored."""
+    profile_dir: pathlib.Path | None = None
+    """Capture a jax.profiler trace of steps [10, 20) into this directory
+    (view with TensorBoard/XProf; the reference's analog is VizTracer on the
+    dataloaders, SURVEY.md §5.1)."""
 
     # Logging
     track: bool = True
@@ -730,6 +734,14 @@ def train(
             )
 
         global_step += 1
+
+        if cfg.profile_dir is not None:
+            if global_step == 10:
+                jax.profiler.start_trace(str(cfg.profile_dir))
+                logger.info("Started jax.profiler trace -> %s", cfg.profile_dir)
+            elif global_step == 20:
+                jax.profiler.stop_trace()
+                logger.info("Stopped jax.profiler trace.")
 
         if cfg.ckpt_every and global_step % cfg.ckpt_every == 0:
             for ci, rt in enumerate(runtimes):

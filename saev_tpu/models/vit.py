@@ -531,7 +531,18 @@ def run(
     *,
     compute_dtype: tp.Any = jnp.float32,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Convenience: jitted forward (cached per (spec, layers, grid, dtype))."""
+    """Convenience: jitted forward (cached per (spec, layers, grid, dtype)).
+
+    Extraction data parallelism (SURVEY.md §2.8): with multiple devices and a
+    divisible batch, the image batch shards over the `data` mesh axis and XLA
+    runs the ViT forward on every chip (params replicate on demand).
+    """
+    from .. import parallel
+
     fn = _jitted_forward(spec, tuple(layers), tuple(grid), compute_dtype)
-    out, taps = fn(params, jnp.asarray(tokens))
+    x = jnp.asarray(tokens)
+    n_dev = len(jax.devices())
+    if n_dev > 1 and tokens.shape[0] % n_dev == 0:
+        x = jax.device_put(x, parallel.batch_sharding(parallel.make_mesh()))
+    out, taps = fn(params, x)
     return np.asarray(out), np.asarray(taps)
