@@ -666,8 +666,9 @@ def train(
         # step budget.
         batches = itertools.islice(iter(batches), max(n_steps - start_step, 0))
 
-    for batch in batches:
-        x = parallel.shard_batch(mesh, np.asarray(batch["act"]))
+    # Double-buffered device prefetch: batch i+1 transfers to HBM while step i
+    # computes (SURVEY.md §7.2 step 4).
+    for x, batch in parallel.prefetch_to_device(batches, mesh, depth=2):
         n_patches_seen += x.shape[0]
 
         log_now = (global_step + 1) % cfg.log_every == 0

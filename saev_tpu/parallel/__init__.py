@@ -130,3 +130,34 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree onto every device of the mesh."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def prefetch_to_device(iterator, mesh: Mesh, *, depth: int = 2, key: str = "act"):
+    """Double/triple-buffer host batches into HBM (SURVEY.md §7.2 step 4).
+
+    Wraps a host batch iterator: batch i+1's `device_put` (async under JAX's
+    dispatch model) is issued while step i computes, hiding host->HBM transfer
+    behind compute. Yields (device_array, host_batch) pairs.
+    """
+    import collections
+
+    sharding = batch_sharding(mesh)
+    queue = collections.deque()
+    it = iter(iterator)
+
+    def enqueue():
+        try:
+            batch = next(it)
+        except StopIteration:
+            return False
+        x = jax.device_put(np.asarray(batch[key]), sharding)
+        queue.append((x, batch))
+        return True
+
+    for _ in range(depth):
+        if not enqueue():
+            break
+    while queue:
+        item = queue.popleft()
+        enqueue()
+        yield item
