@@ -27,7 +27,7 @@ import typing as tp
 import numpy as np
 
 from .. import helpers
-from . import buffers, shards
+from . import _native, buffers, shards
 
 
 @dataclasses.dataclass(frozen=True)
@@ -177,12 +177,30 @@ def _io_worker(
             mmap = np.memmap(
                 shards_path / fname, mode="r", dtype=np.float32, shape=md.shard_shape
             )
+            # Native readahead hints (saev_tpu/data/_native): advise the kernel
+            # the scan is sequential and prefetch chunk i+1's byte span while
+            # chunk i streams into the reservoir. No-ops without the toolchain.
+            bytes_per_example = int(np.prod(md.shard_shape[1:])) * 4
+            native_file = None
+            try:
+                native_file = _native.ShardFile(shards_path / fname)
+                native_file.advise_sequential(
+                    0, shard_info[shard_i].n_examples * bytes_per_example
+                )
+            except OSError:
+                native_file = None
 
-            for start, end in helpers.batched_idx(
-                shard_info[shard_i].n_examples, chunk_size
-            ):
+            spans = helpers.batched_idx(shard_info[shard_i].n_examples, chunk_size)
+            spans = list(spans)
+            for span_i, (start, end) in enumerate(spans):
                 if stop_event.is_set():
                     break
+                if native_file is not None and span_i + 1 < len(spans):
+                    nxt_start, nxt_end = spans[span_i + 1]
+                    native_file.prefetch(
+                        nxt_start * bytes_per_example,
+                        (nxt_end - nxt_start) * bytes_per_example,
+                    )
                 for t in range(md.content_tokens_per_example):
                     if stop_event.is_set():
                         break
@@ -237,6 +255,8 @@ def _io_worker(
                             reservoir.fill(),
                         )
                         t_last_report = now
+            if native_file is not None:
+                native_file.close()
         except buffers.BufferClosed:
             reason = "buffer_closed"
             break
