@@ -323,11 +323,13 @@ def _adam_update(grads, opt_state, lr_per_sae, *, b1=0.9, b2=0.999, eps=1e-8):
 
 def _newton_schulz(g: Array, steps: int = 5, eps: float = 1e-7) -> Array:
     """Orthogonalize the last two axes via the quintic Newton-Schulz iteration
-    (Muon; Jordan et al. 2024). Works on stacked (n_sae, a, b) arrays."""
+    (torch.optim.Muon's _zeropower_via_newtonschulz; Jordan et al. 2024). Works
+    on stacked (n_sae, a, b) arrays. torch runs the iteration in bf16; we keep
+    f32 (strictly more accurate, same fixed point)."""
     a, b, c = 3.4445, -4.7750, 2.0315
     transpose = g.shape[-2] > g.shape[-1]
     x = jnp.swapaxes(g, -2, -1) if transpose else g
-    x = x / (jnp.linalg.norm(x, axis=(-2, -1), keepdims=True) + eps)
+    x = x / jnp.maximum(jnp.linalg.norm(x, axis=(-2, -1), keepdims=True), eps)
     for _ in range(steps):
         gram = x @ jnp.swapaxes(x, -2, -1)
         x = a * x + (b * gram + c * gram @ gram) @ x
@@ -342,25 +344,34 @@ def _muon_init(params) -> dict[str, tp.Any]:
     }
 
 
-def _muon_update(grads, opt_state, lr_per_sae, *, beta=0.95):
-    """Muon on 2-D (stacked 3-D) params, Adam on the rest (reference train.py:296-306).
+def _muon_update(
+    params, grads, opt_state, lr_per_sae, *, beta=0.95, weight_decay=0.1
+):
+    """torch.optim.Muon-equivalent update on 2-D (stacked 3-D) params, Adam on
+    the rest (the reference splits params the same way, train.py:296-306).
 
-    The update is scaled by sqrt(max(1, rows/cols)) per Muon convention.
+    Matches torch.optim.Muon defaults (torch/optim/_muon.py): EMA momentum
+    buffer (buf = m*buf + (1-m)*g), nesterov blend (upd = (1-m)*g + m*buf),
+    Newton-Schulz orthogonalization, lr adjusted by sqrt(max(1, rows/cols)),
+    and decoupled weight decay 0.1 applied with the UNADJUSTED lr.
     """
-    mu = jax.tree.map(lambda m, g: beta * m + g, opt_state["mu"], grads)
+    mu = jax.tree.map(
+        lambda m, g: beta * m + (1.0 - beta) * g, opt_state["mu"], grads
+    )
     adam_updates, adam_state = _adam_update(grads, opt_state["adam"], lr_per_sae)
 
-    def upd(path_mu, adam_u):
+    def upd(p, g, path_mu, adam_u):
         if path_mu.ndim >= 3:  # stacked 2-D param -> Muon
-            ortho = _newton_schulz(path_mu)
+            nesterov = (1.0 - beta) * g + beta * path_mu
+            ortho = _newton_schulz(nesterov)
             scale = jnp.sqrt(
                 jnp.maximum(1.0, path_mu.shape[-2] / path_mu.shape[-1])
             )
             lr = lr_per_sae.reshape((-1,) + (1,) * (path_mu.ndim - 1))
-            return -lr * scale * ortho
+            return -lr * weight_decay * p - lr * scale * ortho
         return adam_u
 
-    updates = jax.tree.map(upd, mu, adam_updates)
+    updates = jax.tree.map(upd, params, grads, mu, adam_updates)
     return updates, {"mu": mu, "adam": adam_state, "count": opt_state["count"] + 1}
 
 
@@ -470,7 +481,7 @@ def make_train_step(
         if optim == "adam":
             updates, opt_state = _adam_update(grads, ts.opt_state, lr)
         elif optim == "muon":
-            updates, opt_state = _muon_update(grads, ts.opt_state, lr)
+            updates, opt_state = _muon_update(params, grads, ts.opt_state, lr)
         else:
             raise ValueError(f"Unknown optimizer: {optim}")
         params = jax.tree.map(lambda p, u: p + u, params, updates)
