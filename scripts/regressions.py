@@ -1,10 +1,10 @@
-"""Convert pytest-json + coverage-json reports into REGRESSIONS.md
+"""Convert pytest reports into REGRESSIONS.md
 (capability mirror of reference scripts/regressions.py).
 
-Usage:
-    python -m pytest tests/ --json-report --json-report-file=pytest.json \
-        --cov=saev_tpu --cov-report=json
-    python scripts/regressions.py pytest.json coverage.json > REGRESSIONS.md
+Accepts pytest-json-report JSON or built-in junit XML:
+
+    python -m pytest tests/ --junitxml=pytest.xml
+    python scripts/regressions.py pytest.xml [coverage.json] > REGRESSIONS.md
 """
 
 import json
@@ -12,16 +12,40 @@ import pathlib
 import sys
 
 
-def main(pytest_json: pathlib.Path, coverage_json: pathlib.Path | None = None) -> str:
-    report = json.loads(pathlib.Path(pytest_json).read_text())
-    lines = ["# Regressions", ""]
+def _parse_junit(fpath: pathlib.Path) -> tuple[dict, list[str]]:
+    import xml.etree.ElementTree as ET
 
+    root = ET.parse(fpath).getroot()
+    suite = root if root.tag == "testsuite" else root.find("testsuite")
+    n_tests = int(suite.get("tests", 0))
+    n_failed = int(suite.get("failures", 0)) + int(suite.get("errors", 0))
+    n_skipped = int(suite.get("skipped", 0))
     failed = [
-        t["nodeid"]
-        for t in report.get("tests", [])
-        if t.get("outcome") in ("failed", "error")
+        f"{tc.get('classname')}::{tc.get('name')}"
+        for tc in suite.iter("testcase")
+        if tc.find("failure") is not None or tc.find("error") is not None
     ]
-    summary = report.get("summary", {})
+    summary = {
+        "passed": n_tests - n_failed - n_skipped,
+        "failed": n_failed,
+        "skipped": n_skipped,
+    }
+    return summary, failed
+
+
+def main(pytest_report: pathlib.Path, coverage_json: pathlib.Path | None = None) -> str:
+    pytest_report = pathlib.Path(pytest_report)
+    if pytest_report.suffix == ".xml":
+        summary, failed = _parse_junit(pytest_report)
+    else:
+        report = json.loads(pytest_report.read_text())
+        failed = [
+            t["nodeid"]
+            for t in report.get("tests", [])
+            if t.get("outcome") in ("failed", "error")
+        ]
+        summary = report.get("summary", {})
+    lines = ["# Regressions", ""]
     lines.append(
         f"{summary.get('passed', 0)} passed, {summary.get('failed', 0)} failed, "
         f"{summary.get('skipped', 0)} skipped."

@@ -114,3 +114,34 @@ def helpers():
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: slow tests")
     config.addinivalue_line("markers", "integration: integration tests")
+
+
+def pytest_addoption(parser):
+    """Optional real-asset paths (mirror of reference conftest.py:11-43); tests
+    that need them skip gracefully when absent."""
+    parser.addoption("--shards", default=None, help="Real activation shards dir.")
+    parser.addoption("--ckpt-path", default=None, help="Real sae.pt checkpoint.")
+    parser.addoption("--dinov3-ckpt", default=None, help="Local DINOv3 .pth file.")
+    parser.addoption("--imgfolder", default=None, help="Real ImgFolder root.")
+    parser.addoption("--segfolder", default=None, help="Real ImgSegFolder root.")
+
+
+def _path_fixture(name):
+    @pytest.fixture(scope="session")
+    def fixture(request):
+        value = request.config.getoption(name)
+        if value is None:
+            pytest.skip(f"--{name.replace('_', '-')} not provided")
+        p = pathlib.Path(value)
+        if not p.exists():
+            pytest.skip(f"--{name.replace('_', '-')} path does not exist: {p}")
+        return p
+
+    return fixture
+
+
+real_shards = _path_fixture("shards")
+real_ckpt_path = _path_fixture("ckpt_path")
+real_dinov3_ckpt = _path_fixture("dinov3_ckpt")
+real_imgfolder = _path_fixture("imgfolder")
+real_segfolder = _path_fixture("segfolder")
