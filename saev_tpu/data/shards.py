@@ -124,13 +124,17 @@ class Metadata:
 
     @property
     def hash(self) -> str:
-        """First 8 hex chars of SHA-256 of the sorted-key compact JSON of this config.
+        """First 8 hex chars of SHA-256 of the compact JSON of this config.
 
-        Note: the reference hashes orjson output with OPT_SORT_KEYS (shards.py:127-135);
-        we hash the sorted-key compact stdlib-json rendering of the same field dict.
+        The reference hashes orjson's dataclass serialization
+        (shards.py:127-135, option=OPT_SORT_KEYS). orjson serializes dataclass
+        instances in FIELD-DEFINITION order — OPT_SORT_KEYS only affects dicts —
+        with compact separators and repr-shortest floats, which the stdlib-json
+        rendering below reproduces, keeping shard directory names compatible
+        across implementations.
         """
         dct = {f.name: getattr(self, f.name) for f in dataclasses.fields(self)}
-        cfg_bytes = helpers.jdumps(dct, sort_keys=True)
+        cfg_bytes = helpers.jdumps(dct, sort_keys=False)
         return hashlib.sha256(cfg_bytes).hexdigest()[:8]
 
     @property

@@ -2,6 +2,7 @@
 IndexMap coordinate math. Models the reference's test_shards_properties.py /
 test_shards_math.py coverage."""
 
+import dataclasses
 import json
 import pathlib
 
@@ -279,3 +280,39 @@ def test_pixel_to_patch_labels_shape_mismatch():
     seg = np.zeros((8, 8), dtype=np.uint8)
     with pytest.raises(AssertionError):
         shards.pixel_to_patch_labels(seg, n_patches=5, patch_size=4)
+
+
+def test_metadata_hash_golden():
+    """The content hash is pinned: field-definition-order compact JSON, matching
+    orjson's dataclass serialization in the reference (shards.py:127-135).
+    Changing serialization silently would orphan every existing shard dir."""
+    import base64
+    import hashlib
+    import json
+    import pickle
+
+    from saev_tpu.data import datasets, shards
+
+    data = base64.b64encode(pickle.dumps(datasets.FakeImg(n_examples=4))).decode()
+    md = shards.Metadata(
+        family="fake-clip",
+        ckpt="test-ckpt",
+        layers=(0,),
+        content_tokens_per_example=16,
+        cls_token=True,
+        d_model=128,
+        n_examples=4,
+        max_tokens_per_shard=128,
+        data=data,
+        dataset=pathlib.Path("/fake/root"),
+    )
+    # Independent recomputation of the spec: compact JSON, field order.
+    dct = {f.name: getattr(md, f.name) for f in dataclasses.fields(md)}
+    rendered = json.dumps(
+        dct, separators=(",", ":"),
+        default=lambda o: str(o) if isinstance(o, pathlib.Path) else o.value,
+    ).encode()
+    assert md.hash == hashlib.sha256(rendered).hexdigest()[:8]
+    # Field order, not sorted order.
+    keys = list(json.loads(rendered).keys())
+    assert keys[0] == "family" and keys != sorted(keys)
