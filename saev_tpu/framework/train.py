@@ -82,11 +82,14 @@ class Config:
     """Shard the stacked-SAE sweep axis over this many devices (the `sweep`
     mesh axis): each chip trains its slice of the sweep with no gradient
     traffic. Cohort sizes must divide it. 1 = replicate (pure DP)."""
-    matmul_precision: tp.Literal["highest", "high", "default"] = "high"
-    """Train-step matmul precision: highest = f32 emulation (reference parity
-    mode), high = bf16x3 (~1e-7 rel err, +25% throughput; the default),
-    default = bf16 (~1e-5 rel err, fastest). Eval/inference always run at
-    highest."""
+    matmul_precision: tp.Literal["highest", "high", "default"] = "default"
+    """Train-step matmul precision: default = bf16 inputs with f32 accumulation
+    (the TPU-native choice, 1.43x over bf16x3 end to end), high = bf16x3
+    (~1e-7 rel err), highest = full f32 emulation (reference parity mode).
+    Measured on structured synthetic data (400 steps, identical seeds), bf16
+    and bf16x3 produce per-step loss curves identical to 4 decimals and final
+    eval NMSE within 0.12% (noise) — scripts/proto_prec_quality.py. Eval and
+    inference always run at highest regardless of this knob."""
     ckpt_every: int = 0
     """Save the full train state (params + optimizer + counters) every N steps
     under runs_root/.train_state (0 disables). The reference has no mid-run
@@ -421,7 +424,7 @@ def make_train_step(
     obj_cfg: objectives.Matryoshka,
     n_steps: int,
     optim: str = "adam",
-    matmul_precision: str = "high",
+    matmul_precision: str = "default",
 ):
     """Build the jitted train step for one cohort.
 

@@ -34,8 +34,9 @@ Array = jax.Array
 # Default matmul precision: HIGHEST (6-pass f32 emulation) for parity with the
 # reference (<1e-4 relative MSE target, BASELINE.md). Eval/inference always use
 # this; the training step may lower it via the explicit `precision` arguments
-# (train.Config.matmul_precision: "high" = bf16x3 ~1e-7 rel err, 1.3x faster;
-# "default" = bf16 ~1e-5 rel err, 1.5x faster — both inside the parity budget).
+# (train.Config.matmul_precision; its default is "default" = bf16 inputs with
+# f32 accumulation — validated against bf16x3 on 400-step training runs, see
+# docs/performance.md; "high" = bf16x3 ~1e-7 rel err for parity studies).
 MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
 PRECISIONS = {
@@ -335,9 +336,11 @@ def decode(
     prefixes=None, a single full reconstruction (n_prefixes=1).
 
     TPU-first implementation: the latent axis is split into static groups of
-    `group_size`; one batched group matmul + cumsum yields prefix sums at group
-    boundaries, and each prefix adds a single masked remainder-group matmul picked
-    out with `lax.dynamic_slice`. All shapes static; prefix values may be traced.
+    `group_size`; one batched group matmul produces per-group partial sums, a
+    (J, G) prefix mask contracts them straight to the J cut points on the MXU
+    (no cumsum over boundaries no prefix touches), and each prefix adds a single
+    masked remainder-group matmul picked out with `lax.dynamic_slice`. All
+    shapes static; prefix values may be traced.
     """
     precision = precision or MATMUL_PRECISION
     w_dec = params["W_dec"]  # (d_sae, d_model)
@@ -372,28 +375,33 @@ def decode(
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    # Prefix sums at group boundaries: s0[:, m] = sum of groups < m. (b, G+1, d)
-    s0 = jnp.concatenate(
-        [jnp.zeros((b, 1, d_model), partial.dtype), jnp.cumsum(partial, axis=1)],
-        axis=1,
+    # Prefix sums at the J cut points directly, as one mask contraction on the
+    # MXU: base[:, j] = sum of groups fully below prefix j. This reads
+    # `partial` once; a cumsum over all G+1 boundaries would write and re-read
+    # the whole (b, G, d) tensor and run a serial scan (and its backward, a
+    # reverse scan) for boundaries no prefix ever touches.
+    p32 = prefixes.astype(jnp.int32)  # (J,)
+    m = p32 // g  # group index holding each cut
+    r = p32 - m * g  # lanes of that group below the cut
+    group_mask = (
+        jnp.arange(n_groups, dtype=jnp.int32)[None, :] < m[:, None]
+    ).astype(partial.dtype)  # (J, G)
+    base = jnp.einsum(
+        "bGd,JG->bJd", partial, group_mask, preferred_element_type=jnp.float32
     )
 
     lane = jnp.arange(g, dtype=jnp.int32)
     x_hats = []
     for j in range(n_prefixes):
-        p = prefixes[j].astype(jnp.int32)
-        m = p // g
-        r = p - m * g
-        base = jax.lax.dynamic_slice_in_dim(s0, m, 1, axis=1)[:, 0, :]
         # Remainder group: dynamic_slice clamps m*g into range; r == 0 masks it out.
-        f_m = jax.lax.dynamic_slice(f_pad, (0, m * g), (b, g))
-        w_m = jax.lax.dynamic_slice(w_pad, (m * g, 0), (g, d_model))
+        f_m = jax.lax.dynamic_slice(f_pad, (0, m[j] * g), (b, g))
+        w_m = jax.lax.dynamic_slice(w_pad, (m[j] * g, 0), (g, d_model))
         rem = jnp.dot(
-            jnp.where(lane < r, f_m, jnp.zeros((), f_m.dtype)),
+            jnp.where(lane < r[j], f_m, jnp.zeros((), f_m.dtype)),
             w_m,
             preferred_element_type=jnp.float32,
         )
-        x_hats.append(base + rem + b_dec)
+        x_hats.append(base[:, j, :] + rem + b_dec)
 
     return jnp.stack(x_hats, axis=1)
 
