@@ -326,7 +326,7 @@ def decode(
     f_x: Array,
     prefixes: Array | None = None,
     *,
-    group_size: int = 512,
+    group_size: int = 1024,
     precision: jax.lax.Precision | None = None,
 ) -> Array:
     """Decode latents to per-prefix reconstructions (batch, n_prefixes, d_model).

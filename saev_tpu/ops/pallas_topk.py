@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TILE_ROWS = 8  # f32 sublane count
+TILE_ROWS = 32  # rows staged per grid program (VMEM tile = TILE_ROWS x S f32)
 
 
 def _kernel(k: int, x_ref, out_ref):
