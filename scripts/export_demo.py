@@ -1,13 +1,25 @@
-"""Export a static web demo bundle from a trained run.
+"""Export static web demo bundles from trained runs.
 
-Capability mirror of reference scripts/deploy.py + the Elm/Gradio web demos
-(reference src/web/): instead of a live Gradio backend, activations for a
-sample of images and latents are precomputed into `demo.json`, and the
-static app in src/web/semseg renders them interactively in any browser.
+Capability mirror of reference scripts/deploy.py + the three Elm/Gradio web
+demos (reference src/web/src/{Semseg,Classification,Comparison}.elm): instead
+of a live Gradio backend, activations for a sample of images and latents are
+precomputed into `demo.json`, and the static apps under src/web/ render them
+interactively in any browser.
+
+Subcommands:
+    export          latent explorer (semseg-style heatmap toggles)
+    classification  patch-select -> slider intervention -> prediction deltas
+                    (the linear head + SAE decoder rows ship in demo.json so
+                    the intervention math runs client-side)
+    comparison      the same images through N (model, run) pairs side by side
 
 Usage:
     python scripts/export_demo.py export --run runs/<id> --shards <dir> \\
         --out ./demo_site
+    python scripts/export_demo.py classification --run runs/<id> \\
+        --shards <dir> --out ./demo_cls
+    python scripts/export_demo.py comparison --runs runs/a runs/b \\
+        --shards-list <dir-a> <dir-b> --out ./demo_cmp
     python -m http.server -d ./demo_site   # then open http://localhost:8000
 """
 
@@ -35,77 +47,253 @@ class Args:
     n_latents: int = 24
     """Most-frequent in-band latents exported."""
     img_scale: float = 1.0
+    layer_idx: int = 0
+    """Which recorded layer to pool for the classification head (index into
+    metadata.layers)."""
     out: pathlib.Path = pathlib.Path("./demo_site")
 
 
-def export(args: Args) -> pathlib.Path:
+def _collect(
+    run_dir: pathlib.Path,
+    shards_dir: pathlib.Path,
+    n_images: int,
+    n_latents: int,
+    img_scale: float,
+    *,
+    with_images: bool = True,
+) -> dict:
+    """Gather everything the static apps need for one (run, shards) pair:
+    sampled images (as data: URLs), the most frequently firing latents, and
+    their per-image patch activation grids."""
     import scipy.sparse
     from PIL import Image
 
     import saev_tpu.disk
     from saev_tpu.data import Metadata, datasets, models
 
-    run = saev_tpu.disk.Run(args.run)
-    art = run.inference / args.shards.name
+    run = saev_tpu.disk.Run(run_dir)
+    md = Metadata.load(shards_dir)
+    art = run.inference / md.hash
     token_acts = scipy.sparse.load_npz(art / "token_acts.npz").tocsr()
-    md = Metadata.load(args.shards)
     ctpe = md.content_tokens_per_example
-    d_sae = token_acts.shape[1]
 
     model_cls = models.load_model_cls(md.family)
     model = model_cls(md.ckpt)
-    resize_tr = model_cls.make_resize(md.ckpt, ctpe, scale=args.img_scale)
+    resize_tr = model_cls.make_resize(md.ckpt, ctpe, scale=img_scale)
     ds = datasets.get_dataset(md.make_data_cfg(), data_transform=resize_tr)
 
-    n_images = min(args.n_images, md.n_examples)
+    n_images = min(n_images, md.n_examples)
     # Pick latents by firing frequency over the sampled images.
     sub = token_acts[: n_images * ctpe]
     freq = np.asarray((sub > 0).sum(axis=0)).reshape(-1)
-    latents = np.argsort(-freq)[: args.n_latents]
+    latents = np.argsort(-freq)[:n_latents]
     latents = [int(l) for l in latents if freq[l] > 0]
 
-    patch_size = int(model.patch_size * args.img_scale)
-    images, grid_hw = [], None
+    patch_size = int(model.patch_size * img_scale)
+    images, targets, labels, grid_hw = [], [], [], None
     for i in range(n_images):
-        img = ds[i]["data"]
+        sample = ds[i]
+        img = sample["data"]
         if not isinstance(img, Image.Image):
             img = Image.fromarray(np.asarray(img))
         if grid_hw is None:
             grid_hw = (img.height // patch_size, img.width // patch_size)
-        buf = io.BytesIO()
-        img.convert("RGB").save(buf, format="PNG")
-        images.append("data:image/png;base64," + base64.b64encode(buf.getvalue()).decode())
+        targets.append(int(sample.get("target", 0)))
+        labels.append(str(sample.get("label", "")))
+        if with_images:
+            buf = io.BytesIO()
+            img.convert("RGB").save(buf, format="PNG")
+            images.append(
+                "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+            )
 
     activations = {}
     for latent in latents:
         col = np.asarray(sub[:, latent].todense()).reshape(n_images, ctpe)
         activations[str(latent)] = [row.round(4).tolist() for row in col]
 
-    args.out.mkdir(parents=True, exist_ok=True)
-    template = pathlib.Path(__file__).parent.parent / "src" / "web" / "semseg"
+    return {
+        "run": run,
+        "md": md,
+        "n_images": n_images,
+        "images": images,
+        "targets": targets,
+        "labels": labels,
+        "latents": latents,
+        "activations": activations,
+        "grid_hw": grid_hw,
+        "patch_size": patch_size,
+    }
+
+
+def _write_site(out: pathlib.Path, app: str, demo: dict) -> pathlib.Path:
+    out.mkdir(parents=True, exist_ok=True)
+    template = pathlib.Path(__file__).parent.parent / "src" / "web" / app
     for fname in ("index.html", "app.js"):
-        shutil.copy(template / fname, args.out / fname)
-    with open(args.out / "demo.json", "w") as fd:
-        json.dump(
-            {
-                "run_id": run.run_id,
-                "grid_h": grid_hw[0],
-                "grid_w": grid_hw[1],
-                "patch_size": patch_size,
-                "images": images,
-                "latents": latents,
-                "activations": activations,
-            },
-            fd,
-        )
-    logger.info(
-        "Exported %d images x %d latents to %s.", n_images, len(latents), args.out
+        shutil.copy(template / fname, out / fname)
+    with open(out / "demo.json", "w") as fd:
+        json.dump(demo, fd)
+    return out
+
+
+def export(args: Args) -> pathlib.Path:
+    c = _collect(args.run, args.shards, args.n_images, args.n_latents, args.img_scale)
+    out = _write_site(
+        args.out,
+        "semseg",
+        {
+            "run_id": c["run"].run_id,
+            "grid_h": c["grid_hw"][0],
+            "grid_w": c["grid_hw"][1],
+            "patch_size": c["patch_size"],
+            "images": c["images"],
+            "latents": c["latents"],
+            "activations": c["activations"],
+        },
     )
-    return args.out
+    logger.info(
+        "Exported %d images x %d latents to %s.", c["n_images"], len(c["latents"]), out
+    )
+    return out
+
+
+def _pooled_acts(shards_dir: pathlib.Path, layer: int, n_images: int) -> np.ndarray:
+    """Mean-pooled raw ViT activations per image, (n_images, d_model) f32."""
+    from saev_tpu.data import indexed
+
+    ds = indexed.Dataset(indexed.Config(shards=shards_dir, tokens="content", layer=layer))
+    md = ds.md
+    ctpe = md.content_tokens_per_example
+    out = np.zeros((n_images, md.d_model), np.float32)
+    for i in range(n_images):
+        for t in range(ctpe):
+            out[i] += ds[i * ctpe + t]["act"]
+        out[i] /= ctpe
+    return out
+
+
+def export_classification(args: Args) -> pathlib.Path:
+    """Static intervention demo (reference Classification.elm): fits a linear
+    head on mean-pooled ViT activations, then ships the head (W, b), each
+    exported latent's decoder row, and per-image pooled activations so the app
+    can recompute predictions after latent interventions entirely client-side.
+    """
+    from sklearn.linear_model import LogisticRegression
+
+    from saev_tpu import nn
+    from saev_tpu.data import Metadata
+
+    c = _collect(args.run, args.shards, args.n_images, args.n_latents, args.img_scale)
+    md: "Metadata" = c["md"]
+    layer = md.layers[0] if len(md.layers) == 1 else md.layers[args.layer_idx]
+
+    # Fit the linear head on ALL examples (not just the exported sample).
+    from saev_tpu.data import datasets
+
+    ds = datasets.get_dataset(md.make_data_cfg())
+    all_targets = [int(ds[i].get("target", 0)) for i in range(md.n_examples)]
+    classes = sorted(set(all_targets))
+    if len(classes) < 2:
+        raise ValueError(
+            "classification demo needs a dataset with >= 2 classes; "
+            f"got targets {classes}. Use an ImgFolder/Imagenet-style dataset."
+        )
+    x_all = _pooled_acts(args.shards, layer, md.n_examples)
+    clf = LogisticRegression(max_iter=1000).fit(x_all, all_targets)
+    coef = clf.coef_.astype(np.float32)
+    intercept = clf.intercept_.astype(np.float32)
+    if coef.shape[0] == 1:
+        # Binary sklearn head: p(c1) = sigmoid(w.x + b). Same distribution as
+        # softmax over logits [0, w.x + b].
+        coef = np.concatenate([np.zeros_like(coef), coef], axis=0)
+        intercept = np.concatenate([np.zeros_like(intercept), intercept])
+    class_names = {}
+    for i in range(md.n_examples):
+        s = ds[i]
+        class_names.setdefault(int(s.get("target", 0)), str(s.get("label", "")))
+    names = [class_names.get(cl, str(cl)) for cl in clf.classes_]
+
+    # Decoder rows of the exported latents (for client-side intervention).
+    sae_cfg, params, _state = nn.load(c["run"].ckpt)
+    w_dec = np.asarray(params["W_dec"], np.float32)
+    assert w_dec.shape[1] == md.d_model
+
+    x_pool = x_all[: c["n_images"]]
+    demo = {
+        "run_id": c["run"].run_id,
+        "grid_h": c["grid_hw"][0],
+        "grid_w": c["grid_hw"][1],
+        "patch_size": c["patch_size"],
+        "images": c["images"],
+        "latents": c["latents"],
+        "activations": c["activations"],
+        "x_pool": [row.round(5).tolist() for row in x_pool],
+        "head_w": [row.round(6).tolist() for row in coef],
+        "head_b": intercept.round(6).tolist(),
+        "class_names": names,
+        "w_dec": {
+            str(l): w_dec[l].round(5).tolist() for l in c["latents"]
+        },
+    }
+    out = _write_site(args.out, "classification", demo)
+    logger.info(
+        "Exported classification demo: %d images, %d latents, %d classes -> %s",
+        c["n_images"], len(c["latents"]), len(names), out,
+    )
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class ComparisonArgs:
+    runs: list[pathlib.Path] = dataclasses.field(default_factory=list)
+    shards_list: list[pathlib.Path] = dataclasses.field(default_factory=list)
+    """One shards dir per run, over the SAME underlying image dataset."""
+    n_images: int = 8
+    n_latents: int = 24
+    img_scale: float = 1.0
+    out: pathlib.Path = pathlib.Path("./demo_cmp")
+
+
+def export_comparison(args: ComparisonArgs) -> pathlib.Path:
+    """Static multi-ViT comparison demo (reference Comparison.elm): the same
+    images through N (model, run) pairs; each model block keeps its own patch
+    grid and top latents."""
+    assert len(args.runs) == len(args.shards_list) and args.runs, (
+        "need matching --runs and --shards-list"
+    )
+    models_out, images = [], None
+    for run_dir, shards_dir in zip(args.runs, args.shards_list):
+        c = _collect(
+            run_dir, shards_dir, args.n_images, args.n_latents, args.img_scale,
+            with_images=images is None,
+        )
+        if images is None:
+            images = c["images"]
+        models_out.append({
+            "family": c["md"].family,
+            "ckpt": c["md"].ckpt,
+            "run_id": c["run"].run_id,
+            "grid_h": c["grid_hw"][0],
+            "grid_w": c["grid_hw"][1],
+            "patch_size": c["patch_size"],
+            "latents": c["latents"],
+            "activations": c["activations"],
+        })
+    demo = {"images": images, "models": models_out}
+    out = _write_site(args.out, "comparison", demo)
+    logger.info(
+        "Exported comparison demo: %d models x %d images -> %s",
+        len(models_out), len(images), out,
+    )
+    return out
 
 
 if __name__ == "__main__":
     from saev_tpu.utils import cli as cli_mod
 
     logging.basicConfig(level=logging.INFO)
-    cli_mod.run({"export": export})
+    cli_mod.run({
+        "export": export,
+        "classification": export_classification,
+        "comparison": export_comparison,
+    })
