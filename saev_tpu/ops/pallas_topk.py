@@ -45,7 +45,7 @@ def _kernel(k: int, x_ref, out_ref):
         return jnp.where(count >= k, cand, cur)
 
     cur = jax.lax.fori_loop(
-        0, 32, bit_step, jnp.zeros((x.shape[0], 1), jnp.uint32)
+        0, 32, bit_step, jnp.zeros((x.shape[0], 1), jnp.uint32), unroll=32
     )
     # Invert the key map back to float.
     was_nonneg = (cur >> 31) == 1
