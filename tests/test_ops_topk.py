@@ -122,3 +122,62 @@ def test_sampled_kth_value_few_finite_rows():
     h[:, :10] = 1.0  # only 10 finite entries
     out = np.asarray(ops.sampled_kth_value(jnp.asarray(h), 512, n_sample=2048))
     assert np.isneginf(out).all()
+
+
+# ---------------------------------------------------------------------------
+# Pallas bisection kernel: property tests in interpret mode (CPU) against
+# numpy order statistics, incl. ties, +-inf, subnormals, negatives.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from saev_tpu.ops import pallas_topk
+
+
+@st.composite
+def adversarial_rows(draw):
+    s = draw(st.sampled_from([8, 64, 257]))
+    kind = draw(st.sampled_from(["gauss", "ties", "mixed", "inf"]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rows = pallas_topk.TILE_ROWS
+    rng = np.random.default_rng(seed)
+    if kind == "gauss":
+        h = rng.normal(size=(rows, s))
+    elif kind == "ties":
+        h = rng.integers(-3, 3, size=(rows, s)).astype(np.float64)
+    elif kind == "mixed":
+        h = rng.choice(
+            [0.0, -0.0, 1e-40, -1e-40, 1.0, -1.0, 3.14], size=(rows, s)
+        )
+    else:
+        h = rng.normal(size=(rows, s))
+        h[rng.random(size=h.shape) < 0.2] = -np.inf
+        h[rng.random(size=h.shape) < 0.05] = np.inf
+    k = draw(st.integers(1, s))
+    return h.astype(np.float32), k
+
+
+@given(adversarial_rows())
+@settings(max_examples=40, deadline=None)
+def test_pallas_kth_matches_numpy(case):
+    h, k = case
+    got = np.asarray(
+        pallas_topk.exact_kth_value_pallas(jnp.asarray(h), k, True)
+    ).reshape(-1)
+    want = np.sort(h, axis=-1)[:, ::-1][:, k - 1]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_kth_row_padding():
+    """Non-multiple-of-tile row counts go through kth_value's padding path."""
+    h = np.random.default_rng(0).normal(size=(13, 128)).astype(np.float32)
+    # kth_value dispatches to lax.top_k off-TPU; call the padded kernel
+    # directly in interpret mode instead.
+    pad = (-13) % pallas_topk.TILE_ROWS
+    h_padded = np.pad(h, ((0, pad), (0, 0)))
+    got = np.asarray(
+        pallas_topk.exact_kth_value_pallas(jnp.asarray(h_padded), 5, True)
+    )[:13].reshape(-1)
+    want = np.sort(h, axis=-1)[:, ::-1][:, 4]
+    np.testing.assert_array_equal(got, want)
