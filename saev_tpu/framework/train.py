@@ -82,6 +82,11 @@ class Config:
     """Shard the stacked-SAE sweep axis over this many devices (the `sweep`
     mesh axis): each chip trains its slice of the sweep with no gradient
     traffic. Cohort sizes must divide it. 1 = replicate (pure DP)."""
+    sweep_vmap_width: int = 1
+    """SAEs per lax.map chunk inside the train step: vmap within a chunk,
+    sequential across chunks. A single production-shape SAE fwd+bwd peaks at
+    ~8 GB of HLO temps, so width 1 is the safe default on 16 GB chips; raise
+    it for small SAEs."""
     matmul_precision: tp.Literal["highest", "high", "default"] = "default"
     """Train-step matmul precision: default = bf16 inputs with f32 accumulation
     (the TPU-native choice, 1.43x over bf16x3 end to end), high = bf16x3
@@ -159,6 +164,7 @@ def _static_key(cfg: Config) -> tuple:
         cfg.objective.dead_threshold_tokens,
         cfg.optim,
         cfg.matmul_precision,
+        cfg.sweep_vmap_width,
     )
 
 
@@ -425,6 +431,7 @@ def make_train_step(
     n_steps: int,
     optim: str = "adam",
     matmul_precision: str = "default",
+    sweep_vmap_width: int = 1,
 ):
     """Build the jitted train step for one cohort.
 
@@ -433,6 +440,14 @@ def make_train_step(
       prefixes: (n_sae, n_prefixes) i32, sampled host-side per step
       hp:       per-SAE float hyperparameter arrays (_hp_arrays)
       stats:    light per-step stats {loss terms (n_sae,), grad_norm, lr}
+
+    The per-SAE forward+backward runs as `lax.map` over the sweep axis in
+    chunks of `sweep_vmap_width` (vmap within a chunk, sequential across
+    chunks). A single-SAE fwd+bwd at production shapes peaks at ~8 GB of HLO
+    temps (batch x d_sae intermediates), so fully vmapping the sweep OOMs a
+    16 GB chip at 3+ SAEs and thrashes at 2; chunk width 1 trains a sweep of
+    ANY size at ~n_sae x the single-SAE step time. Raise the width for small
+    SAEs where the chunk fits comfortably.
     """
 
     precision = modeling.PRECISIONS[matmul_precision]
@@ -450,19 +465,32 @@ def make_train_step(
         # Normalize W_dec rows before the forward (reference train.py:334).
         params = jax.vmap(lambda p: modeling.normalize_w_dec(sae_cfg, p))(ts.params)
 
-        def total_loss(params):
-            losses, outs, sae_states, obj_states = jax.vmap(
-                loss_one, in_axes=(0, 0, 0, None, 0, 0, 0, 0)
-            )(
-                params, ts.sae_state, ts.obj_state, x, prefixes,
-                hp["sparsity_coeff"], hp["aux_alpha"], hp["momentum"],
-            )
-            # SAEs are independent; grad of the sum = per-SAE grads.
-            return jnp.sum(losses.loss), (losses, outs, sae_states, obj_states)
+        def grad_one(args):
+            params_i, sae_state_i, obj_state_i, prefixes_i, coeff, alpha, mom = args
 
-        (_, (losses, outs, sae_states, obj_states)), grads = jax.value_and_grad(
-            total_loss, has_aux=True
-        )(params)
+            def scalar_loss(p):
+                loss, _out, s1, s2 = loss_one(
+                    p, sae_state_i, obj_state_i, x, prefixes_i, coeff, alpha, mom
+                )
+                return loss.loss, (loss, s1, s2)
+
+            (_, (loss, s1, s2)), g = jax.value_and_grad(scalar_loss, has_aux=True)(
+                params_i
+            )
+            return loss, g, s1, s2
+
+        mapped = (
+            params, ts.sae_state, ts.obj_state, prefixes,
+            hp["sparsity_coeff"], hp["aux_alpha"], hp["momentum"],
+        )
+        n_sae = prefixes.shape[0]
+        if sweep_vmap_width >= n_sae:
+            # Whole sweep in one vmap — no scan carry traffic.
+            losses, grads, sae_states, obj_states = jax.vmap(grad_one)(mapped)
+        else:
+            losses, grads, sae_states, obj_states = jax.lax.map(
+                grad_one, mapped, batch_size=sweep_vmap_width
+            )
 
         grads = jax.vmap(lambda p, g: modeling.remove_parallel_grads(sae_cfg, p, g))(
             params, grads
@@ -626,7 +654,15 @@ def train(
                 cohort=cohort,
                 ts=ts,
                 step_fn=make_train_step(
-                    c0.sae, c0.objective, n_steps, c0.optim, c0.matmul_precision
+                    c0.sae, c0.objective, n_steps, c0.optim, c0.matmul_precision,
+                    # In-chip sweep chunking (lax.map) scans the stacked axis,
+                    # which fights a device-sharded sweep axis (per-chunk
+                    # dynamic slices of a sharded array force reshards) — use
+                    # the full vmap when the sweep is sharded over devices.
+                    sweep_vmap_width=(
+                        len(cohort.cfgs) if c0.sweep_parallel > 1
+                        else c0.sweep_vmap_width
+                    ),
                 ),
                 metrics_fn=make_metrics_fn(c0.sae),
                 hp=hp,
