@@ -425,6 +425,17 @@ def dictionary_coherence(w: Array, block: int = 1024) -> Array:
     return coh
 
 
+def _sweep_map(fn, args, width: int):
+    """Apply `fn` over the stacked sweep axis: one vmap when `width` covers the
+    whole sweep (no scan carry traffic; also the only mode compatible with a
+    device-sharded sweep axis), otherwise lax.map in vmap chunks of `width` so
+    per-chunk HLO temps stay bounded."""
+    n_sae = jax.tree.leaves(args)[0].shape[0]
+    if width >= n_sae:
+        return jax.vmap(fn)(args)
+    return jax.lax.map(fn, args, batch_size=width)
+
+
 def make_train_step(
     sae_cfg: modeling.SparseAutoencoderConfig,
     obj_cfg: objectives.Matryoshka,
@@ -450,6 +461,7 @@ def make_train_step(
     SAEs where the chunk fits comfortably.
     """
 
+    assert sweep_vmap_width >= 1, f"sweep_vmap_width must be >= 1, got {sweep_vmap_width}"
     precision = modeling.PRECISIONS[matmul_precision]
 
     def loss_one(params, sae_state, obj_state, x, prefixes, coeff, alpha, momentum):
@@ -483,14 +495,9 @@ def make_train_step(
             params, ts.sae_state, ts.obj_state, prefixes,
             hp["sparsity_coeff"], hp["aux_alpha"], hp["momentum"],
         )
-        n_sae = prefixes.shape[0]
-        if sweep_vmap_width >= n_sae:
-            # Whole sweep in one vmap — no scan carry traffic.
-            losses, grads, sae_states, obj_states = jax.vmap(grad_one)(mapped)
-        else:
-            losses, grads, sae_states, obj_states = jax.lax.map(
-                grad_one, mapped, batch_size=sweep_vmap_width
-            )
+        losses, grads, sae_states, obj_states = _sweep_map(
+            grad_one, mapped, sweep_vmap_width
+        )
 
         grads = jax.vmap(lambda p, g: modeling.remove_parallel_grads(sae_cfg, p, g))(
             params, grads
@@ -540,7 +547,9 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_metrics_fn(sae_cfg: modeling.SparseAutoencoderConfig):
+def make_metrics_fn(
+    sae_cfg: modeling.SparseAutoencoderConfig, sweep_vmap_width: int = 1
+):
     """Heavy per-SAE metrics computed every log_every steps (reference
     train.py:365-432): explained variance, dead %, coherence, SSE terms. Re-runs
     the (eval-mode-free) forward on the current params; amortized over log_every."""
@@ -569,8 +578,10 @@ def make_metrics_fn(sae_cfg: modeling.SparseAutoencoderConfig):
         sum_sq = jnp.sum(x * x)
         sum_vec = jnp.sum(x, axis=0)
         sse_baseline = sum_sq - jnp.dot(sum_vec, sum_vec) / n_batch
-        per_sae = jax.vmap(one, in_axes=(0, 0, None, 0))(
-            ts.params, ts.sae_state, x, prefixes
+        per_sae = _sweep_map(
+            lambda a: one(a[0], a[1], x, a[2]),
+            (ts.params, ts.sae_state, prefixes),
+            sweep_vmap_width,
         )
         per_sae["sse_baseline"] = jnp.broadcast_to(
             sse_baseline, per_sae["sse_sae"].shape
@@ -649,22 +660,30 @@ def train(
             k: parallel.shard_sweep(mesh, jnp.asarray(v))
             for k, v in _hp_arrays(cohort.cfgs).items()
         }
+        # In-chip sweep chunking (lax.map) scans the stacked axis, which
+        # fights a device-sharded sweep axis (per-chunk dynamic slices of a
+        # sharded array force reshards) — use the full vmap when the sweep is
+        # actually sharded over devices. shard_sweep silently replicates
+        # non-divisible cohorts, so reject that combination loudly instead.
+        if c0.sweep_parallel > 1:
+            if len(cohort.cfgs) % c0.sweep_parallel != 0:
+                raise ValueError(
+                    f"Cohort of {len(cohort.cfgs)} SAEs is not divisible by "
+                    f"sweep_parallel={c0.sweep_parallel}; the sweep axis would "
+                    "be silently replicated instead of sharded."
+                )
+            eff_width = len(cohort.cfgs)
+        else:
+            eff_width = c0.sweep_vmap_width
         runtimes.append(
             _CohortRuntime(
                 cohort=cohort,
                 ts=ts,
                 step_fn=make_train_step(
                     c0.sae, c0.objective, n_steps, c0.optim, c0.matmul_precision,
-                    # In-chip sweep chunking (lax.map) scans the stacked axis,
-                    # which fights a device-sharded sweep axis (per-chunk
-                    # dynamic slices of a sharded array force reshards) — use
-                    # the full vmap when the sweep is sharded over devices.
-                    sweep_vmap_width=(
-                        len(cohort.cfgs) if c0.sweep_parallel > 1
-                        else c0.sweep_vmap_width
-                    ),
+                    sweep_vmap_width=eff_width,
                 ),
-                metrics_fn=make_metrics_fn(c0.sae),
+                metrics_fn=make_metrics_fn(c0.sae, sweep_vmap_width=eff_width),
                 hp=hp,
                 prefix_rng=np.random.default_rng(cfg.seed + 1000 + ci),
             )
@@ -862,23 +881,32 @@ def evaluate(cfgs: list[Config], runtimes: list[_CohortRuntime]) -> list[EvalMet
     for ri, rt in enumerate(runtimes):
         c0 = rt.cohort.cfgs[0]
 
-        def make(c0=c0):
-            def one(params, sae_state, obj_state, x, prefixes):
-                loss, out, _, _ = objectives.matryoshka_loss(
-                    c0.objective, c0.sae, params, sae_state, obj_state, x, prefixes,
-                    training=False,
-                )
-                residual = x - out.x_hats[:, -1, :]
-                return {
-                    "l0": loss.l0,
-                    "l1": loss.l1,
-                    "mse": loss.mse,
-                    "sse": jnp.sum(residual**2),
-                    "n_fired": jnp.sum(out.f_x > 0, axis=0).astype(jnp.float32),
-                    "values": jnp.sum(out.f_x, axis=0),
-                }
+        # Same memory bound as training: vmapping N eval forwards
+        # materializes N x (batch, d_sae) intermediates; chunk unless the
+        # sweep axis is device-sharded (see make_train_step docstring).
+        width = len(rt.cohort.cfgs) if c0.sweep_parallel > 1 else c0.sweep_vmap_width
 
-            return jax.jit(jax.vmap(one, in_axes=(0, 0, 0, None, 0)))
+        def make(c0=c0, width=width):
+            @jax.jit
+            def run(params, sae_state, obj_state, x, prefixes):
+                def one(args):
+                    p, ss, os_, pfx = args
+                    loss, out, _, _ = objectives.matryoshka_loss(
+                        c0.objective, c0.sae, p, ss, os_, x, pfx, training=False
+                    )
+                    residual = x - out.x_hats[:, -1, :]
+                    return {
+                        "l0": loss.l0,
+                        "l1": loss.l1,
+                        "mse": loss.mse,
+                        "sse": jnp.sum(residual**2),
+                        "n_fired": jnp.sum(out.f_x > 0, axis=0).astype(jnp.float32),
+                        "values": jnp.sum(out.f_x, axis=0),
+                    }
+
+                return _sweep_map(one, (params, sae_state, obj_state, prefixes), width)
+
+            return run
 
         eval_fns[ri] = make()
 

@@ -77,8 +77,20 @@ def test_data_parallel_equals_single_device():
         "aux_alpha": jnp.full((n_sae,), 1 / 32, jnp.float32),
         "momentum": jnp.zeros(n_sae, jnp.float32),
     }
-    # "highest" precision so 1-device and 8-device runs agree tightly.
-    step_fn = T.make_train_step(sae_cfg, obj_cfg, n_steps=10, matmul_precision="highest")
+    # "highest" precision so 1-device and 8-device runs agree tightly. Two
+    # step builds: the chunked lax.map path (width 1, what single-device
+    # sweeps use) and the full-vmap path (what train() forces whenever the
+    # sweep axis is device-sharded, since scanning a sharded axis reshards).
+    step_fns = {
+        "mapped": T.make_train_step(
+            sae_cfg, obj_cfg, n_steps=10, matmul_precision="highest",
+            sweep_vmap_width=1,
+        ),
+        "vmapped": T.make_train_step(
+            sae_cfg, obj_cfg, n_steps=10, matmul_precision="highest",
+            sweep_vmap_width=n_sae,
+        ),
+    }
     rng = np.random.default_rng(0)
     x_np = rng.normal(size=(batch, d_model)).astype(np.float32)
     prefixes = jnp.asarray(
@@ -86,10 +98,11 @@ def test_data_parallel_equals_single_device():
     )
 
     results = {}
-    for name, mesh in [
-        ("single", parallel.make_mesh(n_devices=1)),
-        ("dp8", parallel.make_mesh()),
-        ("dp4xsweep2", parallel.make_mesh(sweep=2)),
+    for name, mesh, step_fn in [
+        ("single", parallel.make_mesh(n_devices=1), step_fns["mapped"]),
+        ("dp8", parallel.make_mesh(), step_fns["mapped"]),
+        # Sharded sweep axis exercises the full-vmap path, matching train().
+        ("dp4xsweep2", parallel.make_mesh(sweep=2), step_fns["vmapped"]),
     ]:
         ts = build(mesh)
         x = parallel.shard_batch(mesh, x_np)
