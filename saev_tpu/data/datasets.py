@@ -96,10 +96,22 @@ class ImgFolder(DatasetConfig):
 
     @property
     def n_examples(self) -> int:
+        # Must agree exactly with get_dataset's construction (glob.glob over
+        # the pattern, then images under class subdirectories only) — the
+        # count is written into shard Metadata and asserted against the real
+        # stream during extraction.
+        import glob as glob_mod
+
         n = 0
-        for root in self.root.parent.glob(self.root.name):
-            for _, _, files in os.walk(root):
-                n += sum(1 for f in files if f.lower().endswith(IMG_EXTENSIONS))
+        for root in glob_mod.glob(str(self.root), recursive=True):
+            root = pathlib.Path(root)
+            if not root.is_dir():
+                continue
+            for cls_dir in root.iterdir():
+                if not cls_dir.is_dir():
+                    continue
+                for _, _, files in os.walk(cls_dir):
+                    n += sum(1 for f in files if f.lower().endswith(IMG_EXTENSIONS))
         return n
 
 
@@ -416,6 +428,94 @@ class HfImageDataset(_Dataset):
         return sample
 
 
+def _load_audio(fpath: pathlib.Path) -> tuple[np.ndarray, int]:
+    """Decode an audio file to (mono float32 waveform, sample_rate).
+
+    Layered backends: soundfile (ogg/flac/wav), torchaudio, then scipy (wav
+    only). The image this framework ships in has none of the ogg decoders, so
+    the error names the options instead of failing deep inside a transform.
+    """
+    try:
+        import soundfile
+
+        wav, sr = soundfile.read(fpath, dtype="float32", always_2d=True)
+        return wav.mean(axis=1), int(sr)
+    except ImportError:
+        pass
+    try:
+        import torchaudio
+
+        wav, sr = torchaudio.load(str(fpath))
+        return wav.numpy().astype(np.float32).mean(axis=0), int(sr)
+    except ImportError:
+        pass
+    if fpath.suffix.lower() == ".wav":
+        import scipy.io.wavfile
+
+        sr, wav = scipy.io.wavfile.read(fpath)
+        wav = np.asarray(wav, dtype=np.float32)
+        if wav.dtype.kind == "i":
+            wav = wav / np.iinfo(wav.dtype).max
+        if wav.ndim == 2:
+            wav = wav.mean(axis=1)
+        return wav.astype(np.float32), int(sr)
+    raise ImportError(
+        f"No audio decoder available for {fpath.suffix!r} files: install "
+        "soundfile or torchaudio (scipy handles .wav only)."
+    )
+
+
+class BirdClef2025Dataset(_Dataset):
+    """BirdCLEF 2025 audio dataset filtered to bird species (Aves), mirroring
+    the reference's BirdClef2025 semantics (reference datasets.py:181,:289-755):
+    samples are {data: waveform-or-transformed, index, target, label}."""
+
+    def __init__(self, cfg: BirdClef2025, *, audio_transform=None, sample_transform=None):
+        import pandas as pd
+
+        self.cfg = cfg
+        self.audio_transform = audio_transform
+        self.sample_transform = sample_transform
+
+        taxonomy = pd.read_csv(cfg.root / "taxonomy.csv")
+        bird_labels = sorted(
+            taxonomy.loc[taxonomy["class_name"] == "Aves", "primary_label"]
+            .astype(str)
+            .tolist()
+        )
+        self.label_to_idx = {l: i for i, l in enumerate(bird_labels)}
+
+        self.samples: list[tuple[pathlib.Path, int, str]] = []
+        if cfg.split == "train_audio":
+            train = pd.read_csv(cfg.root / "train.csv")
+            for _, row in train.iterrows():
+                label = str(row["primary_label"])
+                if label in self.label_to_idx:
+                    self.samples.append(
+                        (cfg.root / "train_audio" / str(row["filename"]),
+                         self.label_to_idx[label], label)
+                    )
+        elif cfg.split in ("train_soundscapes", "test_soundscapes"):
+            for f in sorted((cfg.root / cfg.split).iterdir()):
+                if f.suffix == ".ogg":
+                    self.samples.append((f, -1, ""))
+        else:
+            tp.assert_never(cfg.split)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, i: int) -> dict[str, object]:
+        fpath, target, label = self.samples[i]
+        wav, sr = _load_audio(fpath)
+        data = wav if self.audio_transform is None else self.audio_transform(wav)
+        sample = {"data": data, "index": i, "target": target, "label": label,
+                  "sample_rate": sr}
+        if self.sample_transform is not None:
+            sample = self.sample_transform(sample)
+        return sample
+
+
 class ConcatDataset(_Dataset):
     def __init__(self, datasets: list[_Dataset]):
         self.datasets = datasets
@@ -475,9 +575,7 @@ def get_dataset(
             sample_transform=sample_transform,
         )
     elif isinstance(cfg, BirdClef2025):
-        from . import bird_mae
-
-        return bird_mae.BirdClef2025Dataset(
+        return BirdClef2025Dataset(
             cfg, audio_transform=data_transform, sample_transform=sample_transform
         )
     else:

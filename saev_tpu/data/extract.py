@@ -126,6 +126,15 @@ def worker_fn(
     shards_root = pathlib.Path(shards_root)
     assert shards_root.name == "shards"
 
+    # Recorders tap residuals in ascending block order regardless of the
+    # request order, so Metadata.layers must be the sorted unique list or
+    # every reader would silently index the wrong layer axis.
+    normalized = sorted(set(int(l) for l in layers))
+    assert list(layers) == normalized, (
+        f"layers must be sorted and unique (taps are stored in block order); "
+        f"got {list(layers)}, expected {normalized}"
+    )
+
     model_cls = models.load_model_cls(family)
     model_instance = model_cls(ckpt)
     recorder = models.Recorder(

@@ -394,7 +394,7 @@ class ShardWriter:
         end_idx = start_idx + batch_size
         offset = self.md.examples_per_shard * self.shard
 
-        if end_idx >= offset + self.md.examples_per_shard:
+        if end_idx > offset + self.md.examples_per_shard:
             # Shard is about to fill: write what fits, roll to the next shard.
             n_fit = offset + self.md.examples_per_shard - start_idx
             self.acts[start_idx - offset : start_idx - offset + n_fit] = activations[
@@ -416,8 +416,8 @@ class ShardWriter:
                     patch_labels[n_fit:] if patch_labels is not None else None,
                 )
         else:
-            assert 0 <= start_idx - offset <= offset + self.md.examples_per_shard
-            assert 0 <= end_idx - offset <= offset + self.md.examples_per_shard
+            assert 0 <= start_idx - offset <= self.md.examples_per_shard
+            assert 0 <= end_idx - offset <= self.md.examples_per_shard
             self.acts[start_idx - offset : end_idx - offset] = activations
             self.filled = end_idx - offset
 

@@ -474,6 +474,8 @@ class DataLoader:
         try:
             while n < self.n_samples:
                 need = min(self.cfg.batch_size, self.n_samples - n)
+                if need < self.cfg.batch_size and self.cfg.drop_last:
+                    break
                 remaining = self.n_samples - n
                 self._wait_for_min_buffer_fill(remaining)
                 if self.err_queue is not None and not self.err_queue.empty():
@@ -638,4 +640,6 @@ class DataLoader:
 
     def __len__(self) -> int:
         """Number of batches in an epoch."""
+        if self.cfg.drop_last:
+            return self.n_samples // self.cfg.batch_size
         return math.ceil(self.n_samples / self.cfg.batch_size)

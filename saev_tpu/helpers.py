@@ -245,13 +245,17 @@ def jdumps(
 
     Mirrors reference helpers.py:495-498; keyword flags replace orjson option ints.
     """
+    # ensure_ascii=False matches orjson's raw-UTF-8 output: the shard content
+    # hash (shards.Metadata.hash) depends on these exact bytes.
     if indent is not None:
         text = json.dumps(
-            obj, indent=indent, sort_keys=sort_keys, default=_json_default
+            obj, indent=indent, sort_keys=sort_keys, default=_json_default,
+            ensure_ascii=False,
         )
     else:
         text = json.dumps(
-            obj, separators=(",", ":"), sort_keys=sort_keys, default=_json_default
+            obj, separators=(",", ":"), sort_keys=sort_keys, default=_json_default,
+            ensure_ascii=False,
         )
     return text.encode("utf-8")
 
@@ -420,7 +424,9 @@ def submit_job_array(
     try:
         from submitit.core.utils import UncompletedJobError
     except ImportError:  # pragma: no cover - submitit absent in dev image
-        UncompletedJobError = Exception
+        class UncompletedJobError(Exception):
+            """Sentinel that never matches: without submitit, job exceptions
+            must propagate rather than be swallowed as 'did not finish'."""
 
     arr_size = max(int(get_slurm_max_array_size() * margin), 1)
     n_total = len(args_list)
