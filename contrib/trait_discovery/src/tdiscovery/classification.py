@@ -41,18 +41,29 @@ class LabelGrouping:
     source_col: str = "class"
     groups: dict[str, list[str]] = dataclasses.field(default_factory=dict)
 
-    def apply(self, labels: list[str]) -> tuple[np.ndarray, list[str]]:
+    def apply(
+        self, labels: list[str], class_names: list[str] | None = None
+    ) -> tuple[np.ndarray, list[str]]:
         """Map raw string labels to group indices; returns (y, class_names).
-        Ungrouped labels are dropped (marked -1) when groups are given."""
+        Ungrouped labels are dropped (marked -1) when groups are given.
+
+        `class_names` pins the index space (e.g. the names saved in a trained
+        checkpoint) — without it, the mapping is re-derived from THIS split's
+        label set, and a test split missing the alphabetically-first train
+        class would silently shift every index."""
         if not self.groups:
-            names = sorted(set(labels))
+            names = class_names if class_names is not None else sorted(set(labels))
             index = {name: i for i, name in enumerate(names)}
-            return np.array([index[label] for label in labels]), names
-        names = sorted(self.groups)
+            return np.array([index.get(label, -1) for label in labels]), list(names)
+        names = class_names if class_names is not None else sorted(self.groups)
+        order = {name: i for i, name in enumerate(names)}
         lookup = {
-            raw: i for i, name in enumerate(names) for raw in self.groups[name]
+            raw: order[name]
+            for name in self.groups
+            if name in order
+            for raw in self.groups[name]
         }
-        return np.array([lookup.get(label, -1) for label in labels]), names
+        return np.array([lookup.get(label, -1) for label in labels]), list(names)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,10 +116,12 @@ def aggregate_to_images(
             shape=(n_images, n_tokens),
         )
         return np.asarray((pool @ token_acts).todense())
+    # Vectorized per-image max over the CSR nonzeros: np.maximum.at on
+    # (row // tokens_per_example, col). Activations are >= 0, so absent
+    # entries correctly leave the zero default.
+    coo = token_acts.tocoo()
     out = np.zeros((n_images, d_sae), dtype=np.float32)
-    for i in range(n_images):
-        block = token_acts[i * tokens_per_example : (i + 1) * tokens_per_example]
-        out[i] = block.max(axis=0).toarray()
+    np.maximum.at(out, (coo.row // tokens_per_example, coo.col), coo.data)
     return out
 
 
@@ -216,7 +229,10 @@ def eval_worker_fn(cfg: EvalConfig) -> dict[str, object]:
     ).tocsr()
     x = aggregate_to_images(acts, md.content_tokens_per_example, cfg.patch_agg)
     raw = load_image_labels(cfg.test_shards, cfg.task.source_col)
-    y, _ = cfg.task.apply(raw)
+    # The checkpoint's class_names define the index space; re-deriving from
+    # the test split's labels would misalign indices whenever the splits'
+    # label sets differ.
+    y, _ = cfg.task.apply(raw, class_names=list(class_names))
     keep = y >= 0
     x, y = x[keep], y[keep]
 

@@ -102,16 +102,24 @@ def worker_fn(cfg: Config) -> dict[str, object]:
     max_k = min(cfg.max_k, val_n_samples)
     topk = saev_tpu.helpers.csr_topk(val_acts, k=max_k, axis=0)
     top_labels_dk = np.take(val_labels, topk.indices.T).astype(np.uint8)
+    # Mask dead/rare latents: a latent with fewer than k nonzero activations
+    # gets arbitrary zero-valued tokens in its "top" (csr_topk docstring) —
+    # typically consecutive same-label patches — inflating purity to ~1.0.
+    nnz_per_latent = np.asarray((val_acts > 0).sum(axis=0)).reshape(-1)
 
     purities = {}
     for k in (16, 64, 256):
         if k > max_k:
             continue
-        p = purity_at_k(top_labels_dk, k)
+        alive = nnz_per_latent >= k
+        if not alive.any():
+            continue
+        p = purity_at_k(top_labels_dk[alive], k)
         purities[f"purity@{k}"] = {
             "mean": float(p.mean()), "min": float(p.min()), "max": float(p.max()),
+            "n_alive": int(alive.sum()),
         }
-        logger.info("purity@%d: mean=%.4f", k, p.mean())
+        logger.info("purity@%d: mean=%.4f (%d alive)", k, p.mean(), alive.sum())
 
     val_best = np.asarray(val_acts[:, best_latent_idx_c].todense())
     val_scores_nc = val_best * best_weights_c + best_biases_c

@@ -207,6 +207,7 @@ class Transformer(base.Transformer):
             self.params["pos"] = pos_table(self.spec.d_model)
         if not hasattr(self, "_fc_norm"):
             self._fc_norm = None
+        self.params = vit.to_device(self.params)
 
     @property
     def ckpt(self) -> str:

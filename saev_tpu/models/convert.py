@@ -151,11 +151,30 @@ def from_timm(
                 "proj": _lin(sd, f"{p}.attn.proj"),
             },
             "ln2": _ln(sd, f"{p}.norm2"),
-            "mlp": {
+        }
+        if spec.mlp_kind == "swiglu":
+            # DINOv2-giant SwiGLUFFNFused stores fused w12 + w3; some exports
+            # keep separate w1/w2 (same handling as dinov3.convert_encoder).
+            if f"{p}.mlp.w12.weight" in sd:
+                blk["mlp"] = {
+                    "w12": _lin(sd, f"{p}.mlp.w12"),
+                    "w3": _lin(sd, f"{p}.mlp.w3"),
+                }
+            else:
+                w1 = _lin(sd, f"{p}.mlp.w1")
+                w2 = _lin(sd, f"{p}.mlp.w2")
+                blk["mlp"] = {
+                    "w12": {
+                        "w": np.concatenate([w1["w"], w2["w"]], axis=1),
+                        "b": np.concatenate([w1["b"], w2["b"]]),
+                    },
+                    "w3": _lin(sd, f"{p}.mlp.w3"),
+                }
+        else:
+            blk["mlp"] = {
                 "fc1": _lin(sd, f"{p}.mlp.fc1"),
                 "fc2": _lin(sd, f"{p}.mlp.fc2"),
-            },
-        }
+            }
         if f"{p}.attn.q_norm.weight" in sd:
             blk["attn"]["q_norm"] = _ln(sd, f"{p}.attn.q_norm")
             blk["attn"]["k_norm"] = _ln(sd, f"{p}.attn.k_norm")

@@ -33,7 +33,7 @@ IMAGENET_MEAN = (0.4850, 0.4560, 0.4060)
 IMAGENET_STD = (0.2290, 0.2240, 0.2250)
 
 
-def _spec(d, depth, heads, *, ratio=4.0, swiglu=False, qkv_bias=True) -> vit.Spec:
+def _spec(d, depth, heads, *, ratio=4.0, swiglu=False) -> vit.Spec:
     return vit.Spec(
         d_model=d,
         n_layers=depth,
@@ -60,9 +60,11 @@ PRETRAINED_SPECS: dict[str, vit.Spec] = {
     "dinov3_vitl16": _spec(1024, 24, 16),
     "dinov3_vitl16plus": _spec(1024, 24, 16, ratio=6.0, swiglu=True),
     "dinov3_vith16plus": _spec(1280, 32, 20, ratio=6.0, swiglu=True),
-    "dinov3_vit7b16": dataclasses.replace(
-        _spec(4096, 40, 32, ratio=3.0, swiglu=True), qk_norm=False
-    ),
+    # 7B: no qkv bias (conversion zero-fills missing biases) and ffn
+    # "swiglu64" (hidden aligned to 64 — conversion reads real shapes from the
+    # checkpoint, so the ratio here only affects random-init sizing). DINOv3
+    # has no qk-norm in any variant (reference Config, dinov3.py:459-595).
+    "dinov3_vit7b16": _spec(4096, 40, 32, ratio=3.0, swiglu=True),
 }
 
 
@@ -145,6 +147,7 @@ class Vit(base.Transformer):
         else:
             sd = convert.load_state_dict(ckpt)
             self.params, self.periods = convert_encoder(sd, self.spec)
+        self.params = vit.to_device(self.params)
 
     @staticmethod
     def _parse_name(dinov3_ckpt: str) -> str:

@@ -44,6 +44,11 @@ class Preset:
     mean: tuple[float, float, float]
     std: tuple[float, float, float]
     converter: tp.Literal["openclip", "timm"] = "timm"
+    resize_mode: tp.Literal["shortest", "squash"] = "shortest"
+    """Resize semantics before the center crop: "shortest" = torchvision
+    Resize(int) (short edge to resize_size, aspect preserved) + CenterCrop —
+    the CLIP/timm default; "squash" = Resize((s, s)) distorting to a square —
+    open_clip's SigLIP preprocessing."""
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -94,18 +99,18 @@ SIGLIP_PRESETS: dict[str, Preset] = {
     "ViT-B-16-SigLIP": Preset(
         vit.Spec(d_model=768, n_layers=12, n_heads=12, patch_size=16,
                  cls_token=False, ln_eps=1e-6, pos_kind="learned"),
-        224, 224, SIGLIP_MEAN, SIGLIP_STD,
+        224, 224, SIGLIP_MEAN, SIGLIP_STD, resize_mode="squash",
     ),
     "ViT-L-16-SigLIP-384": Preset(
         vit.Spec(d_model=1024, n_layers=24, n_heads=16, patch_size=16,
                  cls_token=False, ln_eps=1e-6, pos_kind="learned"),
-        384, 384, SIGLIP_MEAN, SIGLIP_STD,
+        384, 384, SIGLIP_MEAN, SIGLIP_STD, resize_mode="squash",
     ),
     "ViT-SO400M-14-SigLIP-384": Preset(
         vit.Spec(d_model=1152, n_layers=27, n_heads=16, patch_size=14,
                  mlp_ratio=4304 / 1152, cls_token=False, ln_eps=1e-6,
                  pos_kind="learned"),
-        384, 384, SIGLIP_MEAN, SIGLIP_STD,
+        384, 384, SIGLIP_MEAN, SIGLIP_STD, resize_mode="squash",
     ),
 }
 
@@ -184,6 +189,8 @@ class _JaxVit(base.Transformer):
             self._pos = self._arrange_pos(pos)
             if self._pos is not None:
                 self.params["pos"] = self._pos
+        # One-time host->device transfer (vit.to_device docstring).
+        self.params = vit.to_device(self.params)
 
     @classmethod
     def _normalize_arch(cls, arch: str) -> str:
@@ -269,7 +276,8 @@ class _JaxVit(base.Transformer):
 
         def img_transform(img: Image.Image) -> np.ndarray:
             img = _resize_center_crop(
-                img.convert("RGB"), preset.resize_size, preset.img_size
+                img.convert("RGB"), preset.resize_size, preset.img_size,
+                mode=preset.resize_mode,
             )
             chw = transforms.to_chw_float(img, mean=preset.mean, std=preset.std)
             tokens, _ = transforms.patchify(chw, preset.spec.patch_size)
@@ -291,19 +299,33 @@ class _JaxVit(base.Transformer):
         def resize(img: Image.Image) -> Image.Image:
             rs = int(preset.resize_size * scale)
             cs = int(preset.img_size * scale)
-            img = img.resize((rs, rs), resample=resample)
-            left = (rs - cs) // 2
-            return img.crop((left, left, left + cs, left + cs))
+            return _resize_center_crop(
+                img, rs, cs, mode=preset.resize_mode, resample=resample
+            )
 
         return resize
 
 
-def _resize_center_crop(img: Image.Image, resize: int, crop: int) -> Image.Image:
-    img = img.resize((resize, resize), Image.BICUBIC)
-    if resize == crop:
-        return img
-    left = (resize - crop) // 2
-    return img.crop((left, left, left + crop, left + crop))
+def _resize_center_crop(
+    img: Image.Image, resize: int, crop: int, mode: str = "shortest",
+    resample: Image.Resampling = Image.BICUBIC,
+) -> Image.Image:
+    """torchvision semantics: Resize(resize) scales the SHORT edge to `resize`
+    preserving aspect ratio, then CenterCrop(crop) crops both dims; "squash"
+    resizes to an exact square (open_clip SigLIP)."""
+    if mode == "squash":
+        img = img.resize((resize, resize), resample)
+    else:
+        w, h = img.size
+        if w <= h:
+            nw, nh = resize, max(round(h * resize / w), resize)
+        else:
+            nw, nh = max(round(w * resize / h), resize), resize
+        img = img.resize((nw, nh), resample)
+    w, h = img.size
+    left = (w - crop) // 2
+    top = (h - crop) // 2
+    return img.crop((left, top, left + crop, top + crop))
 
 
 class Clip(_JaxVit):

@@ -522,6 +522,17 @@ def _jitted_forward(spec: Spec, layers: tuple[int, ...], grid: tuple[int, int], 
     )
 
 
+def to_device(params: dict) -> dict:
+    """Transfer a converted (numpy) param tree to the default device ONCE.
+
+    Converters return host numpy; passing numpy params into the jitted forward
+    re-uploads the full weight set on every batch (jit does not cache
+    transfers for numpy inputs) — for a ViT-L that is ~1.2 GB per step on the
+    extraction hot path. Model wrappers call this at construction.
+    """
+    return jax.tree.map(jnp.asarray, params)
+
+
 def run(
     spec: Spec,
     params: dict,
