@@ -154,3 +154,49 @@ def test_to_chw_float_grayscale_and_norm():
     assert arr.shape == (3, 4, 4)
     expected = np.full((3, 4, 4), (128 / 255 - 0.5) / 0.25, np.float32)
     np.testing.assert_allclose(arr, expected, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# families._resize_center_crop: torchvision Resize(int)+CenterCrop semantics
+# (torchvision itself is not in the image; assert the documented behavior)
+# ---------------------------------------------------------------------------
+
+
+def test_resize_center_crop_shortest_edge():
+    from saev_tpu.models.families import _resize_center_crop
+
+    # 640x480 (w x h): the short edge (h) scales to 256, so the resized image
+    # is 341x256 (aspect preserved), then a 224 center crop.
+    img = Image.new("RGB", (640, 480))
+    out = _resize_center_crop(img, 256, 224)
+    assert out.size == (224, 224)
+
+    # Aspect must be preserved before the crop: a tall image keeps its width
+    # at `resize` and scales height up.
+    tall = Image.effect_noise((100, 400), 64).convert("RGB")
+    resized = _resize_center_crop(tall, 256, 256)
+    assert resized.size == (256, 256)
+
+    # Content check: a horizontally-split image (left black, right white)
+    # center-cropped from a wide source must contain both halves, not a
+    # squashed full image. With squash mode the crop has the same structure,
+    # so check the scale instead: a 400x100 image (wide) resized shortest-edge
+    # to 100 keeps width 400 -> crop picks the CENTER 100 columns.
+    import numpy as np
+
+    wide = np.zeros((100, 400, 3), np.uint8)
+    wide[:, :200] = 0
+    wide[:, 200:] = 255
+    out = _resize_center_crop(Image.fromarray(wide), 100, 100)
+    arr = np.asarray(out)
+    # Center crop straddles the black/white boundary: half dark, half light.
+    assert (arr[:, :49] < 128).all()
+    assert (arr[:, 51:] >= 128).all()
+
+
+def test_resize_center_crop_squash():
+    from saev_tpu.models.families import _resize_center_crop
+
+    img = Image.new("RGB", (640, 480))
+    out = _resize_center_crop(img, 256, 256, mode="squash")
+    assert out.size == (256, 256)
