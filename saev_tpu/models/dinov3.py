@@ -14,7 +14,6 @@ _PRETRAINED_CFGS :459, load :598, Vit :612), rebuilt on the shared JAX engine:
   folded in at conversion time: we store `bias * bias_mask`.
 """
 
-import dataclasses
 import functools
 import logging
 import pathlib
