@@ -453,9 +453,16 @@ def _load_audio(fpath: pathlib.Path) -> tuple[np.ndarray, int]:
         import scipy.io.wavfile
 
         sr, wav = scipy.io.wavfile.read(fpath)
-        wav = np.asarray(wav, dtype=np.float32)
-        if wav.dtype.kind == "i":
-            wav = wav / np.iinfo(wav.dtype).max
+        # Normalize integer PCM (e.g. int16) to [-1, 1] BEFORE the float cast:
+        # np.iinfo must see the original dtype.
+        if wav.dtype.kind == "u":
+            # Unsigned PCM (uint8 WAV) is offset-encoded around the midpoint.
+            mid = (int(np.iinfo(wav.dtype).max) + 1) // 2
+            wav = (wav.astype(np.float32) - mid) / mid
+        elif wav.dtype.kind == "i":
+            wav = wav.astype(np.float32) / np.iinfo(wav.dtype).max
+        else:
+            wav = np.asarray(wav, dtype=np.float32)
         if wav.ndim == 2:
             wav = wav.mean(axis=1)
         return wav.astype(np.float32), int(sr)

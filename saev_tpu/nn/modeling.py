@@ -386,8 +386,16 @@ def decode(
     group_mask = (
         jnp.arange(n_groups, dtype=jnp.int32)[None, :] < m[:, None]
     ).astype(partial.dtype)  # (J, G)
+    # The mask contraction inherits the caller's precision too: at DEFAULT a
+    # TPU f32 einsum truncates `partial` to bf16, putting ~1e-3 rel error on
+    # the dominant term of every multi-prefix reconstruction even when the
+    # caller requested HIGHEST (eval/inference parity budget is <1e-4).
     base = jnp.einsum(
-        "bGd,JG->bJd", partial, group_mask, preferred_element_type=jnp.float32
+        "bGd,JG->bJd",
+        partial,
+        group_mask,
+        preferred_element_type=jnp.float32,
+        precision=precision,
     )
 
     lane = jnp.arange(g, dtype=jnp.int32)
@@ -400,6 +408,7 @@ def decode(
             jnp.where(lane < r[j], f_m, jnp.zeros((), f_m.dtype)),
             w_m,
             preferred_element_type=jnp.float32,
+            precision=precision,
         )
         x_hats.append(base[:, j, :] + rem + b_dec)
 

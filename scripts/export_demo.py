@@ -50,6 +50,9 @@ class Args:
     layer_idx: int = 0
     """Which recorded layer to pool for the classification head (index into
     metadata.layers)."""
+    max_fit_examples: int = 50_000
+    """Cap on examples used to fit the classification head (reading targets
+    walks the image dataset sample by sample)."""
     out: pathlib.Path = pathlib.Path("./demo_site")
 
 
@@ -59,8 +62,6 @@ def _collect(
     n_images: int,
     n_latents: int,
     img_scale: float,
-    *,
-    with_images: bool = True,
 ) -> dict:
     """Gather everything the static apps need for one (run, shards) pair:
     sampled images (as data: URLs), the most frequently firing latents, and
@@ -100,12 +101,11 @@ def _collect(
             grid_hw = (img.height // patch_size, img.width // patch_size)
         targets.append(int(sample.get("target", 0)))
         labels.append(str(sample.get("label", "")))
-        if with_images:
-            buf = io.BytesIO()
-            img.convert("RGB").save(buf, format="PNG")
-            images.append(
-                "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
-            )
+        buf = io.BytesIO()
+        img.convert("RGB").save(buf, format="PNG")
+        images.append(
+            "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+        )
 
     activations = {}
     for latent in latents:
@@ -158,17 +158,32 @@ def export(args: Args) -> pathlib.Path:
 
 
 def _pooled_acts(shards_dir: pathlib.Path, layer: int, n_images: int) -> np.ndarray:
-    """Mean-pooled raw ViT activations per image, (n_images, d_model) f32."""
-    from saev_tpu.data import indexed
+    """Mean-pooled raw ViT activations per image, (n_images, d_model) f32.
 
-    ds = indexed.Dataset(indexed.Config(shards=shards_dir, tokens="content", layer=layer))
-    md = ds.md
-    ctpe = md.content_tokens_per_example
+    Reads each shard memmap once and mean-reduces the content-token axis in a
+    single vectorized pass per shard (the per-token indexed-dataset path is
+    O(n_images x tokens) random 4 KB reads — hours at ImageNet scale)."""
+    from saev_tpu.data import shards as shards_mod
+
+    md = shards_mod.Metadata.load(shards_dir)
+    layer_idx = md.layers.index(layer)
+    start = 1 if md.cls_token else 0
     out = np.zeros((n_images, md.d_model), np.float32)
-    for i in range(n_images):
-        for t in range(ctpe):
-            out[i] += ds[i * ctpe + t]["act"]
-        out[i] /= ctpe
+    done = 0
+    for shard in shards_mod.ShardInfo.load(shards_dir):
+        if done >= n_images:
+            break
+        take = min(shard.n_examples, n_images - done)
+        mm = np.memmap(
+            shards_dir / shard.name, mode="r", dtype=np.float32, shape=md.shard_shape
+        )
+        out[done : done + take] = mm[
+            :take, layer_idx, start : start + md.content_tokens_per_example
+        ].mean(axis=1)
+        done += take
+        del mm
+        logger.info("Pooled %d/%d examples.", done, n_images)
+    assert done == n_images, f"shards hold {done} examples, need {n_images}"
     return out
 
 
@@ -191,14 +206,27 @@ def export_classification(args: Args) -> pathlib.Path:
     from saev_tpu.data import datasets
 
     ds = datasets.get_dataset(md.make_data_cfg())
-    all_targets = [int(ds[i].get("target", 0)) for i in range(md.n_examples)]
+    n_fit = min(md.n_examples, args.max_fit_examples)
+    if n_fit < md.n_examples:
+        logger.info(
+            "Fitting head on %d of %d examples (--max-fit-examples).",
+            n_fit, md.n_examples,
+        )
+    all_targets, class_names = [], {}
+    for i in range(n_fit):
+        s = ds[i]
+        t = int(s.get("target", 0))
+        all_targets.append(t)
+        class_names.setdefault(t, str(s.get("label", "")))
+        if (i + 1) % 10_000 == 0:
+            logger.info("Read targets for %d/%d examples.", i + 1, n_fit)
     classes = sorted(set(all_targets))
     if len(classes) < 2:
         raise ValueError(
             "classification demo needs a dataset with >= 2 classes; "
             f"got targets {classes}. Use an ImgFolder/Imagenet-style dataset."
         )
-    x_all = _pooled_acts(args.shards, layer, md.n_examples)
+    x_all = _pooled_acts(args.shards, layer, n_fit)
     clf = LogisticRegression(max_iter=1000).fit(x_all, all_targets)
     coef = clf.coef_.astype(np.float32)
     intercept = clf.intercept_.astype(np.float32)
@@ -207,10 +235,6 @@ def export_classification(args: Args) -> pathlib.Path:
         # softmax over logits [0, w.x + b].
         coef = np.concatenate([np.zeros_like(coef), coef], axis=0)
         intercept = np.concatenate([np.zeros_like(intercept), intercept])
-    class_names = {}
-    for i in range(md.n_examples):
-        s = ds[i]
-        class_names.setdefault(int(s.get("target", 0)), str(s.get("label", "")))
     names = [class_names.get(cl, str(cl)) for cl in clf.classes_]
 
     # Decoder rows of the exported latents (for client-side intervention).
@@ -261,11 +285,14 @@ def export_comparison(args: ComparisonArgs) -> pathlib.Path:
     assert len(args.runs) == len(args.shards_list) and args.runs, (
         "need matching --runs and --shards-list"
     )
+    # Each model exports its OWN resized images: resize semantics differ
+    # across families (SigLIP squash vs shortest-edge+crop), so reusing one
+    # model's pixels would geometrically misalign the other models' per-patch
+    # heatmaps (ADVICE r1).
     models_out, images = [], None
     for run_dir, shards_dir in zip(args.runs, args.shards_list):
         c = _collect(
             run_dir, shards_dir, args.n_images, args.n_latents, args.img_scale,
-            with_images=images is None,
         )
         if images is None:
             images = c["images"]
@@ -278,6 +305,7 @@ def export_comparison(args: ComparisonArgs) -> pathlib.Path:
             "patch_size": c["patch_size"],
             "latents": c["latents"],
             "activations": c["activations"],
+            "images": c["images"],
         })
     demo = {"images": images, "models": models_out}
     out = _write_site(args.out, "comparison", demo)

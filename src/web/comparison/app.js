@@ -52,7 +52,11 @@ function drawModel(model, mi) {
         model.patch_size, model.patch_size);
     }
   };
-  image.src = state.d.images[state.exampleIdx];
+  // Prefer the model's own resized image (resize semantics differ across
+  // families, e.g. SigLIP squash vs shortest-edge crop); fall back to the
+  // shared images for older demo.json bundles.
+  const imgs = model.images ?? state.d.images;
+  image.src = imgs[state.exampleIdx];
 }
 
 function renderColumns() {

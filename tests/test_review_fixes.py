@@ -163,3 +163,64 @@ def test_birdclef_dataset(tmp_path):
     # Transform hook applies to the waveform.
     ds2 = datasets.get_dataset(cfg, data_transform=lambda w: w[:100])
     assert ds2[1]["data"].shape == (100,)
+
+
+def test_load_audio_int16_wav_normalized(tmp_path):
+    """Integer-PCM WAVs must be normalized to [-1, 1] (ADVICE r1: the float
+    cast ran before the integer-kind check, so int16 came out at +/-32768)."""
+    import scipy.io.wavfile
+
+    from saev_tpu.data.datasets import _load_audio
+
+    sr = 16000
+    f32 = (np.sin(np.linspace(0, 440 * 2 * np.pi, sr)) * 0.5).astype(np.float32)
+    i16 = (f32 * 32767).astype(np.int16)
+    u8 = ((f32 * 127) + 128).round().clip(0, 255).astype(np.uint8)
+
+    for name, data in [("f.wav", f32), ("i.wav", i16), ("u.wav", u8)]:
+        scipy.io.wavfile.write(tmp_path / name, sr, data)
+
+    wav_f, sr_f = _load_audio(tmp_path / "f.wav")
+    wav_i, _ = _load_audio(tmp_path / "i.wav")
+    wav_u, _ = _load_audio(tmp_path / "u.wav")
+    assert sr_f == sr
+    for wav in (wav_f, wav_i, wav_u):
+        assert wav.dtype == np.float32
+        assert np.abs(wav).max() <= 1.0 + 1e-3
+    # int16 round-trips the float signal up to quantization error.
+    np.testing.assert_allclose(wav_i, f32, atol=1.5 / 32767)
+    # uint8 is offset PCM: must come back centered, not in [0, 2].
+    assert abs(wav_u.mean()) < 0.05
+    np.testing.assert_allclose(wav_u, f32, atol=2.5 / 127)
+
+
+def test_decode_precision_threaded_to_all_matmuls():
+    """decode(precision=HIGHEST) must run every contraction (group matmul,
+    prefix-mask einsum, remainder dot) at HIGHEST (ADVICE r1: the mask einsum
+    and remainder dot dropped the precision argument). On CPU precision is a
+    no-op numerically, so assert on the jaxpr instead."""
+    import jax
+    import jax.numpy as jnp
+
+    from saev_tpu.nn import modeling
+
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=16, d_sae=64, activation=modeling.TopK(top_k=4)
+    )
+    params, _ = modeling.init(cfg, jax.random.key(0))
+    f_x = jnp.zeros((8, 64), jnp.float32)
+    prefixes = jnp.asarray([16, 40, 64], jnp.int32)
+
+    jaxpr = jax.make_jaxpr(
+        lambda p, f: modeling.decode(
+            cfg, p, f, prefixes, group_size=32, precision=jax.lax.Precision.HIGHEST
+        )
+    )(params, f_x)
+    dots = [
+        e.params["precision"]
+        for e in jaxpr.jaxpr.eqns
+        if e.primitive.name == "dot_general"
+    ]
+    assert len(dots) >= 3, f"expected group+mask+remainder dots, got {len(dots)}"
+    for prec in dots:
+        assert prec == (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGHEST), prec
