@@ -1,11 +1,15 @@
-"""Patch-heatmap overlays and color utilities (mirror of reference src/saev/viz.py)."""
+"""Patch-heatmap overlays and color utilities.
+
+Capability mirror of reference src/saev/viz.py (same public surface:
+`add_highlights`, `parse_color`, `load_palette`), implemented as vectorized
+numpy compositing rather than per-patch PIL draws.
+"""
 
 import colorsys
 import pathlib
-import re
 
 import numpy as np
-from PIL import Image, ImageDraw
+from PIL import Image
 
 try:
     import matplotlib
@@ -13,6 +17,8 @@ try:
     colormap = matplotlib.colormaps.get_cmap("plasma")
 except ImportError:  # pragma: no cover - matplotlib is present in this image
     colormap = None
+
+_HEX_DIGITS = frozenset("0123456789abcdefABCDEF")
 
 
 def add_highlights(
@@ -24,71 +30,68 @@ def add_highlights(
     opacity: float = 0.9,
 ) -> Image.Image:
     """Overlay per-patch activation heat (plasma colormap, alpha ∝ activation)
-    onto a PIL image (reference viz.py:14-50)."""
+    onto a PIL image (same semantics as reference viz.py:14-50).
+
+    One vectorized source-over composite: the (grid_h, grid_w) activation map
+    expands to per-pixel color/alpha planes with `np.repeat`, then blends into
+    the image in a single numpy expression — no per-patch draw loop.
+    """
     if not len(patches):
         return img
     assert upper is not None
-    iw_px, ih_px = img.size
-    assert ih_px % patch_size == 0
-    assert iw_px % patch_size == 0
-    ih_np, iw_np = ih_px // patch_size, iw_px // patch_size
-    assert iw_np * ih_np == len(patches)
+    w_px, h_px = img.size
+    assert h_px % patch_size == 0
+    assert w_px % patch_size == 0
+    grid_h, grid_w = h_px // patch_size, w_px // patch_size
+    assert grid_h * grid_w == len(patches)
 
-    overlay = Image.new("RGBA", img.size, (0, 0, 0, 0))
-    draw = ImageDraw.Draw(overlay)
+    # Normalized activation per patch, expanded to per-pixel planes.
+    t = np.asarray(patches, dtype=np.float64) / (upper + 1e-9)
+    rgb_u8 = (colormap(t)[:, :3] * 255).astype(np.uint8).astype(np.float64)
+    alpha = (opacity * t * 255).astype(np.uint8).astype(np.float64) / 255.0
 
-    patches = np.asarray(patches, dtype=np.float64)
-    colors = (colormap(patches / (upper + 1e-9))[:, :3] * 255).astype(np.uint8)
+    def expand(plane):  # (N, ...) patch values -> (H, W, ...) pixel values
+        plane = plane.reshape(grid_h, grid_w, *plane.shape[1:])
+        return plane.repeat(patch_size, axis=0).repeat(patch_size, axis=1)
 
-    for p, (val, color) in enumerate(zip(patches, colors)):
-        val /= upper + 1e-9
-        x_np, y_np = p % iw_np, p // iw_np
-        draw.rectangle(
-            [
-                (x_np * patch_size, y_np * patch_size),
-                (x_np * patch_size + patch_size, y_np * patch_size + patch_size),
-            ],
-            fill=(*color, int(opacity * val * 255)),
-        )
+    src_rgb = expand(rgb_u8)  # (H, W, 3)
+    src_a = expand(alpha)[..., None]  # (H, W, 1)
 
-    return Image.alpha_composite(img.convert("RGBA"), overlay)
-
-
-HEX_RE = re.compile(r"^#([0-9a-fA-F]{6})$")
-RGB_RE = re.compile(r"^rgb\s*\((.+)\)$", re.IGNORECASE)
+    base = np.asarray(img.convert("RGBA"), dtype=np.float64)
+    out = np.empty_like(base)
+    # Source-over onto an opaque base: result alpha stays the base's.
+    out[..., :3] = src_rgb * src_a + base[..., :3] * (1.0 - src_a)
+    out[..., 3] = base[..., 3]
+    return Image.fromarray(out.round().astype(np.uint8), "RGBA")
 
 
 def parse_color(line: str) -> tuple[float, float, float]:
-    """Parse '#rrggbb' or 'rgb(r, g, b)' (0-1 or 0-255) into float RGB
-    (reference viz.py:58-93)."""
-    msg = f"Invalid color: '{line}'"
-    stripped = line.strip()
-    assert stripped, msg
+    """Parse '#rrggbb' or 'rgb(r, g, b)' (0-1 or 0-255 channels) into a float
+    RGB triple in [0, 1]. Raises AssertionError on anything else."""
+    text = line.strip()
+    assert text, f"Invalid color: '{line}'"
 
-    hex_match = HEX_RE.match(stripped)
-    if hex_match is not None:
-        hex_val = hex_match.group(1)
-        color = tuple(int(hex_val[i : i + 2], 16) / 255.0 for i in range(0, 6, 2))
-    else:
-        rgb_match = RGB_RE.match(stripped)
-        assert rgb_match is not None, msg
-        channels = tuple(
-            float(part.strip())
-            for part in rgb_match.group(1).split(",")
-            if part.strip()
-        )
-        assert len(channels) == 3, msg
-        max_chan, min_chan = max(channels), min(channels)
-        assert min_chan >= 0.0, msg
-        if max_chan <= 1.0:
-            color = channels
-        else:
-            assert max_chan <= 255.0, msg
-            color = tuple(chan / 255.0 for chan in channels)
+    if text.startswith("#"):
+        body = text[1:]
+        assert len(body) == 6 and set(body) <= _HEX_DIGITS, f"Invalid color: '{line}'"
+        return tuple(int(body[i : i + 2], 16) / 255.0 for i in (0, 2, 4))
 
-    msg = f"Invalid color: {color}"
-    assert all(0 <= chan <= 1 for chan in color), msg
-    return tuple(float(chan) for chan in color)
+    lowered = text.lower()
+    assert lowered.startswith("rgb") and text.endswith(")"), f"Invalid color: '{line}'"
+    inner = text[text.index("(") + 1 : -1] if "(" in text else ""
+    assert lowered[3:].lstrip().startswith("("), f"Invalid color: '{line}'"
+    try:
+        channels = tuple(float(p) for p in inner.split(",") if p.strip())
+    except ValueError:
+        raise AssertionError(f"Invalid color: '{line}'") from None
+    assert len(channels) == 3, f"Invalid color: '{line}'"
+    assert min(channels) >= 0.0, f"Invalid color: '{line}'"
+    # Heuristic from the reference: all-small values are 0-1 floats, anything
+    # bigger is 0-255 byte channels.
+    if max(channels) > 1.0:
+        assert max(channels) <= 255.0, f"Invalid color: '{line}'"
+        channels = tuple(c / 255.0 for c in channels)
+    return tuple(float(c) for c in channels)
 
 
 def _distinct_colors(n: int, seed: list[tuple[float, float, float]]) -> list:

@@ -69,3 +69,33 @@ def test_colors_module():
     assert len(colors.ALL_RGB01) == 10
     for rgb in colors.ALL_RGB01:
         assert all(0 <= c < 1 for c in rgb)
+
+
+def test_add_highlights_matches_pil_oracle():
+    """The vectorized composite must match a straightforward PIL oracle
+    (draw each patch as an RGBA rectangle, alpha_composite) to within 1 LSB
+    of integer rounding."""
+    from PIL import ImageDraw
+
+    rng = np.random.default_rng(3)
+    img = Image.fromarray(rng.integers(0, 256, (24, 40, 3), dtype=np.uint8))
+    patches = rng.uniform(0, 2.0, size=(3 * 5,))
+    upper, opacity, ps = 2.0, 0.7, 8
+
+    got = np.asarray(viz.add_highlights(img, patches, ps, upper=upper, opacity=opacity))
+
+    overlay = Image.new("RGBA", img.size, (0, 0, 0, 0))
+    draw = ImageDraw.Draw(overlay)
+    t = patches / (upper + 1e-9)
+    cols = (viz.colormap(t)[:, :3] * 255).astype(np.uint8)
+    for p in range(len(patches)):
+        x, y = p % 5, p // 5
+        draw.rectangle(
+            [(x * ps, y * ps), (x * ps + ps, y * ps + ps)],
+            fill=(*cols[p], int(opacity * t[p] * 255)),
+        )
+    want = np.asarray(Image.alpha_composite(img.convert("RGBA"), overlay))
+
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1, diff.max()
