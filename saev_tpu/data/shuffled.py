@@ -310,16 +310,27 @@ def _manager_main(
     work_items = rng.permutation(metadata.n_shards)
     logger.info("First 10 shards: %s", work_items[:10])
 
+    # Cap I/O threads at the core count: with fewer cores than threads the
+    # GIL/lock ping-pong between producers and the consumer's gather costs
+    # more than the parallelism buys (measured 3.5x slower with 4 threads on
+    # a 1-core host).
+    n_io = max(1, min(cfg.n_threads, os.cpu_count() or cfg.n_threads))
+    if n_io < cfg.n_threads:
+        logger.info(
+            "Capping I/O threads at %d (%d requested, %s cores).",
+            n_io, cfg.n_threads, os.cpu_count(),
+        )
+
     threads: list[threading.Thread] = []
     try:
         shard_info = shards.ShardInfo.load(shards_path)
         work_queue: "queue.Queue[int | None]" = queue.Queue()
         for shard_i in work_items:
             work_queue.put(int(shard_i))
-        for _ in range(cfg.n_threads):
+        for _ in range(n_io):
             work_queue.put(None)
 
-        for i in range(cfg.n_threads):
+        for i in range(n_io):
             thread = threading.Thread(
                 target=_io_worker,
                 args=(
@@ -339,7 +350,7 @@ def _manager_main(
             )
             thread.start()
             threads.append(thread)
-        logger.info("Launched %d I/O threads.", cfg.n_threads)
+        logger.info("Launched %d I/O threads.", n_io)
 
         while any(t.is_alive() for t in threads):
             if stop_event.wait(timeout=0.25):
