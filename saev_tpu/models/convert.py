@@ -112,6 +112,44 @@ def from_openclip(
     return params, pos
 
 
+def interleave_to_halves(d_head: int) -> np.ndarray:
+    """Channel permutation mapping interleaved-RoPE weights to halves-RoPE.
+
+    Sources that rotate interleaved channel pairs (2m, 2m+1) — Meta PE's
+    complex-multiply Rope2D and timm's `apply_rot_embed_cat` — are equivalent
+    to this engine's halves-based rotate_half (pairs (m, m+d/2), vit.apply_rope)
+    after permuting q/k head channels so engine channel m holds source channel
+    2m and engine channel m+d/2 holds source channel 2m+1. The attention dot
+    product q·k is invariant to any shared per-head channel permutation, so v
+    and the output projection stay untouched.
+    """
+    half = d_head // 2
+    perm = np.empty(d_head, dtype=np.int64)
+    perm[:half] = 2 * np.arange(half)
+    perm[half:] = 2 * np.arange(half) + 1
+    return perm
+
+
+def _permute_qk(params: dict, spec: vit.Spec) -> None:
+    """In-place q/k channel permutation (interleave→halves) on every block."""
+    d, n_heads, d_head = spec.d_model, spec.n_heads, spec.d_head
+    perm = interleave_to_halves(d_head)
+    for blk in params["blocks"]:
+        qkv = blk["attn"]["qkv"]
+        w = qkv["w"]  # (d_in, 3d) columns [q | k | v]
+        b = qkv["b"]
+        for sec in range(2):  # q and k only
+            cols = w[:, sec * d : (sec + 1) * d].reshape(-1, n_heads, d_head)
+            w[:, sec * d : (sec + 1) * d] = cols[:, :, perm].reshape(-1, d)
+            bs = b[sec * d : (sec + 1) * d].reshape(n_heads, d_head)
+            b[sec * d : (sec + 1) * d] = bs[:, perm].reshape(d)
+        for key in ("q_norm", "k_norm"):
+            if key in blk["attn"]:
+                ln = blk["attn"][key]
+                ln["g"] = ln["g"][perm]
+                ln["b"] = ln["b"][perm]
+
+
 def from_timm(
     sd: dict[str, np.ndarray], spec: vit.Spec
 ) -> tuple[dict, np.ndarray | None]:
@@ -137,6 +175,16 @@ def from_timm(
         params["reg"] = sd["reg_token"].reshape(-1, spec.d_model)
     if "norm.weight" in sd:
         params["ln_f"] = _ln(sd, "norm")
+    for pre_key in ("norm_pre", "ln_pre"):
+        # timm calls the pre-block LayerNorm `norm_pre`; Meta PE exports use
+        # `ln_pre`. Required when spec.pre_norm is set.
+        if f"{pre_key}.weight" in sd:
+            params["ln_pre"] = _ln(sd, pre_key)
+            break
+    if spec.pre_norm and "ln_pre" not in params:
+        raise KeyError(
+            "spec.pre_norm=True but the checkpoint has no norm_pre/ln_pre keys"
+        )
 
     pos = sd.get("pos_embed")
     if pos is not None:
@@ -185,4 +233,11 @@ def from_timm(
             if gamma is not None:
                 blk[ours] = gamma
         params["blocks"].append(blk)
+    if spec.pos_kind == "rope" and spec.rope_style == "pe":
+        # Writable copies (torch->numpy views can be read-only), then permute.
+        for blk in params["blocks"]:
+            qkv = blk["attn"]["qkv"]
+            qkv["w"] = np.array(qkv["w"])
+            qkv["b"] = np.array(qkv["b"])
+        _permute_qk(params, spec)
     return params, pos

@@ -114,29 +114,34 @@ SIGLIP_PRESETS: dict[str, Preset] = {
     ),
 }
 
-# Perception Encoder (Bolya et al. 2025): RoPE-positioned ViT with CLS. Offline
-# best-effort spec; verify against timm's implementation when weights are local.
+# Perception Encoder (Bolya et al. 2025; reference pe.py:24-170 loads these via
+# timm). Spec derived from Meta's published perception_models architecture:
+# CLIP-lineage pre-LN ViT with CLS token, a learned absolute positional table
+# *and* 2-D RoPE (theta=10000, raw integer patch coords, complex/interleaved
+# rotation — handled by rope_style="pe" + the converter's q/k channel
+# permutation, convert.interleave_to_halves), ln_pre, LayerScale, GELU MLP.
+# Converter+engine agreement under this spec is pinned hermetically against a
+# minimal torch reimplementation in tests/test_converter_parity.py.
+def _pe_spec(d, layers, heads, p) -> vit.Spec:
+    return vit.Spec(
+        d_model=d, n_layers=layers, n_heads=heads, patch_size=p,
+        pos_kind="rope", rope_style="pe", rope_base=10000.0, rope_abs_pos=True,
+        pre_norm=True, ln_eps=1e-5, layerscale=True,
+    )
+
+
 PE_PRESETS: dict[str, Preset] = {
     "vit_pe_core_base_patch16_224.fb": Preset(
-        vit.Spec(d_model=768, n_layers=12, n_heads=12, patch_size=16,
-                 pos_kind="rope", rope_normalize_coords="separate",
-                 ln_eps=1e-5, layerscale=True),
-        224, 224, SIGLIP_MEAN, SIGLIP_STD,
+        _pe_spec(768, 12, 12, 16), 224, 224, SIGLIP_MEAN, SIGLIP_STD,
     ),
     "vit_pe_core_large_patch14_336.fb": Preset(
-        vit.Spec(d_model=1024, n_layers=24, n_heads=16, patch_size=14,
-                 pos_kind="rope", ln_eps=1e-5, layerscale=True),
-        336, 336, SIGLIP_MEAN, SIGLIP_STD,
+        _pe_spec(1024, 24, 16, 14), 336, 336, SIGLIP_MEAN, SIGLIP_STD,
     ),
     "vit_pe_spatial_base_patch16_512.fb": Preset(
-        vit.Spec(d_model=768, n_layers=12, n_heads=12, patch_size=16,
-                 pos_kind="rope", ln_eps=1e-5, layerscale=True),
-        512, 512, SIGLIP_MEAN, SIGLIP_STD,
+        _pe_spec(768, 12, 12, 16), 512, 512, SIGLIP_MEAN, SIGLIP_STD,
     ),
     "vit_pe_spatial_large_patch14_448.fb": Preset(
-        vit.Spec(d_model=1024, n_layers=24, n_heads=16, patch_size=14,
-                 pos_kind="rope", ln_eps=1e-5, layerscale=True),
-        448, 448, SIGLIP_MEAN, SIGLIP_STD,
+        _pe_spec(1024, 24, 16, 14), 448, 448, SIGLIP_MEAN, SIGLIP_STD,
     ),
 }
 
@@ -209,7 +214,10 @@ class _JaxVit(base.Transformer):
         """Fit the checkpoint's positional table to [prefix..., patches...] at this
         preset's grid. Registers get zero positional entries (DINOv2 inserts
         registers after the pos add)."""
-        if pos is None or self.spec.pos_kind != "learned":
+        has_learned = self.spec.pos_kind == "learned" or (
+            self.spec.pos_kind == "rope" and self.spec.rope_abs_pos
+        )
+        if pos is None or not has_learned:
             return None
         n_prefix_pos = int(self.spec.cls_token)  # pos covers CLS + patches
         n_patches = pos.shape[0] - n_prefix_pos

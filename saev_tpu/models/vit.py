@@ -70,6 +70,18 @@ class Spec:
     rope_min_period: float | None = None
     rope_max_period: float | None = None
     rope_normalize_coords: tp.Literal["min", "max", "separate"] = "separate"
+    rope_style: tp.Literal["dinov3", "pe"] = "dinov3"
+    """Angle-table construction. "dinov3": patch-center coords normalized to
+    [-1, 1], angle = coord·2π/period, h-angles then w-angles (reference
+    dinov3.py:178-215). "pe": Meta Perception Encoder Rope2D — raw integer
+    patch coords (t_x = idx % W, t_y = idx // W), freq = base^(-4m/d_head),
+    x-angles then y-angles. The PE source rotates interleaved channel pairs
+    (2m, 2m+1) via complex multiply; this engine always rotates halves pairs
+    (m, m+d/2), so PE converters permute q/k head channels
+    (convert.interleave_to_halves) to make the two exactly equal."""
+    rope_abs_pos: bool = False
+    """PE uses a learned absolute positional table *and* RoPE; when set (with
+    pos_kind="rope"), params["pos"] is added exactly like pos_kind="learned"."""
     rope_dtype: tp.Any = jnp.float32
 
     @property
@@ -118,7 +130,7 @@ def init(spec: Spec, key: Array, *, n_pos: int | None = None) -> dict:
         params["reg"] = (
             jax.random.normal(next(keys), (spec.n_registers, d), jnp.float32) * 0.02
         )
-    if spec.pos_kind == "learned":
+    if spec.pos_kind == "learned" or (spec.pos_kind == "rope" and spec.rope_abs_pos):
         assert n_pos is not None, "learned pos embeddings need n_pos"
         params["pos"] = jax.random.normal(next(keys), (n_pos, d), jnp.float32) * 0.02
 
@@ -236,8 +248,38 @@ def rope_sincos_from_periods(
     return np.sin(angles).astype(np.float32), np.cos(angles).astype(np.float32)
 
 
+def rope_sincos_pe(
+    d_head: int, base: float, grid_h: int, grid_w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Meta Perception Encoder Rope2D angle tables (halves layout).
+
+    Per the PE source (perception_models rope.py, mirrored by timm's port):
+    freq_m = base^(-4m/d_head) for m < d_head/4; token at flat index i has
+    integer coords t_x = i % W, t_y = i // W; the angle vector is
+    [t_x·freq..., t_y·freq...]. The source applies these to interleaved
+    channel pairs; here they are laid out for halves-based rotate_half, which
+    matches exactly once q/k channels are permuted by
+    `convert.interleave_to_halves`.
+    """
+    assert d_head % 4 == 0
+    n_per = d_head // 4
+    freq = 1.0 / base ** (
+        4.0 * np.arange(n_per, dtype=np.float64) / d_head
+    )
+    idx = np.arange(grid_h * grid_w)
+    tx = (idx % grid_w).astype(np.float64)
+    ty = (idx // grid_w).astype(np.float64)
+    ang_x = tx[:, None] * freq[None, :]
+    ang_y = ty[:, None] * freq[None, :]
+    angles = np.concatenate([ang_x, ang_y], axis=1)  # (N, d_head/2)
+    angles = np.tile(angles, (1, 2))  # (N, d_head)
+    return np.sin(angles).astype(np.float32), np.cos(angles).astype(np.float32)
+
+
 def rope_angles(spec: Spec, grid_h: int, grid_w: int) -> tuple[np.ndarray, np.ndarray]:
-    """Spec-derived RoPE tables (see rope_sincos_from_periods)."""
+    """Spec-derived RoPE tables (see rope_sincos_from_periods / rope_sincos_pe)."""
+    if spec.rope_style == "pe":
+        return rope_sincos_pe(spec.d_head, spec.rope_base, grid_h, grid_w)
     return rope_sincos_from_periods(
         rope_periods(spec), grid_h, grid_w, spec.rope_normalize_coords
     )
@@ -399,7 +441,7 @@ def forward(
     n_prefix = spec.n_prefix_tokens
     gh, gw = grid
 
-    if spec.pos_kind == "learned":
+    if spec.pos_kind == "learned" or (spec.pos_kind == "rope" and spec.rope_abs_pos):
         pos = pos_override if pos_override is not None else params["pos"]
         assert pos.shape[0] == t, (
             f"pos table has {pos.shape[0]} entries for {t} tokens; interpolate "
