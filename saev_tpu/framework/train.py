@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import configs, disk, helpers, nn, parallel
+from .. import configs, disk, guards, helpers, nn, parallel
 from . import checkpoints
 from ..data import ShuffledConfig, ShuffledDataLoader
 from ..nn import modeling, objectives
@@ -83,10 +83,11 @@ class Config:
     mesh axis): each chip trains its slice of the sweep with no gradient
     traffic. Cohort sizes must divide it. 1 = replicate (pure DP)."""
     sweep_vmap_width: int = 1
-    """SAEs per lax.map chunk inside the train step: vmap within a chunk,
-    sequential across chunks. A single production-shape SAE fwd+bwd peaks at
-    ~8 GB of HLO temps, so width 1 is the safe default on 16 GB chips; raise
-    it for small SAEs."""
+    """SAEs per vmap chunk inside the train step: vmap within a chunk,
+    sequential (scan) across chunks. A single production-shape SAE fwd+bwd
+    peaks at ~8 GB of HLO temps, so width 1 is the safe default on 16 GB
+    chips; raise it for small SAEs. Composes with sweep_parallel: the width
+    then bounds PER-DEVICE memory and must divide n_sae / sweep_parallel."""
     matmul_precision: tp.Literal["highest", "high", "default"] = "default"
     """Train-step matmul precision: default = bf16 inputs with f32 accumulation
     (the TPU-native choice, 1.43x over bf16x3 end to end), high = bf16x3
@@ -425,15 +426,65 @@ def dictionary_coherence(w: Array, block: int = 1024) -> Array:
     return coh
 
 
-def _sweep_map(fn, args, width: int):
-    """Apply `fn` over the stacked sweep axis: one vmap when `width` covers the
-    whole sweep (no scan carry traffic; also the only mode compatible with a
-    device-sharded sweep axis), otherwise lax.map in vmap chunks of `width` so
-    per-chunk HLO temps stay bounded."""
+def _sweep_map(fn, args, width: int, *, sweep_parallel: int = 1, mesh=None):
+    """Apply `fn` over the stacked sweep axis, composing in-chip chunking with
+    device sharding.
+
+    Unsharded sweep (sweep_parallel == 1): one vmap when `width` covers the
+    whole sweep, otherwise lax.map in vmap chunks of `width` so per-chunk HLO
+    temps stay bounded.
+
+    Device-sharded sweep (sweep_parallel > 1): lax.map's scan would
+    dynamic-slice the sharded axis and force reshards, so instead the stacked
+    (n_sae, ...) leaves are rearranged to (n_chunks, sweep_parallel·width, ...)
+    — scan axis UNsharded, vmapped slab axis still sharded over `sweep` — and
+    scanned. Each device then runs its local `width`-wide vmap per chunk with
+    zero cross-device traffic: `width` now bounds per-device memory for sweeps
+    of any size (round 2; previously sharded sweeps forced a full vmap). The
+    rearrangement reshapes/transposes never move data across devices
+    (sharding constraints pin each step when `mesh` is given).
+    """
     n_sae = jax.tree.leaves(args)[0].shape[0]
-    if width >= n_sae:
+    if sweep_parallel <= 1:
+        if width >= n_sae:
+            return jax.vmap(fn)(args)
+        return jax.lax.map(fn, args, batch_size=width)
+
+    assert n_sae % sweep_parallel == 0, (n_sae, sweep_parallel)
+    per_dev = n_sae // sweep_parallel
+    width = min(width, per_dev)
+    assert per_dev % width == 0, (
+        f"sweep_vmap_width={width} must divide the per-device sweep size "
+        f"{per_dev} (n_sae={n_sae}, sweep_parallel={sweep_parallel})"
+    )
+    n_chunks = per_dev // width
+    if n_chunks == 1:
         return jax.vmap(fn)(args)
-    return jax.lax.map(fn, args, batch_size=width)
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def cs(x, *spec):
+        if mesh is None:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(*spec))
+        )
+
+    sw = parallel.SWEEP_AXIS
+
+    def to_chunks(x):
+        x2 = cs(x.reshape((sweep_parallel, n_chunks, width) + x.shape[1:]), sw)
+        x3 = cs(jnp.moveaxis(x2, 1, 0), None, sw)
+        return cs(x3.reshape((n_chunks, sweep_parallel * width) + x.shape[1:]), None, sw)
+
+    def from_chunks(y):
+        y2 = cs(y.reshape((n_chunks, sweep_parallel, width) + y.shape[2:]), None, sw)
+        y3 = cs(jnp.moveaxis(y2, 0, 1), sw)
+        return cs(y3.reshape((n_sae,) + y.shape[2:]), sw)
+
+    chunked = jax.tree.map(to_chunks, args)
+    out = jax.lax.map(jax.vmap(fn), chunked)
+    return jax.tree.map(from_chunks, out)
 
 
 def make_train_step(
@@ -443,6 +494,8 @@ def make_train_step(
     optim: str = "adam",
     matmul_precision: str = "default",
     sweep_vmap_width: int = 1,
+    sweep_parallel: int = 1,
+    mesh=None,
 ):
     """Build the jitted train step for one cohort.
 
@@ -496,7 +549,8 @@ def make_train_step(
             hp["sparsity_coeff"], hp["aux_alpha"], hp["momentum"],
         )
         losses, grads, sae_states, obj_states = _sweep_map(
-            grad_one, mapped, sweep_vmap_width
+            grad_one, mapped, sweep_vmap_width,
+            sweep_parallel=sweep_parallel, mesh=mesh,
         )
 
         grads = jax.vmap(lambda p, g: modeling.remove_parallel_grads(sae_cfg, p, g))(
@@ -548,7 +602,10 @@ def make_train_step(
 
 
 def make_metrics_fn(
-    sae_cfg: modeling.SparseAutoencoderConfig, sweep_vmap_width: int = 1
+    sae_cfg: modeling.SparseAutoencoderConfig,
+    sweep_vmap_width: int = 1,
+    sweep_parallel: int = 1,
+    mesh=None,
 ):
     """Heavy per-SAE metrics computed every log_every steps (reference
     train.py:365-432): explained variance, dead %, coherence, SSE terms. Re-runs
@@ -582,6 +639,7 @@ def make_metrics_fn(
             lambda a: one(a[0], a[1], x, a[2]),
             (ts.params, ts.sae_state, prefixes),
             sweep_vmap_width,
+            sweep_parallel=sweep_parallel, mesh=mesh,
         )
         per_sae["sse_baseline"] = jnp.broadcast_to(
             sse_baseline, per_sae["sse_sae"].shape
@@ -631,6 +689,13 @@ def train(
 
     dataloader = ShuffledDataLoader(cfg.train_data)
     metadata = dataloader.metadata
+    if metadata.d_model != cfg.sae.d_model:
+        raise guards.GuardError(
+            f"sae.d_model={cfg.sae.d_model} does not match the shards' "
+            f"d_model={metadata.d_model} ({cfg.train_data.shards}); the SAE "
+            "must be configured for the model family the shards were "
+            "extracted from."
+        )
     limited = scheduling.BatchLimiter(dataloader, cfg.n_train)
     n_steps = len(limited)
 
@@ -660,11 +725,11 @@ def train(
             k: parallel.shard_sweep(mesh, jnp.asarray(v))
             for k, v in _hp_arrays(cohort.cfgs).items()
         }
-        # In-chip sweep chunking (lax.map) scans the stacked axis, which
-        # fights a device-sharded sweep axis (per-chunk dynamic slices of a
-        # sharded array force reshards) — use the full vmap when the sweep is
-        # actually sharded over devices. shard_sweep silently replicates
+        # Chunking composes with a device-sharded sweep axis (_sweep_map
+        # rearranges chunks so the scan axis is unsharded): sweep_vmap_width
+        # bounds PER-DEVICE memory. shard_sweep silently replicates
         # non-divisible cohorts, so reject that combination loudly instead.
+        eff_width = c0.sweep_vmap_width
         if c0.sweep_parallel > 1:
             if len(cohort.cfgs) % c0.sweep_parallel != 0:
                 raise ValueError(
@@ -672,9 +737,14 @@ def train(
                     f"sweep_parallel={c0.sweep_parallel}; the sweep axis would "
                     "be silently replicated instead of sharded."
                 )
-            eff_width = len(cohort.cfgs)
-        else:
-            eff_width = c0.sweep_vmap_width
+            per_dev = len(cohort.cfgs) // c0.sweep_parallel
+            eff_width = min(eff_width, per_dev)
+            if per_dev % eff_width != 0:
+                raise ValueError(
+                    f"sweep_vmap_width={c0.sweep_vmap_width} must divide the "
+                    f"per-device sweep size {per_dev} (cohort of "
+                    f"{len(cohort.cfgs)} over sweep_parallel={c0.sweep_parallel})."
+                )
         runtimes.append(
             _CohortRuntime(
                 cohort=cohort,
@@ -682,8 +752,12 @@ def train(
                 step_fn=make_train_step(
                     c0.sae, c0.objective, n_steps, c0.optim, c0.matmul_precision,
                     sweep_vmap_width=eff_width,
+                    sweep_parallel=c0.sweep_parallel, mesh=mesh,
                 ),
-                metrics_fn=make_metrics_fn(c0.sae, sweep_vmap_width=eff_width),
+                metrics_fn=make_metrics_fn(
+                    c0.sae, sweep_vmap_width=eff_width,
+                    sweep_parallel=c0.sweep_parallel, mesh=mesh,
+                ),
                 hp=hp,
                 prefix_rng=np.random.default_rng(cfg.seed + 1000 + ci),
             )
@@ -882,9 +956,13 @@ def evaluate(cfgs: list[Config], runtimes: list[_CohortRuntime]) -> list[EvalMet
         c0 = rt.cohort.cfgs[0]
 
         # Same memory bound as training: vmapping N eval forwards
-        # materializes N x (batch, d_sae) intermediates; chunk unless the
-        # sweep axis is device-sharded (see make_train_step docstring).
-        width = len(rt.cohort.cfgs) if c0.sweep_parallel > 1 else c0.sweep_vmap_width
+        # materializes N x (batch, d_sae) intermediates; chunking composes
+        # with a device-sharded sweep axis (see _sweep_map). No sharding
+        # constraints here: eval builds its own data mesh while params keep
+        # the train mesh's placement, so GSPMD picks the layouts.
+        width = c0.sweep_vmap_width
+        if c0.sweep_parallel > 1:
+            width = min(width, len(rt.cohort.cfgs) // c0.sweep_parallel)
 
         def make(c0=c0, width=width):
             @jax.jit
@@ -904,7 +982,10 @@ def evaluate(cfgs: list[Config], runtimes: list[_CohortRuntime]) -> list[EvalMet
                         "values": jnp.sum(out.f_x, axis=0),
                     }
 
-                return _sweep_map(one, (params, sae_state, obj_state, prefixes), width)
+                return _sweep_map(
+                    one, (params, sae_state, obj_state, prefixes), width,
+                    sweep_parallel=c0.sweep_parallel,
+                )
 
             return run
 
