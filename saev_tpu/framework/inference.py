@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import scipy.sparse
 
-from .. import configs, disk, helpers, nn
+from .. import configs, disk, guards, helpers, nn
 from ..data import Metadata, OrderedConfig, OrderedDataLoader
 from ..metrics import Metrics
 from ..nn import modeling
@@ -168,6 +168,11 @@ def worker_fn(cfg: Config) -> None:
 
     assert cfg.data.tokens == "content"
     sae_cfg, params, state = nn.load(run.ckpt)
+    if sae_cfg.d_model != md.d_model:
+        raise guards.GuardError(
+            f"SAE checkpoint d_model={sae_cfg.d_model} ({run.ckpt}) does not "
+            f"match the shards' d_model={md.d_model} ({cfg.data.shards})."
+        )
 
     # Round the batch to a whole number of examples so distributions indexing and
     # the order asserts line up (reference inference.py:164-171).

@@ -29,6 +29,8 @@ import typing as tp
 import jax
 import jax.numpy as jnp
 
+from .. import guards
+
 Array = jax.Array
 
 # Default matmul precision: HIGHEST (6-pass f32 emulation) for parity with the
@@ -286,6 +288,8 @@ def encode(
     overrides the BatchTopK config value with a traced per-SAE scalar (so a vmapped
     sweep can vary it without retracing).
     """
+    guards.check("x", x, ndim=2, last_dim=params["W_enc"].shape[0],
+                 what=f"(batch, d_model) activations for this {cfg.d_model}-d SAE")
     h_x = (
         jnp.dot(
             x, params["W_enc"], preferred_element_type=jnp.float32,
@@ -342,6 +346,8 @@ def decode(
     masked remainder-group matmul picked out with `lax.dynamic_slice`. All
     shapes static; prefix values may be traced.
     """
+    guards.check("f_x", f_x, ndim=2, last_dim=params["W_dec"].shape[0],
+                 what=f"(batch, d_sae) latents for this {cfg.d_sae}-latent SAE")
     precision = precision or MATMUL_PRECISION
     w_dec = params["W_dec"]  # (d_sae, d_model)
     b_dec = params["b_dec"]

@@ -26,7 +26,7 @@ import typing as tp
 import jax.numpy as jnp
 import numpy as np
 
-from .. import helpers
+from .. import guards, helpers
 from . import modeling
 
 SCHEMA_VERSION = 5
@@ -263,9 +263,16 @@ def load(
         "W_enc": jnp.asarray(sd["W_enc"], dtype=jnp.float32),
         "b_enc": jnp.asarray(sd["b_enc"], dtype=jnp.float32),
     }
-    assert params["W_dec"].shape == (cfg.d_sae, cfg.d_model), (
-        f"W_dec shape {params['W_dec'].shape} != {(cfg.d_sae, cfg.d_model)}"
-    )
+    # Guard the header↔tensor contract so a corrupted/mismatched checkpoint
+    # fails with named dimensions instead of a downstream XLA error (§5.2).
+    guards.check("W_dec", params["W_dec"], ndim=2, axis0=cfg.d_sae,
+                 last_dim=cfg.d_model, what=f"checkpoint header {fpath}")
+    guards.check("W_enc", params["W_enc"], ndim=2, axis0=cfg.d_model,
+                 last_dim=cfg.d_sae, what=f"checkpoint header {fpath}")
+    guards.check("b_enc", params["b_enc"], ndim=1, axis0=cfg.d_sae,
+                 what=f"checkpoint header {fpath}")
+    guards.check("b_dec", params["b_dec"], ndim=1, axis0=cfg.d_model,
+                 what=f"checkpoint header {fpath}")
     state = modeling.init_state(cfg)
     if "activation.threshold" in sd:
         state = {
