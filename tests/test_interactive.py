@@ -31,26 +31,70 @@ def test_shards_browser(tmp_path):
     assert out.exists() and "fake-clip" in out.read_text()
 
 
-def test_metrics_report(tmp_path):
+def _write_tracker_run(tracker, rid, lr, l0, nmse, layer=3, freqs=None):
+    d = tracker / rid
+    d.mkdir(parents=True)
+    metadata = {"family": "clip", "ckpt": "ViT-B-16/openai", "data": "!!notb64!!"}
+    (d / "config.json").write_text(json.dumps({
+        "config": {
+            "lr": lr,
+            "train_data": {"layer": layer, "metadata": metadata},
+            "val_data": {"layer": layer},
+            "sae": {"d_sae": 64},
+            "objective": {"sparsity_coeff": 4e-4},
+        },
+        "tags": ["sweepX"],
+    }))
+    with open(d / "metrics.jsonl", "w") as fd:
+        for step in range(3):
+            fd.write(json.dumps({"step": step, "loss/mse": 1.0 / (step + 1)}) + "\n")
+        final = {"step": 3, "eval/l0": l0, "eval/normalized_mse": nmse}
+        if freqs is not None:
+            final["eval/freqs"] = freqs
+            final["eval/mean_values"] = [f * 2 for f in freqs]
+        fd.write(json.dumps(final) + "\n")
+
+
+def test_metrics_explorer(tmp_path):
     from saev_tpu.interactive import metrics as imetrics
 
     tracker = tmp_path / "tracker"
-    for rid, (l0, nmse) in {"aaaa": (10, 0.5), "bbbb": (30, 0.2)}.items():
-        d = tracker / rid
-        d.mkdir(parents=True)
-        (d / "config.json").write_text(json.dumps({"config": {"lr": 1e-3}}))
-        with open(d / "metrics.jsonl", "w") as fd:
-            for step in range(3):
-                fd.write(json.dumps({"step": step, "loss/mse": 1.0 / (step + 1)}) + "\n")
-            fd.write(
-                json.dumps({"step": 3, "eval/l0": l0, "eval/normalized_mse": nmse}) + "\n"
-            )
-    out = imetrics.generate(imetrics.Config(tracker_dir=tracker, out=tmp_path / "report"))
+    # aaaa and bbbb are the frontier; cccc is dominated by bbbb.
+    _write_tracker_run(tracker, "aaaa", 1e-3, 10, 0.5, freqs=[0.1, 0.01, 1e-6])
+    _write_tracker_run(tracker, "bbbb", 3e-3, 30, 0.2)
+    _write_tracker_run(tracker, "cccc", 1e-4, 40, 0.3)
+    out = imetrics.generate(
+        imetrics.Config(tracker_dir=tracker, out=tmp_path / "report.html")
+    )
     assert out.exists()
-    assert (tmp_path / "report" / "pareto.png").exists()
-    assert (tmp_path / "report" / "curves.png").exists()
     html = out.read_text()
-    assert "aaaa" in html and "bbbb" in html
+    payload = json.loads(
+        html.split("window.SAEV = ", 1)[1].split(";</script>", 1)[0]
+    )
+    rows = {r["id"]: r for r in payload["rows"]}
+    assert rows["aaaa"]["is_pareto"] and rows["bbbb"]["is_pareto"]
+    assert not rows["cccc"]["is_pareto"]
+    # LR edges within the (model, layer, data) group.
+    assert rows["cccc"]["is_lr_min"] and rows["bbbb"]["is_lr_max"]
+    assert rows["aaaa"]["model_key"] == "CLIP ViT-B/16"
+    assert rows["aaaa"]["layer"] == 3
+    # Drill-down payloads: curves for all, dist only where freqs were logged.
+    assert payload["drill"]["aaaa"]["dist"]["d_sae"] == 3
+    assert payload["drill"]["bbbb"]["dist"] is None
+    assert payload["drill"]["bbbb"]["curves"]["loss/mse"]
+    # App hooks present.
+    for hook in ("id=\"pareto\"", "id=\"runs\"", "id=\"drill\"", "copyPareto"):
+        assert hook in html, hook
+
+
+def test_metrics_explorer_tag_filter(tmp_path):
+    from saev_tpu.interactive import metrics as imetrics
+
+    tracker = tmp_path / "tracker"
+    _write_tracker_run(tracker, "aaaa", 1e-3, 10, 0.5)
+    runs = imetrics.load_runs_local(tracker, tag="sweepX")
+    assert len(runs) == 1
+    assert imetrics.load_runs_local(tracker, tag="other") == []
 
 
 def test_features_gallery(tmp_path):
@@ -96,4 +140,15 @@ def test_features_gallery(tmp_path):
     assert out.exists()
     html = out.read_text()
     assert "data:image/png;base64," in html
-    assert "Latent features" in html
+    assert "Latent feature browser" in html
+    payload = json.loads(
+        html.split("window.SAEV = ", 1)[1].split(";</script>", 1)[0]
+    )
+    assert payload["ckpts"][0]["id"] == "featrun"
+    lat = payload["ckpts"][0]["latents"]
+    assert lat and all({"f", "lf", "lv", "imgs"} <= set(n) for n in lat)
+    assert lat[0]["imgs"][0].startswith("data:image/png;base64,")
+    # App hooks: sort buttons, sliders, checkpoint dropdown.
+    for hook in ("data-sort=\"lf\"", "id=\"slider\"", "id=\"cols\"", "id=\"ckpt\"",
+                 "id=\"scatter\"", "id=\"hist\""):
+        assert hook in html, hook
