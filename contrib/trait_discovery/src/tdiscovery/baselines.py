@@ -452,3 +452,331 @@ def load(run: saev_tpu.disk.Run, **kwargs):
         model = cls(n_concepts=sd["D_"].shape[0], **kwargs)
     model.load_state_dict(sd)
     return model
+
+
+# ---------------------------------------------------------------------------
+# Training pipeline (reference baselines.py:465-494 TrainConfig, :851-949
+# train_worker_fn, :701-849 per-method eval)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Baseline dictionary training over shard streams."""
+
+    method: BaselineMethod = "kmeans"
+    train_data: tp.Any = None
+    """saev_tpu.data.ShuffledConfig for the train stream."""
+    val_data: tp.Any = None
+    """ShuffledConfig for eval (None or n_val<=0 skips eval)."""
+    n_train: int = 100_000_000
+    n_val: int = 10_000_000
+    k: int = 1024 * 16
+    """Dictionary size (clusters / components / concepts)."""
+    collapse_tol: float = 0.5
+    z_iters: int = 10
+    encode_iters: int = 300
+    ridge: float = 1e-6
+    eps: float = 1e-8
+    forget_factor: float = 0.7
+    d_update_every: int = 10
+    seed: int = 42
+    runs_root: pathlib.Path = pathlib.Path("./tdiscovery/runs")
+    log_every: int = 50
+    debug: bool = False
+
+
+def make_model(cfg: TrainConfig):
+    if cfg.method == "kmeans":
+        return MiniBatchKMeans(k=cfg.k, collapse_tol=cfg.collapse_tol, seed=cfg.seed)
+    if cfg.method == "pca":
+        return MiniBatchPCA(n_components=cfg.k)
+    if cfg.method == "semi-nmf":
+        return MiniBatchSemiNMF(
+            n_concepts=cfg.k, z_iters=cfg.z_iters, encode_iters=cfg.encode_iters,
+            ridge=cfg.ridge, eps=cfg.eps, forget_factor=cfg.forget_factor,
+            d_update_every=cfg.d_update_every, seed=cfg.seed,
+        )
+    raise ValueError(f"Unknown method {cfg.method!r}")
+
+
+def _val_batches(cfg: TrainConfig):
+    from saev_tpu.data import ShuffledDataLoader
+    from saev_tpu.utils import scheduling
+
+    if cfg.val_data is None or cfg.n_val <= 0:
+        return None
+    dl = ShuffledDataLoader(cfg.val_data)
+    return scheduling.BatchLimiter(dl, min(cfg.n_val, dl.n_samples))
+
+
+def eval_kmeans(cfg: TrainConfig, model: MiniBatchKMeans) -> dict[str, float]:
+    """Inertia + center utilization/population stats (reference :702-745)."""
+    limiter = _val_batches(cfg)
+    if limiter is None:
+        return {}
+    hits = np.zeros(model.k, dtype=np.float64)
+    sum_sq_dist, n = 0.0, 0
+    for batch in limiter:
+        acts = np.asarray(batch["act"])
+        d2 = (
+            (acts**2).sum(1, keepdims=True)
+            - 2 * acts @ model.cluster_centers_.T
+            + (model.cluster_centers_**2).sum(1)[None, :]
+        )
+        assign = d2.argmin(1)
+        sum_sq_dist += float(np.maximum(d2[np.arange(len(assign)), assign], 0).sum())
+        np.add.at(hits, assign, 1.0)
+        n += acts.shape[0]
+    if n == 0:
+        return {}
+    return {
+        "eval/inertia": sum_sq_dist / n,
+        "eval/utilization": float((hits > 0).mean()),
+        "eval/mean_pop": float(hits.mean()),
+        "eval/max_pop": float(hits.max()),
+    }
+
+
+def _eval_nmse(limiter, recon_fn) -> dict[str, float]:
+    """Normalized MSE of recon_fn over the val stream (reference :747-849)."""
+    sse, sum_sq, n = 0.0, 0.0, 0
+    sum_vec = None
+    for batch in limiter:
+        acts = np.asarray(batch["act"], dtype=np.float64)
+        recon = np.asarray(recon_fn(acts.astype(np.float32)), dtype=np.float64)
+        sse += float(((acts - recon) ** 2).sum())
+        sum_sq += float((acts * acts).sum())
+        sum_vec = acts.sum(0) if sum_vec is None else sum_vec + acts.sum(0)
+        n += acts.shape[0]
+    if n == 0:
+        return {}
+    sse_baseline = sum_sq - float(sum_vec @ sum_vec) / n
+    return {
+        "eval/mse": sse / n,
+        "eval/normalized_mse": sse / max(sse_baseline, 1e-18),
+    }
+
+
+def eval_pca(cfg: TrainConfig, model: MiniBatchPCA) -> dict[str, float]:
+    limiter = _val_batches(cfg)
+    if limiter is None:
+        return {}
+    return _eval_nmse(
+        limiter, lambda a: model.transform(a) @ model.components_ + model.mean_
+    )
+
+
+def eval_semi_nmf(cfg: TrainConfig, model: MiniBatchSemiNMF) -> dict[str, float]:
+    limiter = _val_batches(cfg)
+    if limiter is None:
+        return {}
+    return _eval_nmse(limiter, lambda a: model.transform(a) @ model.D_)
+
+
+def get_training_metrics(model, n_samples: int) -> dict[str, float]:
+    """Final train-side metrics recorded into the checkpoint header
+    (reference :679-699)."""
+    out: dict[str, float] = {"train/n_samples": float(n_samples)}
+    for attr, key in (
+        ("last_batch_recon_mse_", "train/last_batch_recon_mse"),
+        ("last_batch_nmse_", "train/last_batch_nmse"),
+        ("n_steps_", "train/n_steps"),
+    ):
+        v = getattr(model, attr, None)
+        if v is not None:
+            out[key] = float(v)
+    return out
+
+
+def train_worker_fn(cfg: TrainConfig) -> str:
+    """Stream the shuffled loader, fit the dictionary, eval, dump to a Run
+    (reference train_worker_fn :851-949). Returns the run id."""
+    import secrets
+
+    import saev_tpu.helpers
+    from saev_tpu.data import ShuffledDataLoader
+    from saev_tpu.utils import scheduling
+
+    dl = ShuffledDataLoader(cfg.train_data)
+    limiter = scheduling.BatchLimiter(dl, min(cfg.n_train, dl.n_samples))
+    model = make_model(cfg)
+
+    n_samples = 0
+    for batch in saev_tpu.helpers.progress(limiter, desc="fit", every=cfg.log_every):
+        acts = np.asarray(batch["act"], dtype=np.float32)
+        model.partial_fit(acts)
+        n_samples += acts.shape[0]
+
+    evals = {
+        "kmeans": eval_kmeans, "pca": eval_pca, "semi-nmf": eval_semi_nmf
+    }[cfg.method](cfg, model)
+    metrics = {**get_training_metrics(model, n_samples), **evals}
+    logger.info("Trained %s on %d samples: %s", cfg.method, n_samples, metrics)
+
+    run_id = secrets.token_hex(4)
+    shards = pathlib.Path(cfg.train_data.shards)
+    val_shards = pathlib.Path(cfg.val_data.shards) if cfg.val_data else shards
+    run = saev_tpu.disk.Run.new(
+        run_id, train_shards_dir=shards, val_shards_dir=val_shards,
+        runs_root=pathlib.Path(cfg.runs_root),
+    )
+    dump(run, cfg.method, model, extra={"metrics": metrics, "k": cfg.k})
+    with open(run.run_dir / "metrics.json", "w") as fd:
+        json.dump(metrics, fd, indent=2)
+    return run_id
+
+
+# ---------------------------------------------------------------------------
+# Inference pipeline: the same 5 artifacts as SAE inference so baselines slot
+# into visuals/probe1d/metrics (reference :951-1378)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    run: pathlib.Path = pathlib.Path("./tdiscovery/runs/example")
+    data: tp.Any = None
+    """saev_tpu.data.OrderedConfig."""
+    n_dists: int = 25
+    n_iters: int = 300
+    """Semi-NMF multiplicative update iterations at inference."""
+    save: bool = True
+    force: bool = False
+
+
+def inference_worker_fn(cfg: InferenceConfig) -> None:
+    """Ordered pass writing token_acts.npz / sparsity.pt / mean_values.pt /
+    distributions.pt / metrics.json for the baseline dictionary
+    (reference inference_worker_fn :1362-1378 dispatching :1001-1360)."""
+    import scipy.sparse
+
+    import saev_tpu.helpers
+    from saev_tpu.data import Metadata, OrderedDataLoader
+    from saev_tpu.framework.inference import Filepaths, _torch_save
+    from saev_tpu.metrics import Metrics
+
+    run = saev_tpu.disk.Run(cfg.run)
+    model = load(run)
+    method = type(model).method
+    md = Metadata.load(cfg.data.shards)
+    fpaths = Filepaths.from_run(run, md)
+    required = list(fpaths) if cfg.save else [fpaths.metrics]
+    if not cfg.force and all(f.exists() for f in required):
+        logger.info("All artifacts exist for %s; skipping.", cfg.run)
+        return
+
+    batch_size = max(
+        cfg.data.batch_size
+        // md.content_tokens_per_example
+        * md.content_tokens_per_example,
+        md.content_tokens_per_example,
+    )
+    dl = OrderedDataLoader(dataclasses.replace(cfg.data, batch_size=batch_size))
+    n_samples = dl.n_samples
+    k = {
+        "kmeans": lambda: model.cluster_centers_.shape[0],
+        "pca": lambda: model.components_.shape[0],
+        "semi-nmf": lambda: model.D_.shape[0],
+    }[method]()
+    d_model = md.d_model
+
+    mean_values = np.zeros((k,), dtype=np.float64)
+    sparsity = np.zeros((k,), dtype=np.float64)
+    n_dists = min(cfg.n_dists, k)
+    if cfg.save:
+        distributions = np.zeros((n_samples, n_dists), dtype=np.float32)
+        blocks: list[scipy.sparse.csr_matrix] = []
+    sse_recon, sum_sq, n_tokens = 0.0, 0.0, 0
+    sum_vec = np.zeros((d_model,), dtype=np.float64)
+    prev_i = -1
+
+    for batch in saev_tpu.helpers.progress(dl, desc=f"{method}-inference"):
+        acts = np.asarray(batch["act"], dtype=np.float32)
+        if method == "kmeans":
+            d2 = (
+                (acts**2).sum(1, keepdims=True)
+                - 2 * acts @ model.cluster_centers_.T
+                + (model.cluster_centers_**2).sum(1)[None, :]
+            )
+            assign = d2.argmin(1)
+            min_d2 = np.maximum(d2[np.arange(len(assign)), assign], 0.0)
+            # Sparse one-hot codes valued 1/(1+dist) (reference :1036).
+            scores_sparse = (assign, 1.0 / (1.0 + np.sqrt(min_d2)))
+            sse_recon += float(min_d2.astype(np.float64).sum())
+            codes = None
+        elif method == "pca":
+            codes = model.transform(acts)
+            recon = codes @ model.components_ + model.mean_
+            sse_recon += float(((acts - recon).astype(np.float64) ** 2).sum())
+            scores_sparse = None
+        else:
+            codes = model.transform(acts, n_iters=cfg.n_iters)
+            recon = codes @ model.D_
+            sse_recon += float(((acts - recon).astype(np.float64) ** 2).sum())
+            scores_sparse = None
+
+        a64 = acts.astype(np.float64)
+        sum_sq += float((a64 * a64).sum())
+        sum_vec += a64.sum(0)
+        n_tokens += acts.shape[0]
+
+        if not cfg.save:
+            continue
+        batch_idx = (
+            np.asarray(batch["example_idx"]) * md.content_tokens_per_example
+            + np.asarray(batch["token_idx"])
+        )
+        assert int(batch_idx[0]) == prev_i + 1
+        assert (np.sort(batch_idx) == batch_idx).all()
+        prev_i = int(batch_idx[-1])
+
+        if scores_sparse is not None:
+            assign, vals = scores_sparse
+            np.add.at(sparsity, assign, 1.0)
+            np.add.at(mean_values, assign, vals)
+            blocks.append(
+                scipy.sparse.csr_matrix(
+                    (vals, (np.arange(len(assign)), assign)),
+                    shape=(len(assign), k),
+                )
+            )
+            sel = assign < n_dists
+            distributions[batch_idx[sel], assign[sel]] = vals[sel]
+        else:
+            codes = codes.astype(np.float32)
+            sparsity += (codes != 0).sum(0)
+            mean_values += codes.sum(0, dtype=np.float64)
+            blocks.append(scipy.sparse.csr_matrix(codes))
+            distributions[batch_idx] = codes[:, :n_dists]
+
+    if cfg.save:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_values = mean_values / sparsity
+        sparsity = sparsity / n_samples
+        token_acts = scipy.sparse.vstack(blocks, format="csr")
+        scipy.sparse.save_npz(fpaths.token_acts, token_acts)
+        _torch_save(mean_values.astype(np.float32), fpaths.mean_values)
+        _torch_save(sparsity.astype(np.float32), fpaths.sparsity)
+        _torch_save(distributions, fpaths.distributions)
+
+    assert n_tokens > 0
+    sse_baseline = sum_sq - float(sum_vec @ sum_vec) / n_tokens
+    assert sse_baseline > 0.0, f"Non-positive baseline variance {sse_baseline:.3e}"
+    metrics = Metrics.from_accumulators(
+        sse_recon=sse_recon, sse_baseline=sse_baseline,
+        n_tokens=n_tokens, d_model=d_model,
+    )
+    with open(fpaths.metrics, "wb") as fd:
+        saev_tpu.helpers.jdump(metrics.to_dict(), fd, indent=2)
+    logger.info("Wrote %s baseline inference artifacts under %s.", method, fpaths.metrics.parent)
+
+
+def train_cli(cfg: TrainConfig) -> None:
+    logging.basicConfig(level=logging.INFO)
+    train_worker_fn(cfg)
+
+
+def inference_cli(cfg: InferenceConfig) -> None:
+    logging.basicConfig(level=logging.INFO)
+    inference_worker_fn(cfg)

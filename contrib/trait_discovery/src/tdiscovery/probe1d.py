@@ -165,9 +165,83 @@ class Reference1DProbe:
         return (self.decision_function(x) > 0).astype(np.int64)
 
 
+@dataclasses.dataclass(frozen=True)
+class MemoryPlan:
+    """Device-memory plan for one Sparse1DProbe.fit (reference probe1d.py
+    plans classes in slabs and rows in chunks, :449-466, :993-1030; here the
+    resident costs are the stacked event arrays plus per-slab state)."""
+
+    class_slab_size: int
+    event_chunk_size: int
+    event_bytes: int
+    """All CSR events stay device-resident: 12 B/event (i32 col + f32 val + i32 row)."""
+    slab_bytes: int
+    """Per-slab state: y_slab (n_samples × c_b) + ~17 (L, c_b) f32 buffers
+    (7 stats accumulators + 6 carry arrays + LM temps) + chunk temporaries."""
+
+    @property
+    def total_bytes(self) -> int:
+        return self.event_bytes + self.slab_bytes
+
+
+def plan_memory(
+    *,
+    n_latents: int,
+    n_classes: int,
+    nnz: int,
+    n_samples: int,
+    budget_bytes: int = 4 << 30,
+    max_class_slab: int = 64,
+    max_event_chunk: int = 1 << 20,
+) -> MemoryPlan:
+    """Choose (class_slab_size, event_chunk_size) so a fit stays under
+    `budget_bytes` of device memory at production shapes (d_sae=16k latents ×
+    thousands of classes × 10^8 events).
+
+    The event stream is fixed cost; the free variables are the class slab
+    (bounds y_slab + all (L, c_b) state) and the event chunk (bounds per-chunk
+    (chunk, c_b) temporaries inside the scan body).
+    """
+    event_bytes = 12 * max(nnz, 1)
+    assert event_bytes < budget_bytes, (
+        f"Event stream alone ({event_bytes / 2**30:.1f} GiB) exceeds the "
+        f"{budget_bytes / 2**30:.1f} GiB budget; shard the rows externally."
+    )
+    remaining = budget_bytes - event_bytes
+
+    def slab_bytes(c_b: int, chunk: int) -> int:
+        state = 17 * (n_latents + 1) * c_b * 4
+        y_cost = n_samples * c_b * 4
+        # ~8 live (chunk, c_b) f32 temporaries in the scan body (logits, mu,
+        # s, residual, loss, yc, bc, wc).
+        chunk_cost = 8 * chunk * c_b * 4
+        return state + y_cost + chunk_cost
+
+    slab = max_class_slab
+    chunk = min(max_event_chunk, max(nnz, 1))
+    while slab > 1 and slab_bytes(slab, chunk) > remaining:
+        slab //= 2
+    while chunk > (1 << 14) and slab_bytes(slab, chunk) > remaining:
+        chunk //= 2
+    slab = min(slab, n_classes)
+    return MemoryPlan(
+        class_slab_size=max(slab, 1),
+        event_chunk_size=max(chunk, 1),
+        event_bytes=event_bytes,
+        slab_bytes=slab_bytes(max(slab, 1), max(chunk, 1)),
+    )
+
+
 class Sparse1DProbe:
     """Vectorized trust-region probes over all (latent, class) pairs in JAX
-    (reference Sparse1DProbe, probe1d.py:427-786)."""
+    (reference Sparse1DProbe, probe1d.py:427-786).
+
+    Memory model: CSR events live on device once (12 B/event); classes are
+    processed in slabs whose y columns transfer host->device per slab, so
+    peak device use is events + O(n_latents × class_slab_size) state — a
+    16k-latent × 2000-class probe over 10^8 events fits in ~1.5 GiB. Pass
+    `memory_budget_mb` to auto-shrink `class_slab_size`/`event_chunk_size`
+    (the plan is logged)."""
 
     def __init__(
         self,
@@ -176,20 +250,41 @@ class Sparse1DProbe:
         n_classes: int,
         class_slab_size: int = 8,
         event_chunk_size: int = 1 << 20,
+        memory_budget_mb: int = 4096,
         **hparams,
     ):
         self.n_latents = n_latents
         self.n_classes = n_classes
         self.class_slab_size = class_slab_size
         self.event_chunk_size = event_chunk_size
+        self.memory_budget_mb = memory_budget_mb
         self.hp = ProbeHparams(**hparams)
         self.intercept_ = np.zeros((n_latents, n_classes), dtype=np.float32)
         self.coef_ = np.zeros((n_latents, n_classes), dtype=np.float32)
         self.n_iter_ = np.zeros((n_classes,), dtype=np.int32)
 
+    def _plan(self, nnz: int, n_samples: int) -> MemoryPlan:
+        plan = plan_memory(
+            n_latents=self.n_latents,
+            n_classes=self.n_classes,
+            nnz=nnz,
+            n_samples=n_samples,
+            budget_bytes=self.memory_budget_mb << 20,
+            max_class_slab=self.class_slab_size,
+            max_event_chunk=self.event_chunk_size,
+        )
+        logger.info(
+            "Memory plan: slab=%d chunk=%d events=%.1f MiB slab-state=%.1f MiB "
+            "(budget %d MiB).",
+            plan.class_slab_size, plan.event_chunk_size,
+            plan.event_bytes / 2**20, plan.slab_bytes / 2**20,
+            self.memory_budget_mb,
+        )
+        return plan
+
     # -- event preparation ----------------------------------------------------
 
-    def _events(self, x: scipy.sparse.csr_matrix):
+    def _events(self, x: scipy.sparse.csr_matrix, chunk_size: int | None = None):
         x = x.tocsr()
         nnz = x.nnz
         row_idx = np.repeat(
@@ -198,7 +293,7 @@ class Sparse1DProbe:
         cols = x.indices.astype(np.int32)
         vals = x.data.astype(np.float32)
 
-        chunk = min(self.event_chunk_size, max(nnz, 1))
+        chunk = min(chunk_size or self.event_chunk_size, max(nnz, 1))
         pad = (-nnz) % chunk
         if pad:
             # Padding events point at latent index n_latents (a scratch row).
@@ -233,7 +328,8 @@ class Sparse1DProbe:
         assert y.shape == (n_samples, self.n_classes)
         hp = self.hp
 
-        cols_c, vals_c, rows_c = self._events(x)
+        plan = self._plan(x.nnz, n_samples)
+        cols_c, vals_c, rows_c = self._events(x, plan.event_chunk_size)
         nnz_counts, qx_np = self._latent_counts(x)
         empty_mask = (nnz_counts == 0).astype(np.bool_)
         n_zeros = (n_samples - nnz_counts).clip(min=0).astype(np.float32)
@@ -413,14 +509,16 @@ class Sparse1DProbe:
 
         pi_all = np.clip(y.mean(axis=0), hp.eps, 1 - hp.eps)
         base_all = np.log(pi_all / (1 - pi_all)).astype(np.float32)
-        y_j = jnp.asarray(y)
         empty_j = jnp.asarray(empty_mask)[:, None]
         n_zeros_j = jnp.asarray(n_zeros)[:, None]
 
-        for c0 in range(0, self.n_classes, self.class_slab_size):
-            c1 = min(c0 + self.class_slab_size, self.n_classes)
+        slab = plan.class_slab_size
+        for c0 in range(0, self.n_classes, slab):
+            c1 = min(c0 + slab, self.n_classes)
             c_b = c1 - c0
-            y_slab = y_j[:, c0:c1]
+            # Per-slab host->device transfer: y never lives on device whole
+            # (the memory plan's y_cost term).
+            y_slab = jnp.asarray(np.ascontiguousarray(y[:, c0:c1]))
             pi_mean = jnp.asarray(pi_all[c0:c1].astype(np.float32))[None, :]
             base_slab = jnp.broadcast_to(
                 jnp.asarray(base_all[c0:c1])[None, :], (L, c_b)
@@ -459,37 +557,55 @@ class Sparse1DProbe:
 
         n_samples = x.shape[0]
         y = np.asarray(y, dtype=np.float32)
-        cols_c, vals_c, rows_c = self._events(x)
+        plan = self._plan(x.nnz, n_samples)
+        cols_c, vals_c, rows_c = self._events(x, plan.event_chunk_size)
         nnz_counts, _ = self._latent_counts(x)
         n_zeros = (n_samples - nnz_counts).clip(min=0).astype(np.float32)
 
-        b = jnp.concatenate(
-            [jnp.asarray(self.intercept_), jnp.zeros((1, self.n_classes), jnp.float32)]
-        )
-        w = jnp.concatenate(
-            [jnp.asarray(self.coef_), jnp.zeros((1, self.n_classes), jnp.float32)]
-        )
-        y_j = jnp.asarray(y)
         L = self.n_latents
+        cols_j = jnp.asarray(cols_c)
+        vals_j = jnp.asarray(vals_c)
+        rows_j = jnp.asarray(rows_c)
 
-        def chunk_body(carry, inputs):
-            cols, vals, rows = inputs
-            logits = b[cols] + w[cols] * vals[:, None]
-            yc = y_j[rows]
-            valid = (cols < L)[:, None].astype(logits.dtype)
-            loss = (
-                jnp.maximum(logits, 0) - logits * yc + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-            ) * valid
-            seg = lambda t: jax.ops.segment_sum(t, cols, num_segments=L + 1)[:L]
-            return (carry[0] + seg(loss), carry[1] + seg(yc * valid)), None
+        def slab_sums(b, w, y_slab):
+            def chunk_body(carry, inputs):
+                cols, vals, rows = inputs
+                logits = b[cols] + w[cols] * vals[:, None]
+                yc = y_slab[rows]
+                valid = (cols < L)[:, None].astype(logits.dtype)
+                loss = (
+                    jnp.maximum(logits, 0) - logits * yc
+                    + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+                ) * valid
+                seg = lambda t: jax.ops.segment_sum(t, cols, num_segments=L + 1)[:L]
+                return (carry[0] + seg(loss), carry[1] + seg(yc * valid)), None
 
-        init = (
-            jnp.zeros((L, self.n_classes), jnp.float32),
-            jnp.zeros((L, self.n_classes), jnp.float32),
-        )
-        (loss_nz, pos_nz), _ = jax.lax.scan(
-            chunk_body, init, (jnp.asarray(cols_c), jnp.asarray(vals_c), jnp.asarray(rows_c))
-        )
+            c_b = y_slab.shape[1]
+            init = (
+                jnp.zeros((L, c_b), jnp.float32),
+                jnp.zeros((L, c_b), jnp.float32),
+            )
+            (loss_nz, pos_nz), _ = jax.lax.scan(
+                chunk_body, init, (cols_j, vals_j, rows_j)
+            )
+            return loss_nz, pos_nz
+
+        slab_sums_j = jax.jit(slab_sums)
+        loss_nz = np.zeros((L, self.n_classes), dtype=np.float32)
+        pos_nz = np.zeros((L, self.n_classes), dtype=np.float32)
+        for c0 in range(0, self.n_classes, plan.class_slab_size):
+            c1 = min(c0 + plan.class_slab_size, self.n_classes)
+            b = jnp.concatenate(
+                [jnp.asarray(self.intercept_[:, c0:c1]),
+                 jnp.zeros((1, c1 - c0), jnp.float32)]
+            )
+            w = jnp.concatenate(
+                [jnp.asarray(self.coef_[:, c0:c1]),
+                 jnp.zeros((1, c1 - c0), jnp.float32)]
+            )
+            ln, pn = slab_sums_j(b, w, jnp.asarray(np.ascontiguousarray(y[:, c0:c1])))
+            loss_nz[:, c0:c1] = np.asarray(ln)
+            pos_nz[:, c0:c1] = np.asarray(pn)
 
         pi = y.mean(axis=0)[None, :]
         mu0 = np.clip(sigmoid(self.intercept_.astype(np.float64)), self.hp.eps, 1 - self.hp.eps)
@@ -512,37 +628,52 @@ class Sparse1DProbe:
         y = np.asarray(y, dtype=np.float32)
         loss = self.loss_matrix(x, y)
 
-        cols_c, vals_c, rows_c = self._events(x)
+        plan = self._plan(x.nnz, n_samples)
+        cols_c, vals_c, rows_c = self._events(x, plan.event_chunk_size)
         nnz_counts, _ = self._latent_counts(x)
 
-        b = jnp.concatenate(
-            [jnp.asarray(self.intercept_), jnp.zeros((1, self.n_classes), jnp.float32)]
-        )
-        w = jnp.concatenate(
-            [jnp.asarray(self.coef_), jnp.zeros((1, self.n_classes), jnp.float32)]
-        )
-        y_j = jnp.asarray(y)
         L = self.n_latents
+        cols_j = jnp.asarray(cols_c)
+        vals_j = jnp.asarray(vals_c)
+        rows_j = jnp.asarray(rows_c)
 
-        def chunk_body(carry, inputs):
-            cols, vals, rows = inputs
-            z = b[cols] + w[cols] * vals[:, None]
-            pred = (z > 0).astype(jnp.float32)
-            yc = y_j[rows]
-            valid = (cols < L)[:, None].astype(jnp.float32)
-            seg = lambda t: jax.ops.segment_sum(t, cols, num_segments=L + 1)[:L]
-            return (
-                carry[0] + seg(pred * yc * valid),        # tp_nz
-                carry[1] + seg(pred * (1 - yc) * valid),  # fp_nz
-                carry[2] + seg(yc * valid),               # pos_nz
-            ), None
+        def slab_sums(b, w, y_slab):
+            def chunk_body(carry, inputs):
+                cols, vals, rows = inputs
+                z = b[cols] + w[cols] * vals[:, None]
+                pred = (z > 0).astype(jnp.float32)
+                yc = y_slab[rows]
+                valid = (cols < L)[:, None].astype(jnp.float32)
+                seg = lambda t: jax.ops.segment_sum(t, cols, num_segments=L + 1)[:L]
+                return (
+                    carry[0] + seg(pred * yc * valid),        # tp_nz
+                    carry[1] + seg(pred * (1 - yc) * valid),  # fp_nz
+                    carry[2] + seg(yc * valid),               # pos_nz
+                ), None
 
-        init = tuple(jnp.zeros((L, self.n_classes), jnp.float32) for _ in range(3))
-        (tp_nz, fp_nz, pos_nz), _ = jax.lax.scan(
-            chunk_body, init,
-            (jnp.asarray(cols_c), jnp.asarray(vals_c), jnp.asarray(rows_c)),
-        )
-        tp_nz, fp_nz, pos_nz = map(np.asarray, (tp_nz, fp_nz, pos_nz))
+            c_b = y_slab.shape[1]
+            init = tuple(jnp.zeros((L, c_b), jnp.float32) for _ in range(3))
+            out, _ = jax.lax.scan(chunk_body, init, (cols_j, vals_j, rows_j))
+            return out
+
+        slab_sums_j = jax.jit(slab_sums)
+        tp_nz = np.zeros((L, self.n_classes), dtype=np.float32)
+        fp_nz = np.zeros((L, self.n_classes), dtype=np.float32)
+        pos_nz = np.zeros((L, self.n_classes), dtype=np.float32)
+        for c0 in range(0, self.n_classes, plan.class_slab_size):
+            c1 = min(c0 + plan.class_slab_size, self.n_classes)
+            b = jnp.concatenate(
+                [jnp.asarray(self.intercept_[:, c0:c1]),
+                 jnp.zeros((1, c1 - c0), jnp.float32)]
+            )
+            w = jnp.concatenate(
+                [jnp.asarray(self.coef_[:, c0:c1]),
+                 jnp.zeros((1, c1 - c0), jnp.float32)]
+            )
+            t, f, p = slab_sums_j(b, w, jnp.asarray(np.ascontiguousarray(y[:, c0:c1])))
+            tp_nz[:, c0:c1] = np.asarray(t)
+            fp_nz[:, c0:c1] = np.asarray(f)
+            pos_nz[:, c0:c1] = np.asarray(p)
 
         n_nz = nnz_counts.astype(np.float64)[:, None]
         n_zero = np.maximum(n_samples - n_nz, 0.0)
@@ -583,6 +714,9 @@ class Config:
     ridge: float = 1e-8
     class_slab_size: int = 8
     max_iter: int = 30
+    memory_budget_mb: int = 4096
+    """Device-memory budget; the fit auto-shrinks slab/chunk sizes to fit
+    (see plan_memory)."""
     debug: bool = False
 
 
@@ -620,6 +754,7 @@ def worker_fn(cfg: Config) -> int:
     probe = Sparse1DProbe(
         n_latents=n_latents, n_classes=n_classes,
         class_slab_size=cfg.class_slab_size, ridge=cfg.ridge, max_iter=cfg.max_iter,
+        memory_budget_mb=cfg.memory_budget_mb,
     )
     probe.fit(train_acts, one_hot(train_labels, n_classes))
     logger.info("Fit probe on %d samples.", train_acts.shape[0])
@@ -639,3 +774,8 @@ def worker_fn(cfg: Config) -> int:
         )
         logger.info("Saved probe outputs to %s.", out_fpath)
     return 0
+
+
+def cli(cfg: Config) -> None:
+    logging.basicConfig(level=logging.INFO)
+    raise SystemExit(worker_fn(cfg))

@@ -117,3 +117,68 @@ def test_dump_load_roundtrip(tmp_path):
     km2 = baselines.load(run)
     np.testing.assert_allclose(km2.cluster_centers_, km.cluster_centers_, rtol=1e-6)
     np.testing.assert_allclose(km2.transform(x[:4]), km.transform(x[:4]), rtol=1e-5)
+
+
+def test_train_and_inference_pipeline(tmp_path):
+    """baseline::train then baseline::inference on fake shards produce the
+    same 5 artifacts as SAE inference (reference baselines.py:851-1378)."""
+    import scipy.sparse
+    import torch
+
+    from saev_tpu.data import Metadata, OrderedConfig, ShuffledConfig
+
+    shards_dir = helpers.write_shards(tmp_path, n_examples=12, layers=(0,))
+    md = Metadata.load(shards_dir)
+    data_cfg = ShuffledConfig(shards=shards_dir, layer=0, batch_size=32, n_threads=2)
+
+    for method in ("kmeans", "pca", "semi-nmf"):
+        runs_root = helpers.tmp_runs_root(tmp_path / method)
+        cfg = baselines.TrainConfig(
+            method=method, train_data=data_cfg, val_data=data_cfg,
+            n_train=128, n_val=64, k=8, runs_root=runs_root, seed=0,
+        )
+        run_id = baselines.train_worker_fn(cfg)
+        run_dir = runs_root / run_id
+        assert (run_dir / "checkpoint" / "baseline.pt").exists()
+        metrics = (run_dir / "metrics.json").read_text()
+        assert "train/n_samples" in metrics
+        if method != "kmeans":
+            assert "eval/normalized_mse" in metrics
+
+        baselines.inference_worker_fn(baselines.InferenceConfig(
+            run=run_dir,
+            data=OrderedConfig(shards=shards_dir, layer=0, batch_size=32),
+            n_dists=4, n_iters=50,
+        ))
+        art = run_dir / "inference" / md.hash
+        acts = scipy.sparse.load_npz(art / "token_acts.npz")
+        n_tokens = md.n_examples * md.content_tokens_per_example
+        assert acts.shape == (n_tokens, 8)
+        if method == "kmeans":
+            # One-hot codes: exactly one nonzero per token.
+            assert (np.diff(acts.tocsr().indptr) == 1).all()
+        sparsity = torch.load(art / "sparsity.pt", weights_only=True)
+        assert sparsity.shape == (8,)
+        dists = torch.load(art / "distributions.pt", weights_only=True)
+        assert dists.shape == (n_tokens, 4)
+        m = (art / "metrics.json").read_text()
+        assert "normalized_mse" in m
+        # Idempotent: second call skips.
+        baselines.inference_worker_fn(baselines.InferenceConfig(
+            run=run_dir,
+            data=OrderedConfig(shards=shards_dir, layer=0, batch_size=32),
+            n_dists=4,
+        ))
+
+
+def test_launch_cli_lists_subcommands(capsys):
+    import subprocess
+    import sys as _sys
+
+    res = subprocess.run(
+        [_sys.executable, "contrib/trait_discovery/scripts/launch.py"],
+        capture_output=True, text=True, cwd=str(pathlib.Path(__file__).parent.parent),
+    )
+    out = res.stdout + res.stderr
+    for sub in ("baseline::train", "probe1d", "visuals", "metrics"):
+        assert sub in out, out

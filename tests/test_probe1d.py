@@ -109,3 +109,58 @@ def test_predict_proba_shape():
     p = probe.predict_proba(x_sp, latent=0)
     assert p.shape == (64, 2)
     assert ((p > 0) & (p < 1)).all()
+
+
+def test_plan_memory_production_shape_fits_budget():
+    """16k latents × 2000 classes × 10^8 events plans under 4 GiB (VERDICT r1
+    #7: production-scale memory planning)."""
+    plan = probe1d.plan_memory(
+        n_latents=16384, n_classes=2000, nnz=100_000_000, n_samples=3_000_000,
+        budget_bytes=4 << 30,
+    )
+    assert plan.total_bytes <= 4 << 30
+    assert plan.class_slab_size >= 1
+    # Events dominate: 1.2 GB resident.
+    assert plan.event_bytes == 12 * 100_000_000
+
+
+def test_plan_memory_shrinks_slab_under_tight_budget():
+    roomy = probe1d.plan_memory(
+        n_latents=16384, n_classes=256, nnz=1_000_000, n_samples=100_000,
+        budget_bytes=8 << 30,
+    )
+    tight = probe1d.plan_memory(
+        n_latents=16384, n_classes=256, nnz=1_000_000, n_samples=100_000,
+        budget_bytes=64 << 20,
+    )
+    assert tight.class_slab_size < roomy.class_slab_size
+    assert tight.total_bytes <= 64 << 20
+
+
+def test_plan_memory_rejects_oversized_event_stream():
+    with pytest.raises(AssertionError, match="Event stream"):
+        probe1d.plan_memory(
+            n_latents=16, n_classes=4, nnz=10_000_000_000, n_samples=100,
+            budget_bytes=1 << 30,
+        )
+
+
+def test_fit_results_invariant_to_slab_size():
+    """Slab decomposition must not change the numerics: slab=1 vs slab=all
+    agree (classes are independent problems)."""
+    x, y = _make_data(n=256, n_latents=5, n_classes=4, seed=3)
+    probes = []
+    for slab in (1, 4):
+        p = probe1d.Sparse1DProbe(
+            n_latents=5, n_classes=4, class_slab_size=slab, max_iter=25
+        )
+        p.fit(x, y)
+        probes.append(p)
+    np.testing.assert_allclose(
+        probes[0].intercept_, probes[1].intercept_, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(probes[0].coef_, probes[1].coef_, rtol=1e-5, atol=1e-6)
+    # Loss paths slab-invariant too.
+    l0 = probes[0].loss_matrix(x, y)
+    l1 = probes[1].loss_matrix(x, y)
+    np.testing.assert_allclose(l0, l1, rtol=1e-5, atol=1e-7)
