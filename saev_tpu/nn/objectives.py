@@ -201,18 +201,43 @@ def matryoshka_loss(
     else:
         dead_mask = None
 
-    x_hats = modeling.decode(sae_cfg, params, enc.f_x, prefixes, precision=precision)
-    out = modeling.Output(h_x=enc.h_x, f_x=enc.f_x, x_hats=x_hats)
+    # Training at DEFAULT matmul precision uses the fused prefix-MSE
+    # (custom VJP; Pallas grouped kernels on TPU — ops/matryoshka.py), which
+    # never materializes the (batch, n_prefixes, d_model) reconstructions.
+    # Eval and high-precision modes keep the autodiff decode (reference-parity
+    # numerics). In the fused path `out.x_hats` carries only the FULL
+    # reconstruction (stop-gradient), which is all the train step consumes.
+    use_fused = (
+        training
+        and prefixes is not None
+        and prefixes.shape[0] > 1
+        and sae_cfg.d_sae % min(1024, sae_cfg.d_sae) == 0
+        and (precision is None or precision == jax.lax.Precision.DEFAULT)
+    )
+    if use_fused:
+        from ..ops import matryoshka as _fused
 
-    n_prefixes = x_hats.shape[1]
-    mse = scale_stabilized_mse(
-        x_hats, jnp.broadcast_to(x[:, None, :], (bsz, n_prefixes, x.shape[-1]))
-    ).mean()
+        mse, xhat_full = _fused.prefix_mse(
+            params["W_dec"], params["b_dec"], enc.f_x, x, prefixes,
+            min(1024, sae_cfg.d_sae), precision,
+        )
+        xhat_full = jax.lax.stop_gradient(xhat_full)
+        x_hats = xhat_full[:, None, :]
+    else:
+        x_hats = modeling.decode(
+            sae_cfg, params, enc.f_x, prefixes, precision=precision
+        )
+        n_prefixes = x_hats.shape[1]
+        mse = scale_stabilized_mse(
+            x_hats, jnp.broadcast_to(x[:, None, :], (bsz, n_prefixes, x.shape[-1]))
+        ).mean()
+        xhat_full = x_hats[:, -1, :]
+    out = modeling.Output(h_x=enc.h_x, f_x=enc.f_x, x_hats=x_hats)
 
     aux_cfg = sae_cfg.activation.aux
     if training and isinstance(aux_cfg, modeling.AuxK):
         aux = _aux_loss(
-            aux_cfg, sae_cfg, params, x, enc.h_x, x_hats[:, -1, :], dead_mask,
+            aux_cfg, sae_cfg, params, x, enc.h_x, xhat_full, dead_mask,
             alpha=hp.get("aux_alpha"), precision=precision,
         )
     else:

@@ -1,0 +1,252 @@
+"""Fused Matryoshka prefix-MSE with a hand-derived backward pass.
+
+The training objective needs `mean_j mean_bd (xhat_j - x)^2` over J ascending
+latent prefixes (reference objectives.py:101-156 decodes every prefix then
+averages). Autodiffing the grouped decode (modeling.decode) costs ~57 ms
+fwd+bwd at the production shape — ~29 GB of HBM traffic (cost_analysis): the
+backward re-materializes the (B, G, D) partials, scatters ten dynamic-slice
+remainder gradients through 1 GB dynamic-update-slices, and every einsum
+materializes bf16 conversions/relayouts of its operands.
+
+This op computes the same scalar with a custom VJP in two flavors:
+
+- **Pallas path (TPU)**: `pallas_matryoshka.grouped_prefix_base` keeps the
+  per-group running sum in VMEM and snapshots prefix bases via predicated
+  DMA — the (B, G, D) partials never exist. The backward's key identity:
+  with Ebar_j = 2/(B J D) (xhat_j - x), the group-path cotangent
+  dA_G = sum_j [G < m_j] Ebar_j serves BOTH parameter gradients:
+      df_G = dA_G @ W_G^T + remainder scatter   (grouped_matmul_dgrad)
+      dW_G = f_G^T @ dA_G + remainder scatter   (grouped_matmul_wgrad)
+  Remainder (sub-group) terms are J small matmuls scattered into groups with
+  (J, G) one-hot einsums — never a dynamic-update-slice on a (B, d_sae)
+  tensor. E is saved bf16; f/W are consumed bf16 (matching the train step's
+  DEFAULT matmul precision).
+- **XLA path (CPU / fallback)**: the same algebra with static-slice matmuls,
+  f32 end-to-end, used on non-TPU backends and by parity tests.
+
+The second output is the FULL reconstruction xhat_J (the last prefix is
+always d_sae) for AuxK's stop-gradient residual; its cotangent is ignored by
+the VJP, so callers MUST treat it as non-differentiable (matryoshka_loss
+wraps it in stop_gradient immediately).
+
+Measured (v5e, batch 16384, d_model 1024, d_sae 16384, J=10): see
+docs/performance.md; gradients agree with autodiff-through-decode to bf16
+matmul noise (~1e-3 at DEFAULT; the XLA path to ~1e-5 at HIGHEST).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+_BF16 = jnp.bfloat16
+
+
+def _use_pallas() -> bool:
+    """The Pallas path needs a real TPU backend (Mosaic); CPU tests and the
+    virtual-device mesh fall back to the XLA custom-VJP path."""
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def prefix_mse(
+    w_dec: Array,
+    b_dec: Array,
+    f_x: Array,
+    x: Array,
+    prefixes: Array,
+    group_size: int = 1024,
+    precision=None,
+) -> tuple[Array, Array]:
+    """(scale-stabilized mean prefix MSE, full reconstruction).
+
+    Args:
+        w_dec: (d_sae, d_model); d_sae must divide by group_size.
+        b_dec: (d_model,)
+        f_x: (batch, d_sae) post-activation latents.
+        x: (batch, d_model) targets. Non-differentiable.
+        prefixes: (J,) ascending int32 cut points, last == d_sae. Traced
+            values, static length.
+    """
+    loss, xhat_full, _ = _fwd_impl(w_dec, b_dec, f_x, x, prefixes, group_size, precision)
+    return loss, xhat_full
+
+
+def _rem_matmuls(f, w_dec, m, r, g, precision, out_dtype=jnp.float32):
+    """rem_j = (lane-masked f[:, m_j g:]) @ W[m_j g:] -> (J, B, D)."""
+    b = f.shape[0]
+    d_model = w_dec.shape[1]
+    lane = jnp.arange(g, dtype=jnp.int32)
+    rems = []
+    for j in range(m.shape[0]):
+        f_m = jax.lax.dynamic_slice(f, (0, m[j] * g), (b, g))
+        w_m = jax.lax.dynamic_slice(w_dec, (m[j] * g, 0), (g, d_model))
+        rem = jnp.dot(
+            jnp.where(lane < r[j], f_m, jnp.zeros((), f.dtype)),
+            w_m,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        rems.append(rem.astype(out_dtype))
+    return jnp.stack(rems)
+
+
+def _loss_from_e(e: Array, x: Array) -> Array:
+    """Scale-stabilized reduction (reference objectives.py:224-237)."""
+    upper = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12)
+    return jnp.mean((e.astype(jnp.float32) / upper) ** 2) * upper * upper
+
+
+def _fwd_impl(w_dec, b_dec, f_x, x, prefixes, group_size, precision):
+    b, d_sae = f_x.shape
+    g = min(group_size, d_sae)
+    assert d_sae % g == 0, (d_sae, g)
+    n_groups = d_sae // g
+    p32 = prefixes.astype(jnp.int32)
+    m = p32 // g
+    r = p32 - m * g
+
+    if _use_pallas():
+        from . import pallas_matryoshka as pk
+
+        fb = f_x.astype(_BF16)
+        wb = w_dec.astype(_BF16)
+        base, xhat_nb = pk.grouped_prefix_base(fb, wb, m, group_size=g)
+        rem = _rem_matmuls(fb, wb, m, r, g, precision)  # (J, B, D) f32
+        e = (base + rem + (b_dec - x)[None]).astype(_BF16)  # (J, B, D)
+        loss = _loss_from_e(e, x)
+        return loss, xhat_nb + b_dec, (fb, wb, e, m, r)
+
+    # XLA path: f32 static-slice matmuls (same algebra, autodiff-grade).
+    parts = [
+        jnp.dot(
+            f_x[:, i * g : (i + 1) * g],
+            w_dec[i * g : (i + 1) * g],
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        for i in range(n_groups)
+    ]
+    a = jnp.stack(parts, axis=0)  # (G, B, D)
+    xhat_full = a.sum(axis=0) + b_dec
+    mask = (
+        jnp.arange(n_groups, dtype=jnp.int32)[:, None] < m[None, :]
+    ).astype(jnp.float32)  # (G, J)
+    base = jnp.einsum(
+        "Gbd,GJ->Jbd", a, mask, preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    rem = _rem_matmuls(f_x, w_dec, m, r, g, precision)
+    e = base + rem + (b_dec - x)[None]
+    loss = _loss_from_e(e, x)
+    return loss, xhat_full, (f_x, w_dec, e, m, r)
+
+
+def _fwd(w_dec, b_dec, f_x, x, prefixes, group_size, precision):
+    loss, xhat_full, res = _fwd_impl(
+        w_dec, b_dec, f_x, x, prefixes, group_size, precision
+    )
+    return (loss, xhat_full), res
+
+
+def _bwd(group_size, precision, res, cts):
+    f, w, e, m, r = res  # bf16 on the Pallas path, f32 on the XLA path
+    t_loss, _t_xhat = cts  # xhat_full cotangent intentionally dropped (module doc)
+
+    j_n, b, d_model = e.shape
+    d_sae = f.shape[1]
+    g = min(group_size, d_sae)
+    n_groups = d_sae // g
+    scale = t_loss * 2.0 / (b * j_n * d_model)
+
+    mask = (
+        jnp.arange(n_groups, dtype=jnp.int32)[None, :] < m[:, None]
+    ).astype(jnp.float32)  # (J, G)
+    eq = (
+        jnp.arange(n_groups, dtype=jnp.int32)[None, :] == m[:, None]
+    ).astype(jnp.float32)  # (J, G); rows with m == n_groups (p == d_sae) are 0
+
+    db_dec = jnp.einsum("jbd->d", e.astype(jnp.float32)) * scale
+
+    # Group-path cotangent dA_G = sum_j [G < m_j] Ebar_j.
+    da = (
+        jnp.einsum(
+            "jbd,jG->Gbd", e, (mask * scale).astype(e.dtype),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+    ).astype(e.dtype)  # (G, B, D)
+
+    # Remainder path: per-prefix gradients scattered into groups with (J, G)
+    # one-hot contractions instead of dynamic-update-slices.
+    lane = jnp.arange(g, dtype=jnp.int32)
+    dfrem_js, dwrem_js = [], []
+    for j in range(j_n):
+        w_m = jax.lax.dynamic_slice(w, (m[j] * g, 0), (g, d_model))
+        f_m = jax.lax.dynamic_slice(f, (0, m[j] * g), (b, g))
+        lane_mask = (lane < r[j]).astype(jnp.float32)
+        ebar_j = e[j].astype(jnp.float32) * scale
+        dfrem = (
+            jax.lax.dot_general(
+                ebar_j.astype(e.dtype), w_m,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            * lane_mask
+        )
+        dwrem = jax.lax.dot_general(
+            (f_m.astype(jnp.float32) * lane_mask).astype(f.dtype),
+            ebar_j.astype(e.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        dfrem_js.append(dfrem.astype(e.dtype))
+        dwrem_js.append(dwrem)
+    dfrem_stack = jnp.stack(dfrem_js)  # (J, B, g)
+    dwrem = jnp.einsum(
+        "jgd,jG->Ggd", jnp.stack(dwrem_js).astype(e.dtype), eq.astype(e.dtype),
+        preferred_element_type=jnp.float32, precision=precision,
+    ).reshape(d_sae, d_model)
+
+    if _use_pallas():
+        from . import pallas_matryoshka as pk
+
+        dfrem_g = jnp.einsum(
+            "jbg,jG->Gbg", dfrem_stack, eq.astype(e.dtype),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).astype(_BF16)  # (G, B, g)
+        df = pk.grouped_matmul_dgrad(da, w, dfrem_g, group_size=g)
+        dw = pk.grouped_matmul_wgrad(f, da, group_size=g) + dwrem
+    else:
+        dfrem_g = jnp.einsum(
+            "jbg,jG->bGg", dfrem_stack, eq,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        df_groups = [
+            jax.lax.dot_general(
+                da[i], w[i * g : (i + 1) * g],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            for i in range(n_groups)
+        ]
+        dw_groups = [
+            jax.lax.dot_general(
+                f[:, i * g : (i + 1) * g], da[i],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            for i in range(n_groups)
+        ]
+        df = (jnp.stack(df_groups, axis=1) + dfrem_g).reshape(b, d_sae)
+        dw = jnp.stack(dw_groups, axis=0).reshape(d_sae, d_model) + dwrem
+
+    # x and prefixes are non-differentiable data inputs (int cotangents must
+    # be float0 per the custom_vjp contract).
+    dprefixes = np.zeros(m.shape, dtype=jax.dtypes.float0)
+    return dw, db_dec, df, jnp.zeros((b, d_model), jnp.float32), dprefixes
+
+
+prefix_mse.defvjp(_fwd, _bwd)

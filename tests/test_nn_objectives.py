@@ -67,7 +67,10 @@ def test_matryoshka_loss_values():
     assert float(loss.mse) > 0
     assert float(loss.aux) == 0.0  # no dead latents yet
     assert int(loss.n_dead) == 0
-    assert out.x_hats.shape == (16, 4, 8)
+    # Fused training path carries only the FULL reconstruction (stop-grad);
+    # eval mode returns all prefixes (asserted in
+    # test_fused_training_matches_decode below).
+    assert out.x_hats.shape == (16, 1, 8)
     assert np.isfinite(float(loss.loss))
     # Counter: inactive latents incremented by bsz, active reset to zero.
     toks = np.asarray(obj_st["toks_since_active"])
@@ -203,3 +206,54 @@ def test_matryoshka_loss_jits_and_grads():
     assert np.isfinite(float(total))
     for k, v in grads.items():
         assert np.isfinite(np.asarray(v)).all(), k
+
+
+def test_fused_training_matches_decode():
+    """The fused prefix-MSE (custom VJP, ops/matryoshka.py) must agree with
+    the autodiff decode path: same loss and ~f32-level gradient agreement on
+    CPU (where both run the f32 XLA algebra)."""
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=8, d_sae=32, activation=modeling.TopK(top_k=4)
+    )
+    params, state = modeling.init(cfg, jax.random.key(0))
+    obj_cfg = objectives.Matryoshka(n_prefixes=4)
+    obj_state = objectives.init_state(cfg)
+    x = jax.random.normal(jax.random.key(2), (16, 8))
+    prefixes = jnp.asarray(
+        objectives.sample_prefixes(32, 4, rng=np.random.default_rng(0))
+    )
+
+    def loss_at(p, training):
+        loss, out, _, _ = objectives.matryoshka_loss(
+            obj_cfg, cfg, p, state, obj_state, x, prefixes, training=training
+        )
+        return loss.mse, out
+
+    # Eval mode keeps the full multi-prefix decode.
+    mse_eval, out_eval = loss_at(params, training=False)
+    assert out_eval.x_hats.shape == (16, 4, 8)
+    mse_train, out_train = loss_at(params, training=True)
+    np.testing.assert_allclose(float(mse_train), float(mse_eval), rtol=1e-5)
+    # Full reconstruction agrees between paths.
+    np.testing.assert_allclose(
+        np.asarray(out_train.x_hats[:, 0, :]),
+        np.asarray(out_eval.x_hats[:, -1, :]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # Gradients: fused custom VJP vs autodiff through decode.
+    def train_scalar(p):
+        return loss_at(p, training=True)[0]
+
+    def eval_scalar(p):
+        return loss_at(p, training=False)[0]
+
+    g_t = jax.grad(train_scalar)(params)
+    g_e = jax.grad(eval_scalar)(params)
+    for key in ("W_dec", "b_dec"):
+        a, b = np.asarray(g_t[key]), np.asarray(g_e[key])
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    # Encoder grads flow through f_x; compare those too.
+    for key in ("W_enc", "b_enc"):
+        a, b = np.asarray(g_t[key]), np.asarray(g_e[key])
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
