@@ -1,0 +1,266 @@
+"""Live bidirectional parity tests against the ACTUAL reference implementation.
+
+When the read-only reference checkout is present (default /root/reference, or
+$SAEV_REFERENCE), these tests import `saev.nn` from it — with three tiny
+test-only dependency stand-ins from tests/refstubs/ (beartype/orjson/tyro,
+none of which affect numerics) — and assert checkpoint compatibility and
+forward/objective parity in BOTH directions:
+
+  reference torch SAE --dump--> sae.pt --our load--> JAX forward
+  our JAX SAE        --dump--> sae.pt --ref  load--> torch forward
+
+This exercises the BASELINE.md north star ("bitwise-parity L0, <1e-4 relative
+MSE, checkpoint-compatible weights") against the reference's own code
+(reference modeling.py:288-658, objectives.py:93-201), not a reimplementation.
+Skips gracefully when the reference checkout is unavailable.
+"""
+
+import dataclasses
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+REF_ROOT = pathlib.Path("/root/reference")
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from saev_tpu import nn  # noqa: E402
+from saev_tpu.nn import modeling, objectives  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference's `saev.nn` package (read-only) with test stubs."""
+    import os
+
+    root = pathlib.Path(os.environ.get("SAEV_REFERENCE", str(REF_ROOT)))
+    src = root / "src"
+    if not (src / "saev" / "nn" / "modeling.py").exists():
+        pytest.skip(f"reference checkout not found at {root}")
+    stubs = str(pathlib.Path(__file__).parent / "refstubs")
+    for p in (stubs, str(src)):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import saev.nn.modeling as ref_modeling
+    import saev.nn.objectives as ref_objectives
+
+    return ref_modeling, ref_objectives
+
+
+D_MODEL, D_SAE = 32, 128
+
+
+def _ref_activation_cfg(ref_modeling, kind: str):
+    if kind == "relu":
+        return ref_modeling.Relu(sparsity=ref_modeling.L1Sparsity(coeff=4e-4))
+    if kind == "topk":
+        return ref_modeling.TopK(top_k=8)
+    if kind == "batchtopk":
+        return ref_modeling.BatchTopK(top_k=8)
+    raise ValueError(kind)
+
+
+def _our_activation_cfg(kind: str):
+    if kind == "relu":
+        return modeling.Relu(sparsity=modeling.L1Sparsity(coeff=4e-4))
+    if kind == "topk":
+        return modeling.TopK(top_k=8)
+    if kind == "batchtopk":
+        return modeling.BatchTopK(top_k=8)
+    raise ValueError(kind)
+
+
+def _randomize_ref_sae(sae, *, seed: int, threshold: float | None = None):
+    """Fill the reference SAE with non-degenerate seeded weights (as if trained:
+    W_enc is NOT W_dec^T, biases non-zero)."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        sae.W_dec.copy_(torch.randn(sae.W_dec.shape, generator=g) / D_MODEL**0.5)
+        sae.W_enc.copy_(torch.randn(sae.W_enc.shape, generator=g) / D_MODEL**0.5)
+        sae.b_enc.copy_(torch.randn(sae.b_enc.shape, generator=g) * 0.1)
+        sae.b_dec.copy_(torch.randn(sae.b_dec.shape, generator=g) * 0.1)
+        if threshold is not None and hasattr(sae.activation, "threshold"):
+            sae.activation.threshold.fill_(threshold)
+    return sae
+
+
+def _x(n=64, seed=3):
+    return np.random.default_rng(seed).normal(size=(n, D_MODEL)).astype(np.float32)
+
+
+def _assert_forward_parity(ref_out_fx, ref_out_xhat, our_fx, our_xhat):
+    ref_fx = np.asarray(ref_out_fx.detach())
+    our_fx = np.asarray(our_fx)
+    # L0 bitwise: identical active sets (BASELINE.md north star).
+    np.testing.assert_array_equal(ref_fx != 0, our_fx != 0)
+    np.testing.assert_allclose(our_fx, ref_fx, rtol=1e-5, atol=1e-6)
+    ref_xhat = np.asarray(ref_out_xhat.detach())
+    our_xhat = np.asarray(our_xhat)
+    rel = np.sum((our_xhat - ref_xhat) ** 2) / max(np.sum(ref_xhat**2), 1e-12)
+    assert rel < 1e-9, f"relative MSE {rel} (budget 1e-4, expect ~f32 noise)"
+
+
+@pytest.mark.parametrize("kind", ["relu", "topk", "batchtopk"])
+def test_reference_dump_our_load_forward_parity(ref, kind, tmp_path):
+    """reference dump -> our load: bitwise L0 + <1e-4 rel MSE on eval forward."""
+    ref_modeling, _ = ref
+    cfg = ref_modeling.SparseAutoencoderConfig(
+        d_model=D_MODEL, d_sae=D_SAE, activation=_ref_activation_cfg(ref_modeling, kind)
+    )
+    sae = _randomize_ref_sae(ref_modeling.SparseAutoencoder(cfg), seed=11, threshold=0.37)
+    sae.eval()
+    fpath = tmp_path / "sae.pt"
+    ref_modeling.dump(fpath, sae)
+
+    our_cfg, params, state = nn.load(fpath)
+    assert our_cfg.d_model == D_MODEL and our_cfg.d_sae == D_SAE
+    assert type(our_cfg.activation).__name__ == type(cfg.activation).__name__
+    if kind == "batchtopk":
+        assert float(state["threshold"]) == pytest.approx(0.37)
+
+    x = _x()
+    with torch.no_grad():
+        ref_out = sae(torch.from_numpy(x))
+    out, _ = modeling.forward(our_cfg, params, state, jnp.asarray(x), training=False)
+    _assert_forward_parity(ref_out.f_x, ref_out.x_hats[:, -1, :], out.f_x, out.x_hats[:, -1, :])
+
+
+@pytest.mark.parametrize("kind", ["relu", "topk", "batchtopk"])
+def test_our_dump_reference_load_forward_parity(ref, kind, tmp_path):
+    """our dump -> reference load: the HF-ecosystem direction (a reference user
+    can consume checkpoints we train)."""
+    ref_modeling, _ = ref
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=D_MODEL, d_sae=D_SAE, activation=_our_activation_cfg(kind)
+    )
+    params, state = modeling.init(cfg, jax.random.key(7))
+    if kind == "batchtopk":
+        state = {**state, "threshold": jnp.asarray(0.25, jnp.float32)}
+    fpath = tmp_path / "sae.pt"
+    nn.dump(fpath, cfg, params, state)
+
+    ref_sae = ref_modeling.load(fpath)
+    ref_sae.eval()
+    assert ref_sae.cfg.d_model == D_MODEL and ref_sae.cfg.d_sae == D_SAE
+    if kind == "batchtopk":
+        assert float(ref_sae.activation.threshold) == pytest.approx(0.25)
+
+    x = _x(seed=5)
+    with torch.no_grad():
+        ref_out = ref_sae(torch.from_numpy(x))
+    out, _ = modeling.forward(cfg, params, state, jnp.asarray(x), training=False)
+    _assert_forward_parity(ref_out.f_x, ref_out.x_hats[:, -1, :], out.f_x, out.x_hats[:, -1, :])
+
+
+def test_matryoshka_objective_parity(ref, tmp_path):
+    """Training-mode objective parity on shared prefixes and dead-latent state:
+    mse/sparsity/l0/l1/aux/n_dead all agree with the reference objective
+    (objectives.py:93-156). Exercises the fused prefix-MSE training path on our
+    side against the reference's decode-all-prefixes-then-average."""
+    ref_modeling, ref_objectives = ref
+    ref_cfg = ref_modeling.SparseAutoencoderConfig(
+        d_model=D_MODEL, d_sae=D_SAE, activation=_ref_activation_cfg(ref_modeling, "topk")
+    )
+    ref_sae = _randomize_ref_sae(ref_modeling.SparseAutoencoder(ref_cfg), seed=23)
+    fpath = tmp_path / "sae.pt"
+    ref_modeling.dump(fpath, ref_sae)
+    our_cfg, params, state = nn.load(fpath)
+
+    x = _x(n=64, seed=9)
+    prefixes = np.array([7, 30, 77, D_SAE], dtype=np.int64)
+
+    # Dead-latent state: latents 0..19 have been inactive past the threshold.
+    obj_cfg_ref = ref_objectives.Matryoshka(n_prefixes=len(prefixes))
+    ref_obj = ref_objectives.MatryoshkaObjective(obj_cfg_ref)
+    ref_obj.train()
+    ref_sae.train()
+    toks = np.zeros(D_SAE, dtype=np.int64)
+    toks[:20] = obj_cfg_ref.dead_threshold_tokens
+    ref_obj.toks_since_active = torch.from_numpy(toks.copy())
+    ref_objectives.sample_prefixes, orig = (
+        lambda d_sae, n_prefixes, **kw: torch.from_numpy(prefixes.copy()),
+        ref_objectives.sample_prefixes,
+    )
+    try:
+        ref_loss, _ = ref_obj(ref_sae, torch.from_numpy(x))
+    finally:
+        ref_objectives.sample_prefixes = orig
+    ref_loss = type(ref_loss)(**{
+        f.name: getattr(ref_loss, f.name).detach()
+        for f in dataclasses.fields(ref_loss)
+    })
+
+    obj_cfg = objectives.Matryoshka(n_prefixes=len(prefixes))
+    obj_state = {"toks_since_active": jnp.asarray(toks, jnp.int32)}
+    loss, _, _, _ = objectives.matryoshka_loss(
+        obj_cfg, our_cfg, params, state, obj_state, jnp.asarray(x),
+        jnp.asarray(prefixes.astype(np.int32)), training=True,
+    )
+
+    assert int(loss.n_dead) == int(ref_loss.n_dead)
+    np.testing.assert_allclose(float(loss.l0), float(ref_loss.l0), rtol=1e-6)
+    np.testing.assert_allclose(float(loss.l1), float(ref_loss.l1), rtol=1e-5)
+    np.testing.assert_allclose(float(loss.sparsity), float(ref_loss.sparsity), rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(float(loss.mse), float(ref_loss.mse), rtol=1e-5)
+    np.testing.assert_allclose(float(loss.aux), float(ref_loss.aux), rtol=1e-4, atol=1e-7)
+
+
+def test_batchtopk_train_threshold_parity(ref):
+    """BatchTopK training semantics vs the reference module (modeling.py:183-244):
+    identical surviving mask and identical EMA threshold update."""
+    ref_modeling, _ = ref
+    act = ref_modeling.get_activation(ref_modeling.BatchTopK(top_k=8))
+    act.train()
+    with torch.no_grad():
+        act.threshold.fill_(0.11)
+    h = np.random.default_rng(21).normal(size=(32, D_SAE)).astype(np.float32)
+    with torch.no_grad():
+        ref_fx = act(torch.from_numpy(h)).numpy()
+    ref_thresh = float(act.threshold)
+
+    our_fx, our_thresh = modeling.batch_topk_train(
+        jnp.asarray(h), 8, 0.1, jnp.asarray(0.11, jnp.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(our_fx) != 0, ref_fx != 0)
+    np.testing.assert_allclose(np.asarray(our_fx), ref_fx, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(our_thresh), ref_thresh, rtol=1e-6)
+
+
+def test_topk_tie_frequency_on_reference_weights(ref, tmp_path):
+    """Quantify the one documented semantic deviation: our TopK keeps >=k latents
+    on exact k-boundary ties where torch.topk keeps exactly k (modeling.py
+    docstring). On continuous activations (f32 matmul outputs of a
+    reference-initialized SAE over 16k gaussian inputs) boundary ties are
+    measure-zero — assert the observed rate is 0 and L0 is bitwise-identical."""
+    ref_modeling, _ = ref
+    k = 8
+    cfg = ref_modeling.SparseAutoencoderConfig(
+        d_model=D_MODEL, d_sae=D_SAE, activation=ref_modeling.TopK(top_k=k)
+    )
+    sae = _randomize_ref_sae(ref_modeling.SparseAutoencoder(cfg), seed=31)
+    sae.eval()
+    x = _x(n=16384, seed=13)
+    with torch.no_grad():
+        h = (torch.from_numpy(x) @ sae.W_enc + sae.b_enc).numpy()
+
+    srt = np.sort(h, axis=1)[:, ::-1]
+    n_ties = int(np.sum(srt[:, k - 1] == srt[:, k]))
+    assert n_ties == 0, (
+        f"{n_ties}/{len(h)} rows have an exact tie at the k-boundary; ours would "
+        f"keep >k latents there where torch keeps exactly k"
+    )
+
+    fpath = tmp_path / "sae.pt"
+    ref_modeling.dump(fpath, sae)
+    our_cfg, params, state = nn.load(fpath)
+    out, _ = modeling.forward(our_cfg, params, state, jnp.asarray(x), training=False)
+    l0 = np.asarray(out.f_x != 0).sum(axis=1)
+    assert (l0 == k).all()
+    with torch.no_grad():
+        ref_fx = sae(torch.from_numpy(x)).f_x.numpy()
+    np.testing.assert_array_equal(np.asarray(out.f_x) != 0, ref_fx != 0)
