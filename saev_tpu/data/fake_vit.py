@@ -171,7 +171,9 @@ class Vit(models.Transformer):
         import jax
         import jax.numpy as jnp
 
-        layers = tuple(int(i) for i in layers)
+        # Negative indices allowed, as in the shared engine (models/vit.py:439)
+        # and the reference's hook registration (list indexing supports them).
+        layers = tuple(int(i) % N_LAYERS for i in layers)
         if layers not in self._jitted:
             self._jitted[layers] = jax.jit(
                 functools.partial(_forward, layers=layers)
