@@ -39,10 +39,24 @@ def main():
     inits = [modeling.init(sae_cfg, k) for k in keys]
     stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
     params = stack([p for p, _ in inits])
+    # Make 5% of latents genuinely dead (encoder bias pinned far negative so
+    # they can never win the top-k and reset their counters) so every timed
+    # step takes the AuxK-active path: the train step skips ALL AuxK work via
+    # lax.cond when nothing is dead (the reference's k_use == 0 early return),
+    # and the headline number should represent the steady state where dead
+    # latents exist, not the cheaper warm-up phase.
+    n_dead = d_sae // 20
+    b_enc = np.asarray(params["b_enc"]).copy()
+    b_enc[:, :n_dead] = -1e6
+    params = {**params, "b_enc": jnp.asarray(b_enc)}
+    obj_state = stack([objectives.init_state(sae_cfg) for _ in range(n_sae)])
+    toks = np.asarray(obj_state["toks_since_active"]).copy()
+    toks[:, :n_dead] = 1 << 30
+    obj_state = {**obj_state, "toks_since_active": jnp.asarray(toks)}
     ts = train_mod.SweepState(
         params=params,
         sae_state=stack([s for _, s in inits]),
-        obj_state=stack([objectives.init_state(sae_cfg) for _ in range(n_sae)]),
+        obj_state=obj_state,
         opt_state=train_mod._adam_init(params),
         step=jnp.zeros((), jnp.int32),
     )

@@ -496,8 +496,16 @@ def make_train_step(
     sweep_vmap_width: int = 1,
     sweep_parallel: int = 1,
     mesh=None,
+    aux_enabled: bool = True,
 ):
     """Build the jitted train step for one cohort.
+
+    `aux_enabled=False` statically compiles the AuxK computation out (~19 ms/
+    step at production shape) — valid exactly while no latent can be dead yet,
+    i.e. during the first dead_threshold_tokens of training (the reference's
+    eager code skips the same work via its k_use == 0 early return). The train
+    loop uses this warm-up variant until `aux_from_step` and the full step
+    after (train()).
 
     Signature: step(sweep_state, x, prefixes, hp) -> (sweep_state, stats)
       x:        (batch, d_model) f32, sharded over the data mesh axis
@@ -517,14 +525,23 @@ def make_train_step(
     assert sweep_vmap_width >= 1, f"sweep_vmap_width must be >= 1, got {sweep_vmap_width}"
     precision = modeling.PRECISIONS[matmul_precision]
 
-    def loss_one(params, sae_state, obj_state, x, prefixes, coeff, alpha, momentum):
+    def loss_one(
+        params, sae_state, obj_state, x, prefixes, coeff, alpha, momentum, any_dead
+    ):
         loss, out, s1, s2 = objectives.matryoshka_loss(
             obj_cfg, sae_cfg, params, sae_state, obj_state, x, prefixes,
             training=True,
             hp={"sparsity_coeff": coeff, "aux_alpha": alpha, "momentum": momentum},
             precision=precision,
+            any_dead=any_dead,
         )
         return loss, out, s1, s2
+
+    # Static gate: None = unconditional aux; False = compiled out (see
+    # docstring). The traced-lax.cond form also exists in matryoshka_loss but
+    # costs ~8 ms when the heavy branch is taken, so the loop prefers the
+    # static two-phase split.
+    any_dead = None if aux_enabled else False
 
     def step(ts: SweepState, x: Array, prefixes: Array, hp: dict[str, Array]):
         # Normalize W_dec rows before the forward (reference train.py:334).
@@ -535,7 +552,8 @@ def make_train_step(
 
             def scalar_loss(p):
                 loss, _out, s1, s2 = loss_one(
-                    p, sae_state_i, obj_state_i, x, prefixes_i, coeff, alpha, mom
+                    p, sae_state_i, obj_state_i, x, prefixes_i, coeff, alpha, mom,
+                    any_dead,
                 )
                 return loss.loss, (loss, s1, s2)
 
@@ -662,6 +680,17 @@ class _CohortRuntime(tp.NamedTuple):
     metrics_fn: tp.Any
     hp: dict[str, Array]
     prefix_rng: np.random.Generator
+    # AuxK two-phase stepping: no latent can be dead before
+    # dead_threshold_tokens of training, so steps < aux_from_step use
+    # step_fn_warm (AuxK statically compiled out, ~19 ms cheaper at
+    # production shape); later steps use the full step_fn.
+    step_fn_warm: tp.Any = None
+    aux_from_step: int = 0
+
+    def step_fn_at(self, global_step: int):
+        if self.step_fn_warm is not None and global_step < self.aux_from_step:
+            return self.step_fn_warm
+        return self.step_fn
 
 
 def _device_mesh(batch_size: int, sweep: int = 1):
@@ -745,15 +774,37 @@ def train(
                     f"per-device sweep size {per_dev} (cohort of "
                     f"{len(cohort.cfgs)} over sweep_parallel={c0.sweep_parallel})."
                 )
+        step_kwargs = dict(
+            sweep_vmap_width=eff_width,
+            sweep_parallel=c0.sweep_parallel, mesh=mesh,
+        )
+        # Steps [0, aux_from_step) cannot produce a dead latent: within
+        # 0-based step i the counters reach at most (i+1)*bsz, and dead
+        # requires >= dead_threshold_tokens, so the first step that can see a
+        # dead latent is ceil(threshold/bsz) - 1. The warm step compiles AuxK
+        # out. Valid across resume too (restored counters are <= step*bsz).
+        has_aux = isinstance(c0.sae.activation.aux, modeling.AuxK)
+        bsz = cfg.train_data.batch_size
+        aux_from_step = (
+            max(0, -(-c0.objective.dead_threshold_tokens // bsz) - 1)
+            if has_aux
+            else n_steps + 1
+        )
         runtimes.append(
             _CohortRuntime(
                 cohort=cohort,
                 ts=ts,
                 step_fn=make_train_step(
                     c0.sae, c0.objective, n_steps, c0.optim, c0.matmul_precision,
-                    sweep_vmap_width=eff_width,
-                    sweep_parallel=c0.sweep_parallel, mesh=mesh,
+                    **step_kwargs,
                 ),
+                step_fn_warm=make_train_step(
+                    c0.sae, c0.objective, n_steps, c0.optim, c0.matmul_precision,
+                    aux_enabled=False, **step_kwargs,
+                )
+                if has_aux and aux_from_step > 0
+                else None,
+                aux_from_step=aux_from_step,
                 metrics_fn=make_metrics_fn(
                     c0.sae, sweep_vmap_width=eff_width,
                     sweep_parallel=c0.sweep_parallel, mesh=mesh,
@@ -827,7 +878,7 @@ def train(
                     for _ in range(n_sae)
                 ])
             )
-            new_ts, stats = rt.step_fn(rt.ts, x, prefixes, rt.hp)
+            new_ts, stats = rt.step_fn_at(global_step)(rt.ts, x, prefixes, rt.hp)
 
             if log_now:
                 heavy = rt.metrics_fn(new_ts, x, prefixes)

@@ -174,6 +174,7 @@ def matryoshka_loss(
     training: bool,
     hp: dict[str, Array] | None = None,
     precision=None,
+    any_dead: Array | None = None,
 ) -> tuple[MatryoshkaLoss, modeling.Output, modeling.State, ObjectiveState]:
     """One objective forward (reference MatryoshkaObjective.forward,
     objectives.py:101-156). Pure: returns updated SAE state (BatchTopK threshold)
@@ -182,6 +183,19 @@ def matryoshka_loss(
     `hp` optionally overrides float hyperparameters with traced scalars — keys
     "sparsity_coeff", "aux_alpha", "momentum" — so a vmapped sweep can vary them
     per SAE within one compiled step.
+
+    `any_dead` optionally gates the AuxK computation — the reference skips ALL
+    AuxK work when no latent is dead (its eager `k_use == 0` early return,
+    reference modeling.py:94-96), ~19 ms/step at production shape:
+    - None (default): compute aux unconditionally.
+    - Python bool: STATIC gate — False compiles the aux out entirely. This is
+      how the train loop skips aux during warm-up, where no latent can have
+      been inactive for dead_threshold_tokens yet (train.py aux_from_step);
+      zero runtime overhead either way.
+    - traced bool scalar: lax.cond. Saves ~11 ms when False but costs ~8 ms
+      when True (cond operands are copied, breaking fusion) — measured on
+      v5e; prefer the static gate. The predicate must be UNBATCHED (a batched
+      cond predicate lowers to select and executes both branches).
     """
     hp = hp or {}
     enc, new_sae_state = modeling.encode(
@@ -236,10 +250,18 @@ def matryoshka_loss(
 
     aux_cfg = sae_cfg.activation.aux
     if training and isinstance(aux_cfg, modeling.AuxK):
-        aux = _aux_loss(
-            aux_cfg, sae_cfg, params, x, enc.h_x, xhat_full, dead_mask,
-            alpha=hp.get("aux_alpha"), precision=precision,
-        )
+        def _heavy():
+            return _aux_loss(
+                aux_cfg, sae_cfg, params, x, enc.h_x, xhat_full, dead_mask,
+                alpha=hp.get("aux_alpha"), precision=precision,
+            )
+
+        if any_dead is None:
+            aux = _heavy()
+        elif isinstance(any_dead, bool):
+            aux = _heavy() if any_dead else jnp.zeros((), x.dtype)
+        else:
+            aux = jax.lax.cond(any_dead, _heavy, lambda: jnp.zeros((), x.dtype))
     else:
         aux = jnp.zeros((), x.dtype)
 

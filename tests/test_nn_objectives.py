@@ -257,3 +257,106 @@ def test_fused_training_matches_decode():
     for key in ("W_enc", "b_enc"):
         a, b = np.asarray(g_t[key]), np.asarray(g_e[key])
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_any_dead_cond_gates_aux():
+    """The any_dead lax.cond must (a) skip aux exactly when False, (b) match
+    the ungated computation when True — values AND gradients (the reference
+    skips all AuxK work when no latent is dead, modeling.py:94-96)."""
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=8, d_sae=32, activation=modeling.TopK(top_k=4)
+    )
+    params, state = modeling.init(cfg, jax.random.key(0))
+    obj_cfg = objectives.Matryoshka(n_prefixes=3, dead_threshold_tokens=100)
+    x = jax.random.normal(jax.random.key(2), (16, 8))
+    prefixes = jnp.asarray([5, 17, 32], jnp.int32)
+    # 6 latents past the threshold -> dead after the update.
+    toks = np.zeros(32, np.int32)
+    toks[:6] = 200
+    obj_state = {"toks_since_active": jnp.asarray(toks)}
+    # Pin those latents inactive so they stay dead through the update.
+    params = {**params, "b_enc": params["b_enc"].at[:6].set(-1e6)}
+
+    def run(any_dead, p):
+        loss, _, _, _ = objectives.matryoshka_loss(
+            obj_cfg, cfg, p, state, obj_state, x, prefixes,
+            training=True, any_dead=any_dead,
+        )
+        return loss
+
+    # Gated-True matches ungated (None).
+    l_true = run(jnp.asarray(True), params)
+    l_none = objectives.matryoshka_loss(
+        obj_cfg, cfg, params, state, obj_state, x, prefixes, training=True
+    )[0]
+    assert float(l_true.aux) > 0
+    np.testing.assert_allclose(float(l_true.aux), float(l_none.aux), rtol=1e-6)
+    g_true = jax.grad(lambda p: run(jnp.asarray(True), p).loss)(params)
+    g_none = jax.grad(
+        lambda p: objectives.matryoshka_loss(
+            obj_cfg, cfg, p, state, obj_state, x, prefixes, training=True
+        )[0].loss
+    )(params)
+    for k in g_true:
+        np.testing.assert_allclose(
+            np.asarray(g_true[k]), np.asarray(g_none[k]), rtol=1e-6, atol=1e-7
+        )
+
+    # Gated-False: aux is exactly zero and contributes no gradient.
+    l_false = run(jnp.asarray(False), params)
+    assert float(l_false.aux) == 0.0
+    np.testing.assert_allclose(float(l_false.mse), float(l_true.mse), rtol=1e-6)
+
+
+def test_train_step_skips_aux_only_when_none_can_be_dead():
+    """Aux loss values through the full train step: zero for every SAE when no
+    latent is dead, and per-SAE (only the SAE with dead latents pays) when the
+    sweep is mixed — the invariants the static warm-up/full step split
+    (train.py aux_from_step) relies on."""
+    from saev_tpu.framework import train as train_mod
+
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=8, d_sae=32, activation=modeling.TopK(top_k=4)
+    )
+    obj_cfg = objectives.Matryoshka(n_prefixes=3, dead_threshold_tokens=100)
+    stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+    inits = [modeling.init(cfg, jax.random.key(i)) for i in range(2)]
+    params = stack([p for p, _ in inits])
+    params = {**params, "b_enc": params["b_enc"].at[:, :6].set(-1e6)}
+    x = np.asarray(jax.random.normal(jax.random.key(3), (16, 8)), np.float32)
+
+    def run_step(toks0):
+        obj_state = stack([
+            {"toks_since_active": jnp.asarray(toks0[i])} for i in range(2)
+        ])
+        p = jax.tree.map(jnp.copy, params)  # the jitted step donates its state
+        ts = train_mod.SweepState(
+            params=p,
+            sae_state=stack([s for _, s in inits]),
+            obj_state=obj_state,
+            opt_state=train_mod._adam_init(p),
+            step=jnp.zeros((), jnp.int32),
+        )
+        hp = {
+            "lr": jnp.full((2,), 1e-4, jnp.float32),
+            "n_lr_warmup": jnp.full((2,), 5.0, jnp.float32),
+            "grad_clip": jnp.ones((2,), jnp.float32),
+            "sparsity_coeff": jnp.zeros((2,), jnp.float32),
+            "aux_alpha": jnp.full((2,), 1 / 32, jnp.float32),
+            "momentum": jnp.zeros((2,), jnp.float32),
+        }
+        step = train_mod.make_train_step(cfg, obj_cfg, n_steps=10, optim="adam")
+        pfx = jnp.tile(jnp.asarray([[5, 17, 32]], jnp.int32), (2, 1))
+        _, stats = step(ts, jnp.asarray(x), pfx, hp)
+        return stats
+
+    fresh = np.zeros((2, 32), np.int32)
+    stats = run_step(fresh)
+    assert np.asarray(stats["aux"]).tolist() == [0.0, 0.0]
+
+    # Only SAE 0 has dead-eligible latents: its aux fires, SAE 1's stays 0.
+    mixed = np.zeros((2, 32), np.int32)
+    mixed[0, :6] = 200
+    stats = run_step(mixed)
+    aux = np.asarray(stats["aux"])
+    assert aux[0] > 0 and aux[1] == 0.0
