@@ -15,12 +15,14 @@ This op computes the same scalar with a custom VJP in two flavors:
   DMA — the (B, G, D) partials never exist. The backward's key identity:
   with Ebar_j = 2/(B J D) (xhat_j - x), the group-path cotangent
   dA_G = sum_j [G < m_j] Ebar_j serves BOTH parameter gradients:
-      df_G = dA_G @ W_G^T + remainder scatter   (grouped_matmul_dgrad)
-      dW_G = f_G^T @ dA_G + remainder scatter   (grouped_matmul_wgrad)
-  Remainder (sub-group) terms are J small matmuls scattered into groups with
-  (J, G) one-hot einsums — never a dynamic-update-slice on a (B, d_sae)
-  tensor. E is saved bf16; f/W are consumed bf16 (matching the train step's
-  DEFAULT matmul precision).
+      df_G = dA_G @ W_G^T + remainder term   (grouped_matmul_dgrad)
+      dW_G = f_G^T @ dA_G + remainder term   (grouped_matmul_wgrad)
+  Remainder (sub-group) terms are folded INTO all three kernels as
+  predicated extra MXU passes on tiles already resident in VMEM (the
+  backward kernels DMA the matching E_j row slice from HBM on demand) —
+  no XLA-side dynamic-slice matmuls or one-hot scatter einsums. E is saved
+  bf16; f/W are consumed bf16 (matching the train step's DEFAULT matmul
+  precision).
 - **XLA path (CPU / fallback)**: the same algebra with static-slice matmuls,
   f32 end-to-end, used on non-TPU backends and by parity tests.
 
@@ -114,9 +116,13 @@ def _fwd_impl(w_dec, b_dec, f_x, x, prefixes, group_size, precision):
 
         fb = f_x.astype(_BF16)
         wb = w_dec.astype(_BF16)
-        base, xhat_nb = pk.grouped_prefix_base(fb, wb, m, group_size=g)
-        rem = _rem_matmuls(fb, wb, m, r, g, precision)  # (J, B, D) f32
-        e = (base + rem + (b_dec - x)[None]).astype(_BF16)  # (J, B, D)
+        # base includes the sub-group remainder (folded into the kernel) and
+        # is stored bf16: E is consumed bf16 anyway, and the smaller snapshot
+        # scratch keeps the kernel under the VMEM double-buffering budget.
+        base, xhat_nb = pk.grouped_prefix_base(
+            fb, wb, m, r, group_size=g, base_dtype=_BF16
+        )
+        e = (base.astype(jnp.float32) + (b_dec - x)[None]).astype(_BF16)  # (J, B, D)
         loss = _loss_from_e(e, x)
         return loss, xhat_nb + b_dec, (fb, wb, e, m, r)
 
@@ -179,47 +185,45 @@ def _bwd(group_size, precision, res, cts):
         )
     ).astype(e.dtype)  # (G, B, D)
 
-    # Remainder path: per-prefix gradients scattered into groups with (J, G)
-    # one-hot contractions instead of dynamic-update-slices.
-    lane = jnp.arange(g, dtype=jnp.int32)
-    dfrem_js, dwrem_js = [], []
-    for j in range(j_n):
-        w_m = jax.lax.dynamic_slice(w, (m[j] * g, 0), (g, d_model))
-        f_m = jax.lax.dynamic_slice(f, (0, m[j] * g), (b, g))
-        lane_mask = (lane < r[j]).astype(jnp.float32)
-        ebar_j = e[j].astype(jnp.float32) * scale
-        dfrem = (
-            jax.lax.dot_general(
-                ebar_j.astype(e.dtype), w_m,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision,
-            )
-            * lane_mask
-        )
-        dwrem = jax.lax.dot_general(
-            (f_m.astype(jnp.float32) * lane_mask).astype(f.dtype),
-            ebar_j.astype(e.dtype),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-        dfrem_js.append(dfrem.astype(e.dtype))
-        dwrem_js.append(dwrem)
-    dfrem_stack = jnp.stack(dfrem_js)  # (J, B, g)
-    dwrem = jnp.einsum(
-        "jgd,jG->Ggd", jnp.stack(dwrem_js).astype(e.dtype), eq.astype(e.dtype),
-        preferred_element_type=jnp.float32, precision=precision,
-    ).reshape(d_sae, d_model)
-
     if _use_pallas():
         from . import pallas_matryoshka as pk
 
-        dfrem_g = jnp.einsum(
-            "jbg,jG->Gbg", dfrem_stack, eq.astype(e.dtype),
-            preferred_element_type=jnp.float32, precision=precision,
-        ).astype(_BF16)  # (G, B, g)
-        df = pk.grouped_matmul_dgrad(da, w, dfrem_g, group_size=g)
-        dw = pk.grouped_matmul_wgrad(f, da, group_size=g) + dwrem
+        # Remainder gradients are folded into the kernels (predicated in-kernel
+        # DMA of E_j row slices); no XLA-side scatter machinery.
+        scale_arr = jnp.asarray(scale, jnp.float32)
+        df = pk.grouped_matmul_dgrad(da, w, e, m, r, scale_arr, group_size=g)
+        dw = pk.grouped_matmul_wgrad(f, da, e, m, r, scale_arr, group_size=g)
     else:
+        # Remainder path: per-prefix gradients scattered into groups with
+        # (J, G) one-hot contractions instead of dynamic-update-slices.
+        lane = jnp.arange(g, dtype=jnp.int32)
+        dfrem_js, dwrem_js = [], []
+        for j in range(j_n):
+            w_m = jax.lax.dynamic_slice(w, (m[j] * g, 0), (g, d_model))
+            f_m = jax.lax.dynamic_slice(f, (0, m[j] * g), (b, g))
+            lane_mask = (lane < r[j]).astype(jnp.float32)
+            ebar_j = e[j].astype(jnp.float32) * scale
+            dfrem = (
+                jax.lax.dot_general(
+                    ebar_j.astype(e.dtype), w_m,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=precision,
+                )
+                * lane_mask
+            )
+            dwrem = jax.lax.dot_general(
+                (f_m.astype(jnp.float32) * lane_mask).astype(f.dtype),
+                ebar_j.astype(e.dtype),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            dfrem_js.append(dfrem.astype(e.dtype))
+            dwrem_js.append(dwrem)
+        dfrem_stack = jnp.stack(dfrem_js)  # (J, B, g)
+        dwrem = jnp.einsum(
+            "jgd,jG->Ggd", jnp.stack(dwrem_js).astype(e.dtype), eq.astype(e.dtype),
+            preferred_element_type=jnp.float32, precision=precision,
+        ).reshape(d_sae, d_model)
         dfrem_g = jnp.einsum(
             "jbg,jG->bGg", dfrem_stack, eq,
             preferred_element_type=jnp.float32, precision=precision,

@@ -31,25 +31,34 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _base_kernel(j_n, n_groups, m_ref, f_ref, w_ref, base_ref, xhat_ref,
-                 run_ref, sem):
-    """One (row-tile, group) step: run += f_G @ W_G; snapshot run into
-    base[:, j] when this group is prefix j's cut group."""
+def _base_kernel(j_n, n_groups, m_ref, r_ref, f_ref, w_ref, base_ref, xhat_ref,
+                 run_ref, snap_ref, sem):
+    """One (row-tile, group) step: snapshot base_j = run + (lane-masked f_G) @ W_G
+    for every prefix j cutting inside this group (the remainder matmul folded in
+    — f/W tiles are already in VMEM, so the sub-group term costs one extra
+    predicated MXU pass and ZERO extra HBM traffic), then run += f_G @ W_G."""
     gi = pl.program_id(1)
     bm = f_ref.shape[0]
+    g = f_ref.shape[1]
     row0 = pl.multiple_of(pl.program_id(0) * bm, bm)
 
     @pl.when(gi == 0)
     def _():
         run_ref[:] = jnp.zeros_like(run_ref)
 
-    # Snapshot BEFORE adding this group: base_j = sum of groups < m_j.
+    # base_j = sum of groups < m_j  +  masked remainder within group m_j.
     # base is laid out (J, B, D) so the DMA slices the untiled major dim.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bm, g), 1)
     for j in range(j_n):
         @pl.when(m_ref[j] == gi)
         def _():
+            f_m = jnp.where(lane < r_ref[j], f_ref[:], jnp.zeros((), f_ref.dtype))
+            snap_ref[:] = (
+                run_ref[:]
+                + jnp.dot(f_m, w_ref[:], preferred_element_type=jnp.float32)
+            ).astype(snap_ref.dtype)
             copy = pltpu.make_async_copy(
-                run_ref, base_ref.at[j, pl.ds(row0, bm), :], sem
+                snap_ref, base_ref.at[j, pl.ds(row0, bm), :], sem
             )
             copy.start()
             copy.wait()
@@ -62,23 +71,26 @@ def _base_kernel(j_n, n_groups, m_ref, f_ref, w_ref, base_ref, xhat_ref,
         for j in range(j_n):
             @pl.when(m_ref[j] == n_groups)
             def _():
+                snap_ref[:] = run_ref[:].astype(snap_ref.dtype)
                 copy = pltpu.make_async_copy(
-                    run_ref, base_ref.at[j, pl.ds(row0, bm), :], sem
+                    snap_ref, base_ref.at[j, pl.ds(row0, bm), :], sem
                 )
                 copy.start()
                 copy.wait()
 
 
 def grouped_prefix_base(
-    f_bf16: Array, w_bf16: Array, m: Array, *, group_size: int = 1024,
-    block_rows: int = 512, interpret: bool = False,
+    f_bf16: Array, w_bf16: Array, m: Array, r: Array, *, group_size: int = 1024,
+    block_rows: int = 256, base_dtype=jnp.float32, interpret: bool = False,
 ) -> tuple[Array, Array]:
-    """(base, xhat_nobias): base[j, b] = f[b, :m_j*g] @ W[:m_j*g] laid out
-    (J, B, D); xhat_nobias is the full (all-groups) product. f/w must be
-    bf16; accumulation is f32.
+    """(base, xhat_nobias): base[j, b] = f[b, :p_j] @ W[:p_j] — the FULL
+    prefix product including the sub-group remainder — laid out (J, B, D);
+    xhat_nobias is the full (all-groups) product. f/w must be bf16;
+    accumulation is f32.
 
-    m: (J,) int32 cut group indices (prefix // group_size), values in
-    [0, n_groups]. Traced data, static length.
+    m: (J,) int32 cut group indices (prefix // group_size) in [0, n_groups];
+    r: (J,) int32 in-group remainders (prefix - m*group_size). Traced data,
+    static length.
     """
     b, d_sae = f_bf16.shape
     d_model = w_bf16.shape[1]
@@ -93,71 +105,115 @@ def grouped_prefix_base(
     base, xhat = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(b // bm, n_groups),
             in_specs=[
-                pl.BlockSpec((bm, g), lambda i, G, m: (i, G)),
-                pl.BlockSpec((g, d_model), lambda i, G, m: (G, 0)),
+                pl.BlockSpec((bm, g), lambda i, G, m, r: (i, G)),
+                pl.BlockSpec((g, d_model), lambda i, G, m, r: (G, 0)),
             ],
             out_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec((bm, d_model), lambda i, G, m: (i, 0)),
+                pl.BlockSpec((bm, d_model), lambda i, G, m, r: (i, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((bm, d_model), jnp.float32),
+                pltpu.VMEM((bm, d_model), base_dtype),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((j_n, b, d_model), jnp.float32),
+            jax.ShapeDtypeStruct((j_n, b, d_model), base_dtype),
             jax.ShapeDtypeStruct((b, d_model), jnp.float32),
         ],
         interpret=interpret,
-    )(m.astype(jnp.int32), f_bf16, w_bf16)
+    )(m.astype(jnp.int32), r.astype(jnp.int32), f_bf16, w_bf16)
     return base, xhat
 
 
-def _dgrad_kernel(da_ref, w_ref, dfrem_ref, df_ref):
-    """df[:, G] = dA_G @ W_G^T + dfrem_G (one (bm, D) x (D, g) MXU step)."""
-    df_ref[:] = (
-        jax.lax.dot_general(
-            da_ref[0], w_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + dfrem_ref[0].astype(jnp.float32)
+def _dgrad_kernel(j_n, m_ref, r_ref, da_ref, w_ref, e_ref, scale_ref, df_ref,
+                  esl_ref, sem):
+    """df[:, G] = dA_G @ W_G^T + sum_j [m_j == G] [lane < r_j] (scale * E_j) @ W_G^T.
+
+    The remainder term DMAs E_j's row slice from HBM only for prefixes cutting
+    in this group (total extra traffic = J*B*D bf16 across the whole grid)."""
+    gi = pl.program_id(1)
+    bm = df_ref.shape[0]
+    g = df_ref.shape[1]
+    row0 = pl.multiple_of(pl.program_id(0) * bm, bm)
+
+    df_ref[:] = jax.lax.dot_general(
+        da_ref[0], w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bm, g), 1)
+    for j in range(j_n):
+        @pl.when(m_ref[j] == gi)
+        def _():
+            copy = pltpu.make_async_copy(
+                e_ref.at[j, pl.ds(row0, bm), :], esl_ref, sem
+            )
+            copy.start()
+            copy.wait()
+            prod = jax.lax.dot_general(
+                esl_ref[:], w_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            df_ref[:] += jnp.where(lane < r_ref[j], prod * scale_ref[0, 0], 0.0)
 
 
 def grouped_matmul_dgrad(
-    da_gbd: Array, w_bf16: Array, dfrem_gbg: Array, *, group_size: int = 1024,
-    block_rows: int = 512, interpret: bool = False,
+    da_gbd: Array, w_bf16: Array, e_jbd: Array, m: Array, r: Array,
+    scale: Array, *, group_size: int = 1024, block_rows: int = 256,
+    interpret: bool = False,
 ) -> Array:
     """df (B, d_sae) f32 from group cotangents dA (G, B, D) bf16, weights
-    (d_sae, D) bf16, and the remainder scatter dfrem (G, B, g) bf16."""
+    (d_sae, D) bf16, and the per-prefix error tensor E (J, B, D) bf16 whose
+    remainder contribution (scaled by the f32 scalar `scale`) is folded in."""
     n_groups, b, d_model = da_gbd.shape
     g = group_size
     d_sae = n_groups * g
     bm = min(block_rows, b)
     assert b % bm == 0
+    j_n = e_jbd.shape[0]
 
+    kernel = functools.partial(_dgrad_kernel, j_n)
     return pl.pallas_call(
-        _dgrad_kernel,
-        grid=(b // bm, n_groups),
-        in_specs=[
-            pl.BlockSpec((1, bm, d_model), lambda i, G: (G, i, 0)),
-            pl.BlockSpec((g, d_model), lambda i, G: (G, 0)),
-            pl.BlockSpec((1, bm, g), lambda i, G: (G, i, 0)),
-        ],
-        out_specs=pl.BlockSpec((bm, g), lambda i, G: (i, G)),
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b // bm, n_groups),
+            in_specs=[
+                pl.BlockSpec((1, bm, d_model), lambda i, G, m, r: (G, i, 0)),
+                pl.BlockSpec((g, d_model), lambda i, G, m, r: (G, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, g), lambda i, G, m, r: (i, G)),
+            scratch_shapes=[
+                pltpu.VMEM((bm, d_model), e_jbd.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((b, d_sae), jnp.float32),
         interpret=interpret,
-    )(da_gbd, w_bf16, dfrem_gbg)
+    )(
+        m.astype(jnp.int32), r.astype(jnp.int32),
+        da_gbd, w_bf16, e_jbd, scale.astype(jnp.float32).reshape(1, 1),
+    )
 
 
-def _wgrad_kernel(f_ref, da_ref, dw_ref):
-    """dW_G += f_G^T @ dA_G, accumulated over row tiles (b innermost)."""
+def _wgrad_kernel(j_n, m_ref, r_ref, f_ref, da_ref, e_ref, scale_ref, dw_ref,
+                  esl_ref, sem):
+    """dW_G += f_G^T @ dA_G + sum_j [m_j == G] ([lane < r_j] f_G)^T @ (scale E_j),
+    accumulated over row tiles (b innermost)."""
+    gi = pl.program_id(0)
     bi = pl.program_id(1)
+    bm = f_ref.shape[0]
+    g = f_ref.shape[1]
+    row0 = pl.multiple_of(bi * bm, bm)
+
     prod = jax.lax.dot_general(
         f_ref[:], da_ref[0],
         dimension_numbers=(((0,), (0,)), ((), ())),
@@ -172,28 +228,60 @@ def _wgrad_kernel(f_ref, da_ref, dw_ref):
     def _():
         dw_ref[:] += prod
 
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bm, g), 1)
+    for j in range(j_n):
+        @pl.when(m_ref[j] == gi)
+        def _():
+            copy = pltpu.make_async_copy(
+                e_ref.at[j, pl.ds(row0, bm), :], esl_ref, sem
+            )
+            copy.start()
+            copy.wait()
+            f_m = jnp.where(lane < r_ref[j], f_ref[:], jnp.zeros((), f_ref.dtype))
+            rem = jax.lax.dot_general(
+                f_m, esl_ref[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dw_ref[:] += rem * scale_ref[0, 0]
+
 
 def grouped_matmul_wgrad(
-    f_bf16: Array, da_gbd: Array, *, group_size: int = 1024,
-    block_rows: int = 256, interpret: bool = False,
+    f_bf16: Array, da_gbd: Array, e_jbd: Array, m: Array, r: Array,
+    scale: Array, *, group_size: int = 1024, block_rows: int = 256,
+    interpret: bool = False,
 ) -> Array:
     # block_rows=256: the double-buffered (g, D) f32 output block costs 8 MB
     # of VMEM; 512-row input tiles push the total past the 16 MB budget.
-    """dW (d_sae, D) f32 = per-group f_G^T @ dA_G (remainder scatter added by
-    the caller)."""
+    """dW (d_sae, D) f32 = per-group f_G^T @ dA_G with the per-prefix
+    remainder term (from E (J, B, D) bf16, scaled by `scale`) folded in."""
     n_groups, b, d_model = da_gbd.shape
     g = group_size
     bm = min(block_rows, b)
     assert b % bm == 0
+    j_n = e_jbd.shape[0]
 
+    kernel = functools.partial(_wgrad_kernel, j_n)
     return pl.pallas_call(
-        _wgrad_kernel,
-        grid=(n_groups, b // bm),
-        in_specs=[
-            pl.BlockSpec((bm, g), lambda G, i: (i, G)),
-            pl.BlockSpec((1, bm, d_model), lambda G, i: (G, i, 0)),
-        ],
-        out_specs=pl.BlockSpec((g, d_model), lambda G, i: (G, 0)),
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_groups, b // bm),
+            in_specs=[
+                pl.BlockSpec((bm, g), lambda G, i, m, r: (i, G)),
+                pl.BlockSpec((1, bm, d_model), lambda G, i, m, r: (G, i, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((g, d_model), lambda G, i, m, r: (G, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((bm, d_model), e_jbd.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
         out_shape=jax.ShapeDtypeStruct((n_groups * g, d_model), jnp.float32),
         interpret=interpret,
-    )(f_bf16, da_gbd)
+    )(
+        m.astype(jnp.int32), r.astype(jnp.int32),
+        f_bf16, da_gbd, e_jbd, scale.astype(jnp.float32).reshape(1, 1),
+    )
