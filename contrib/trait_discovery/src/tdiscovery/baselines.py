@@ -402,6 +402,45 @@ class MiniBatchSemiNMF:
         self.n_features_in_ = self.D_.shape[1]
 
 
+class RandomVectors:
+    """Random unit-gaussian prototype directions — the no-learning control
+    baseline (reference fishvista/evaluation.py method='random'). `fit` is a
+    no-op; scores are plain dot products."""
+
+    method = "random"
+
+    def __init__(self, k: int, d: int | None = None, seed: int = 0):
+        self.k = k
+        self.n_features_in_ = d
+        self._rng = np.random.default_rng(seed)
+        self.vectors_: np.ndarray | None = None
+        if d is not None:
+            self._init(d)
+
+    def _init(self, d: int):
+        v = self._rng.normal(size=(self.k, d)).astype(np.float32)
+        self.vectors_ = v / np.linalg.norm(v, axis=1, keepdims=True)
+        self.n_features_in_ = d
+
+    def partial_fit(self, batch: np.ndarray) -> "RandomVectors":
+        if self.vectors_ is None:
+            self._init(np.asarray(batch).shape[1])
+        return self
+
+    def transform(self, batch: np.ndarray) -> np.ndarray:
+        if self.vectors_ is None:
+            self._init(np.asarray(batch).shape[1])
+        return np.asarray(batch, np.float32) @ self.vectors_.T
+
+    def state_dict(self) -> dict[str, np.ndarray]:
+        assert self.vectors_ is not None, "not fitted"
+        return {"vectors_": self.vectors_}
+
+    def load_state_dict(self, sd):
+        self.vectors_ = np.asarray(sd["vectors_"])
+        self.n_features_in_ = self.vectors_.shape[1]
+
+
 # ---------------------------------------------------------------------------
 # Checkpointing (reference baselines.py:588-677)
 # ---------------------------------------------------------------------------
@@ -410,6 +449,7 @@ _METHODS = {
     "kmeans": MiniBatchKMeans,
     "pca": MiniBatchPCA,
     "semi-nmf": MiniBatchSemiNMF,
+    "random": RandomVectors,
 }
 
 
