@@ -146,14 +146,15 @@ def _aux_loss(
     from .. import ops
 
     residual = jax.lax.stop_gradient(x - x_hat_full)
-    neg_inf = jnp.array(-jnp.inf, h_x.dtype)
-    masked = jnp.where(dead_mask[None, :], h_x, neg_inf)
     k_aux = min(aux_cfg.k_aux, sae_cfg.d_sae)
-    # Exact k_aux-th threshold from the Pallas bisection kernel (ops/topk.py;
-    # -inf-masked rows with fewer than k_aux dead latents threshold at -inf and
-    # keep all dead latents, the reference's min(k_aux, n_dead) behavior).
-    kth = ops.exact_kth_value(jax.lax.stop_gradient(masked), k_aux)
-    keep = (masked >= kth) & dead_mask[None, :]
+    # Exact k_aux-th threshold among dead latents from the mask-aware Pallas
+    # bisection kernel (ops/topk.py): the where(dead, h, -inf) tensor is never
+    # materialized. Rows with fewer than k_aux dead latents threshold at -inf
+    # and keep all dead latents, the reference's min(k_aux, n_dead) behavior.
+    kth = ops.exact_kth_value_masked(
+        jax.lax.stop_gradient(h_x), dead_mask, k_aux
+    )
+    keep = (h_x >= kth) & dead_mask[None, :]
     aux_acts = jnp.where(keep, h_x, jnp.zeros((), h_x.dtype))
     aux_recon = modeling.decode(sae_cfg, params, aux_acts, precision=precision)[:, -1, :]
     alpha = aux_cfg.alpha if alpha is None else alpha

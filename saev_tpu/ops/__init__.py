@@ -4,6 +4,7 @@ from .topk import (  # noqa: F401
     approx_kth_value,
     batch_global_kth_value,
     exact_kth_value,
+    exact_kth_value_masked,
     hier_kth_value,
     sampled_kth_value,
     two_stage_kth_value,

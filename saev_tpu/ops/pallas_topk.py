@@ -91,3 +91,80 @@ def kth_value(h: jax.Array, k: int) -> jax.Array:
         h_padded = jnp.pad(h, ((0, pad), (0, 0)))
         return exact_kth_value_pallas(h_padded, k)[:b]
     return exact_kth_value_pallas(h, k)
+
+
+# Order-preserving key of float32 -inf: bits(-inf)=0xFF800000 is negative, so
+# key = ~bits = 0x007FFFFF. Masked-out columns take this key, making the
+# masked kth bit-identical to kth over where(mask, x, -inf).
+_KEY_NEG_INF = np.uint32(0x007FFFFF)
+
+
+def _kernel_masked(k: int, x_ref, mask_ref, out_ref):
+    x = x_ref[:]  # (TILE_ROWS, S) f32
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    neg = (u >> 31) == 1
+    key = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
+    key = jnp.where(mask_ref[:] != 0, key, jnp.uint32(_KEY_NEG_INF))
+
+    def bit_step(i, cur):
+        bit = jnp.uint32(1) << (jnp.uint32(31) - jnp.uint32(i))
+        cand = cur | bit
+        count = jnp.sum((key >= cand).astype(jnp.int32), axis=1, keepdims=True)
+        return jnp.where(count >= k, cand, cur)
+
+    cur = jax.lax.fori_loop(
+        0, 32, bit_step, jnp.zeros((x.shape[0], 1), jnp.uint32), unroll=32
+    )
+    was_nonneg = (cur >> 31) == 1
+    bits = jnp.where(was_nonneg, cur & jnp.uint32(0x7FFFFFFF), ~cur)
+    out_ref[:] = jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def exact_kth_value_masked_pallas(
+    h: jax.Array, mask: jax.Array, k: int, interpret: bool = False
+) -> jax.Array:
+    """Exact k-th largest of where(mask, h, -inf) along the last axis of
+    (B, S) f32 WITHOUT materializing the masked tensor — mask (1, S) int32
+    (shared across rows) is applied to the order keys in VMEM. Returns (B, 1);
+    bit-identical to `exact_kth_value_pallas(where(mask, h, -inf), k)`.
+
+    Used for the AuxK dead-latent threshold: the dead mask is per-latent, the
+    batch is large, and the where(dead, h, -inf) materialization is pure HBM
+    waste (nn/objectives._aux_loss).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s = h.shape
+    assert h.dtype == jnp.float32
+    assert mask.shape == (1, s), mask.shape
+    assert b % TILE_ROWS == 0, f"batch {b} must be a multiple of {TILE_ROWS}"
+    k = min(k, s)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_masked, k),
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        grid=(b // TILE_ROWS,),
+        in_specs=[
+            pl.BlockSpec((TILE_ROWS, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_ROWS, 1), lambda i: (i, 0)),
+        interpret=interpret,
+    )(h, mask.astype(jnp.int32))
+
+
+def kth_value_masked(h: jax.Array, mask: jax.Array, k: int) -> jax.Array:
+    """Exact k-th largest of where(mask, h, -inf); mask is (S,) bool shared
+    across rows. Pallas on TPU, lax.top_k on the materialized tensor
+    elsewhere."""
+    if jax.default_backend() != "tpu" or h.ndim != 2 or h.dtype != jnp.float32:
+        masked = jnp.where(mask[None, :], h, jnp.array(-jnp.inf, h.dtype))
+        return jax.lax.top_k(masked, min(k, h.shape[-1]))[0][..., -1:]
+    b = h.shape[0]
+    pad = (-b) % TILE_ROWS
+    if pad:
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+        return exact_kth_value_masked_pallas(h, mask[None, :], k)[: b]
+    return exact_kth_value_masked_pallas(h, mask[None, :], k)

@@ -38,6 +38,21 @@ def exact_kth_value(h: Array, k: int) -> Array:
     return pallas_topk.kth_value(h, k)
 
 
+def exact_kth_value_masked(h: Array, mask: Array, k: int) -> Array:
+    """Exact k-th largest of where(mask, h, -inf), (B, 1); `mask` is a (S,)
+    per-column bool shared across rows.
+
+    On TPU the Pallas kernel applies the mask to the order keys in VMEM, so
+    the -inf-masked tensor is never materialized in HBM (the AuxK dead-latent
+    threshold's hot path). Bit-identical to
+    `exact_kth_value(where(mask, h, -inf), k)`.
+    """
+    from . import pallas_topk
+
+    k = min(k, h.shape[-1])
+    return pallas_topk.kth_value_masked(h, mask, k)
+
+
 def hier_kth_value(h: Array, k: int, *, chunk: int = 256) -> Array:
     """Exact k-th largest via hierarchical chunked top-k.
 

@@ -181,3 +181,41 @@ def test_pallas_kth_row_padding():
     )[:13].reshape(-1)
     want = np.sort(h, axis=-1)[:, ::-1][:, 4]
     np.testing.assert_array_equal(got, want)
+
+
+def test_masked_kth_interpret_matches_materialized():
+    """Mask-aware kernel vs kth over the materialized -inf-masked tensor:
+    bit-identical, incl. rows where fewer than k columns are unmasked
+    (threshold -inf) and an all-masked mask (threshold -inf)."""
+    import jax.numpy as jnp
+
+    from saev_tpu.ops import pallas_topk
+
+    rng = np.random.default_rng(0)
+    b, s, k = 64, 512, 16
+    h = rng.normal(size=(b, s)).astype(np.float32)
+
+    for mask in (
+        rng.random(s) < 0.5,          # plenty of unmasked columns
+        np.arange(s) < k - 3,         # fewer than k unmasked -> -inf
+        np.zeros(s, dtype=bool),      # all masked -> -inf
+    ):
+        got = pallas_topk.exact_kth_value_masked_pallas(
+            jnp.asarray(h), jnp.asarray(mask[None, :], jnp.int32), k,
+            True,
+        )
+        masked = np.where(mask[None, :], h, -np.inf)
+        want = np.sort(masked, axis=1)[:, ::-1][:, k - 1 : k]
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_masked_kth_cpu_fallback():
+    from saev_tpu import ops
+
+    rng = np.random.default_rng(1)
+    h = rng.normal(size=(8, 64)).astype(np.float32)
+    mask = rng.random(64) < 0.3
+    got = np.asarray(ops.exact_kth_value_masked(jnp.asarray(h), jnp.asarray(mask), 4))
+    masked = np.where(mask[None, :], h, -np.inf)
+    want = np.sort(masked, axis=1)[:, ::-1][:, 3:4]
+    np.testing.assert_array_equal(got, want)
