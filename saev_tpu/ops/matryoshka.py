@@ -47,10 +47,14 @@ Array = jax.Array
 _BF16 = jnp.bfloat16
 
 
-def _use_pallas() -> bool:
+def _use_pallas(b: int | None = None) -> bool:
     """The Pallas path needs a real TPU backend (Mosaic); CPU tests and the
-    virtual-device mesh fall back to the XLA custom-VJP path."""
-    return jax.default_backend() == "tpu"
+    virtual-device mesh fall back to the XLA custom-VJP path. The kernels tile
+    rows in 256-row blocks, so odd batch sizes also fall back (production
+    batches are powers of two; the XLA path is correct for any shape)."""
+    if jax.default_backend() != "tpu":
+        return False
+    return b is None or b % 256 == 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -111,7 +115,7 @@ def _fwd_impl(w_dec, b_dec, f_x, x, prefixes, group_size, precision):
     m = p32 // g
     r = p32 - m * g
 
-    if _use_pallas():
+    if _use_pallas(b):
         from . import pallas_matryoshka as pk
 
         fb = f_x.astype(_BF16)
@@ -185,7 +189,9 @@ def _bwd(group_size, precision, res, cts):
         )
     ).astype(e.dtype)  # (G, B, D)
 
-    if _use_pallas():
+    # The forward's path choice binds the backward's: Pallas-path residuals are
+    # bf16 (its kernels consume them), XLA-path residuals are f32.
+    if e.dtype == _BF16:
         from . import pallas_matryoshka as pk
 
         # Remainder gradients are folded into the kernels (predicated in-kernel
