@@ -164,3 +164,38 @@ def test_train_with_sweep_parallel(tmp_path):
     assert steps > 0
     w = np.asarray(jax.device_get(runtimes[0].ts.params["W_dec"]))
     assert np.isfinite(w).all()
+
+
+def test_batch_topk_global_semantics_under_dp():
+    """BatchTopK's batch-global top-(k*B) must span the WHOLE batch under data
+    sharding, not each shard separately (SURVEY.md §7.4 'hard parts'; the
+    parallel module docstring claims exact global semantics — this pins it).
+    The input concentrates all large values in rows living on one device, so
+    shard-local top-k would give a very different mask."""
+    from saev_tpu.nn import modeling
+
+    batch, d_sae, k = 32, 64, 4
+    rng = np.random.default_rng(0)
+    h_np = rng.normal(size=(batch, d_sae)).astype(np.float32)
+    # Rows 0-3 (first device's shard under dp8) get huge values: the global
+    # budget k*B = 128 should mostly select from these rows.
+    h_np[:4] += 100.0
+
+    def run(mesh):
+        h = parallel.shard_batch(mesh, h_np)
+
+        @jax.jit
+        def step(h):
+            return modeling.batch_topk_train(h, k, 0.1, jnp.asarray(0.0))
+
+        f, thresh = step(h)
+        return np.asarray(jax.device_get(f)), float(thresh)
+
+    f1, t1 = run(parallel.make_mesh(n_devices=1))
+    f8, t8 = run(parallel.make_mesh())
+
+    np.testing.assert_array_equal(f8 != 0, f1 != 0)
+    np.testing.assert_allclose(f8, f1, rtol=1e-6)
+    assert t8 == pytest.approx(t1, rel=1e-6)
+    # Sanity: the mask is batch-global (concentrated rows dominate the budget).
+    assert (f1[:4] != 0).sum() > (f1[4:] != 0).sum()
