@@ -488,6 +488,8 @@ def load(run: saev_tpu.disk.Run, **kwargs):
         model = cls(k=sd["cluster_centers_"].shape[0], **kwargs)
     elif method == "pca":
         model = cls(n_components=sd["components_"].shape[0], **kwargs)
+    elif method == "random":
+        model = cls(k=sd["vectors_"].shape[0], **kwargs)
     else:
         model = cls(n_concepts=sd["D_"].shape[0], **kwargs)
     model.load_state_dict(sd)
@@ -699,6 +701,12 @@ def inference_worker_fn(cfg: InferenceConfig) -> None:
     run = saev_tpu.disk.Run(cfg.run)
     model = load(run)
     method = type(model).method
+    if method == "random":
+        raise ValueError(
+            "Baseline inference artifacts are reconstruction-based; the "
+            "'random' control has no reconstruction semantics. Use it via "
+            "the fishvista evaluation pipeline (prototype scoring) instead."
+        )
     md = Metadata.load(cfg.data.shards)
     fpaths = Filepaths.from_run(run, md)
     required = list(fpaths) if cfg.save else [fpaths.metrics]

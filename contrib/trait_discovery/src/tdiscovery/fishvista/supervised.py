@@ -47,11 +47,16 @@ class Config:
 
 
 class _ProbeScorer:
-    """Adapts one trained probe head to the Scorer interface: class logits
-    are the prototype scores (K = n_classes)."""
+    """Adapts trained probe heads to the Scorer interface. All M probes score
+    in ONE pass (class logits concatenated to M*C prototype columns), so the
+    test shards stream once regardless of grid size."""
 
     def __init__(self, w: np.ndarray, b: np.ndarray):
-        self.w, self.b = w, b
+        # w (M, D, C), b (M, C) -> flat (D, M*C) / (M*C,)
+        m, d, c = w.shape
+        self.m, self.c = m, c
+        self.w = np.transpose(w, (1, 0, 2)).reshape(d, m * c)
+        self.b = b.reshape(m * c)
 
     @property
     def n_prototypes(self) -> int:
@@ -83,18 +88,17 @@ def worker_fn(cfg: Config) -> dict:
     w = np.asarray(params["w"])  # (M, d_model, n_classes)
     b = np.asarray(params["b"])  # (M, n_classes)
 
+    # One ordered pass scores every probe (scores columns are M*C flat).
+    scorer = _ProbeScorer(w, b)
+    flat_scores, labels = evaluation.compute_patch_scores(
+        cfg.test_acts, scorer, desc="probe-grid test"
+    )
+    onehot = np.zeros((len(labels), cfg.n_classes), dtype=np.float64)
+    onehot[np.arange(len(labels)), np.clip(labels, 0, cfg.n_classes - 1)] = 1.0
+
     results = []
-    test_scores_cache: list[np.ndarray] = []
-    test_labels = None
     for mi, pc in enumerate(probe_cfgs):
-        scorer = _ProbeScorer(w[mi], b[mi])
-        scores, labels = evaluation.compute_patch_scores(
-            cfg.test_acts, scorer, desc=f"probe {mi} test"
-        )
-        test_labels = labels
-        test_scores_cache.append(scores)
-        onehot = np.zeros((len(labels), cfg.n_classes), dtype=np.float64)
-        onehot[np.arange(len(labels)), np.clip(labels, 0, cfg.n_classes - 1)] = 1.0
+        scores = flat_scores[:, mi * cfg.n_classes : (mi + 1) * cfg.n_classes]
         ap = metrics.average_precision(scores.astype(np.float64), onehot)
         finite = ap[np.isfinite(ap)]
         results.append({

@@ -165,7 +165,7 @@ class Metadata:
         )
 
     def make_data_cfg(self) -> "datasets.DatasetConfig":
-        cfg = pickle.loads(base64.b64decode(self.data.encode("utf8")))
+        cfg = decode_dataset_cfg(self.data)
         assert isinstance(cfg, datasets.DatasetConfig)
         return cfg
 
@@ -659,3 +659,46 @@ class IndexMap:
 def encode_dataset_cfg(data: "datasets.DatasetConfig") -> str:
     """Base64-pickle a dataset config for storage in Metadata.data."""
     return base64.b64encode(pickle.dumps(data)).decode("utf8")
+
+
+class _SafeConfigUnpickler(pickle.Unpickler):
+    """Restricted unpickler for the protocol's base64-pickled dataset configs.
+
+    The shard protocol (and the reference's) stores dataset configs as pickle
+    bytes inside metadata.json; a plain pickle.loads on a shard dir (or a
+    wandb run config) from an untrusted source is arbitrary code execution.
+    This unpickler only resolves dataset-config dataclasses, the PixelAgg
+    enum, and pathlib path types — everything else raises. Reference-written
+    configs (module `saev.data.datasets`) map onto our dataclasses of the
+    same name, so reference shard dirs decode too.
+    """
+
+    _PATH_NAMES = frozenset(
+        {"Path", "PosixPath", "PurePosixPath", "WindowsPath", "PureWindowsPath"}
+    )
+
+    def find_class(self, module, name):
+        import dataclasses as _dc
+        import pathlib as _pathlib
+
+        if module in ("saev_tpu.data.datasets", "saev.data.datasets", "saev.config"):
+            from . import datasets as _datasets
+
+            obj = getattr(_datasets, name, None)
+            if obj is not None and isinstance(obj, type) and _dc.is_dataclass(obj):
+                return obj
+        if module in ("saev_tpu.data.shards", "saev.data.shards") and name == "PixelAgg":
+            return PixelAgg
+        if module == "pathlib" and name in self._PATH_NAMES:
+            return getattr(_pathlib, name)
+        raise pickle.UnpicklingError(
+            f"Blocked unpickling of {module}.{name}: dataset-config metadata "
+            "may only contain dataset dataclasses, PixelAgg, and paths."
+        )
+
+
+def decode_dataset_cfg(b64: str):
+    """Decode a base64-pickled dataset config with the restricted unpickler."""
+    import io as _io
+
+    return _SafeConfigUnpickler(_io.BytesIO(base64.b64decode(b64.encode("utf8")))).load()

@@ -39,6 +39,11 @@ class Config:
     """Max features to include per run."""
     max_imgs_per_feature: int = 16
     """Images per feature."""
+    sort_by: str = "log10_freq"
+    """var.parquet column that ranks which n_features latents are KEPT
+    (the in-app sort buttons then reorder within that set)."""
+    descending: bool = True
+    """Keep the highest (True) or lowest values of sort_by."""
     embed_images: bool = True
     """Inline images as base64 (single self-contained file)."""
     out: pathlib.Path | None = None
@@ -65,7 +70,14 @@ def load_ckpt(run_dir: pathlib.Path, shards_name: str, cfg: Config) -> dict:
     assert img_root.exists(), f"No images at {img_root}; run tdiscovery.visuals first."
 
     have_imgs = {int(p.name) for p in img_root.iterdir() if p.name.isdigit()}
-    var = var[var["feature"].isin(have_imgs)].head(cfg.n_features)
+    # Sort BEFORE truncating: var.parquet is ordered by latent id, so a bare
+    # .head() would keep the lowest-id latents instead of the top-n by
+    # frequency/value (reference features.py sorts then pages).
+    var = (
+        var[var["feature"].isin(have_imgs)]
+        .sort_values(cfg.sort_by, ascending=not cfg.descending)
+        .head(cfg.n_features)
+    )
 
     latents = []
     for _, row in var.iterrows():

@@ -24,12 +24,10 @@ Usage:
     python -m saev_tpu.interactive.metrics --wandb-entity me --wandb-project saev --tag sweep3
 """
 
-import base64
 import dataclasses
 import json
 import logging
 import pathlib
-import pickle
 
 logger = logging.getLogger("interactive.metrics")
 
@@ -142,9 +140,13 @@ def model_key(metadata: dict) -> str:
 
 def data_key(metadata: dict) -> str | None:
     """Friendly dataset name from the base64-pickled config (reference
-    get_data_key). Returns None when undecodable."""
+    get_data_key). Returns None when undecodable. Decoded with the protocol's
+    restricted unpickler — run configs can come from a shared wandb project,
+    and a plain pickle.loads on them would be arbitrary code execution."""
+    from ..data import shards as shards_mod
+
     try:
-        data_cfg = pickle.loads(base64.b64decode(metadata["data"].encode("utf8")))
+        data_cfg = shards_mod.decode_dataset_cfg(metadata["data"])
     except Exception:
         return None
     name = type(data_cfg).__name__

@@ -45,10 +45,13 @@ def add_highlights(
     grid_h, grid_w = h_px // patch_size, w_px // patch_size
     assert grid_h * grid_w == len(patches)
 
-    # Normalized activation per patch, expanded to per-pixel planes.
-    t = np.asarray(patches, dtype=np.float64) / (upper + 1e-9)
+    # Normalized activation per patch, expanded to per-pixel planes. Clamp to
+    # [0, 1] BEFORE quantizing: PIL's draw path saturates out-of-range alpha,
+    # while a raw uint8 cast would wrap modulo 256 (values above `upper` would
+    # render nearly transparent, negatives would render hot).
+    t = np.clip(np.asarray(patches, dtype=np.float64) / (upper + 1e-9), 0.0, 1.0)
     rgb_u8 = (colormap(t)[:, :3] * 255).astype(np.uint8).astype(np.float64)
-    alpha = (opacity * t * 255).astype(np.uint8).astype(np.float64) / 255.0
+    alpha = np.clip(opacity * t * 255, 0, 255).astype(np.uint8).astype(np.float64) / 255.0
 
     def expand(plane):  # (N, ...) patch values -> (H, W, ...) pixel values
         plane = plane.reshape(grid_h, grid_w, *plane.shape[1:])
@@ -57,11 +60,17 @@ def add_highlights(
     src_rgb = expand(rgb_u8)  # (H, W, 3)
     src_a = expand(alpha)[..., None]  # (H, W, 1)
 
+    # Proper source-over (matches Image.alpha_composite for any base alpha):
+    # out_a = src_a + dst_a*(1-src_a); out_rgb premultiplied then unmultiplied.
     base = np.asarray(img.convert("RGBA"), dtype=np.float64)
+    dst_a = base[..., 3:4] / 255.0
+    out_a = src_a + dst_a * (1.0 - src_a)
     out = np.empty_like(base)
-    # Source-over onto an opaque base: result alpha stays the base's.
-    out[..., :3] = src_rgb * src_a + base[..., :3] * (1.0 - src_a)
-    out[..., 3] = base[..., 3]
+    num = src_rgb * src_a + base[..., :3] * dst_a * (1.0 - src_a)
+    out[..., :3] = np.divide(
+        num, out_a, out=np.zeros_like(num), where=out_a > 0
+    )
+    out[..., 3] = out_a[..., 0] * 255.0
     return Image.fromarray(out.round().astype(np.uint8), "RGBA")
 
 

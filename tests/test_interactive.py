@@ -152,3 +152,39 @@ def test_features_gallery(tmp_path):
     for hook in ("data-sort=\"lf\"", "id=\"slider\"", "id=\"cols\"", "id=\"ckpt\"",
                  "id=\"scatter\"", "id=\"hist\""):
         assert hook in html, hook
+
+
+def test_features_keeps_top_by_sort_key(tmp_path, monkeypatch):
+    """n_features truncation must keep the TOP latents by sort_by, not the
+    lowest latent ids (var.parquet is id-ordered)."""
+    pd = pytest.importorskip("pandas")
+
+    from saev_tpu.interactive import features as ifeatures
+
+    # Synthetic inference artifacts: 10 latents, frequency increasing with id.
+    run_dir = tmp_path / "saev" / "runs" / "r1"
+    for sub in ("checkpoint", "links"):
+        (run_dir / sub).mkdir(parents=True)
+    art = run_dir / "inference" / "shardhash"
+    img_root = art / "images"
+    var = pd.DataFrame({
+        "feature": range(10),
+        "log10_freq": [-9.0 + i for i in range(10)],
+        "log10_value": [0.0] * 10,
+    })
+    art.mkdir(parents=True)
+    var.to_parquet(art / "var.parquet")
+    from PIL import Image
+
+    for f in range(10):
+        d = img_root / str(f)
+        d.mkdir(parents=True)
+        Image.new("RGB", (4, 4)).save(d / "0.png")
+
+    cfg = ifeatures.Config(
+        run=run_dir, shards=tmp_path / "shards" / "shardhash",
+        n_features=3, embed_images=False,
+    )
+    ckpt = ifeatures.load_ckpt(run_dir, "shardhash", cfg)
+    kept = sorted(n["f"] for n in ckpt["latents"])
+    assert kept == [7, 8, 9], kept  # highest-frequency latents, not ids 0-2

@@ -316,3 +316,58 @@ def test_metadata_hash_golden():
     # Field order, not sorted order.
     keys = list(json.loads(rendered).keys())
     assert keys[0] == "family" and keys != sorted(keys)
+
+
+def test_decode_dataset_cfg_blocks_arbitrary_code():
+    """The protocol's pickled dataset configs decode through a restricted
+    unpickler: config dataclasses round-trip, reference module paths map onto
+    ours, and reduce-to-os.system payloads raise instead of executing."""
+    import base64
+    import pickle
+
+    from saev_tpu.data import datasets
+    from saev_tpu.data import shards as shards_mod
+
+    enc = shards_mod.encode_dataset_cfg(datasets.FakeImg(n_examples=7))
+    assert shards_mod.decode_dataset_cfg(enc) == datasets.FakeImg(n_examples=7)
+
+    # Reference-written configs use module saev.data.datasets; same-name
+    # dataclasses resolve onto ours. Simulate one by pickling a class whose
+    # __module__ claims the reference package.
+    import dataclasses as _dc
+    import sys
+    import types
+
+    @_dc.dataclass(frozen=True)
+    class FakeImg:
+        n_examples: int = 10
+
+    FakeImg.__module__ = "saev.data.datasets"
+    FakeImg.__qualname__ = "FakeImg"
+    mod = types.ModuleType("saev.data.datasets")
+    mod.FakeImg = FakeImg
+    # Save/restore sys.modules: the reference-parity tests may have the REAL
+    # saev package loaded in this process.
+    saved = {n: sys.modules.get(n) for n in ("saev", "saev.data", "saev.data.datasets")}
+    sys.modules.setdefault("saev", types.ModuleType("saev"))
+    sys.modules.setdefault("saev.data", types.ModuleType("saev.data"))
+    sys.modules["saev.data.datasets"] = mod
+    try:
+        ref_enc = base64.b64encode(pickle.dumps(FakeImg(n_examples=3))).decode("utf8")
+    finally:
+        for name, prev in saved.items():
+            if prev is None:
+                sys.modules.pop(name, None)
+            else:
+                sys.modules[name] = prev
+    assert shards_mod.decode_dataset_cfg(ref_enc) == datasets.FakeImg(n_examples=3)
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, ("echo pwned",))
+
+    evil = base64.b64encode(pickle.dumps(Evil())).decode("utf8")
+    with pytest.raises(pickle.UnpicklingError, match="Blocked"):
+        shards_mod.decode_dataset_cfg(evil)

@@ -99,3 +99,39 @@ def test_add_highlights_matches_pil_oracle():
     assert got.shape == want.shape
     diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
     assert diff.max() <= 1, diff.max()
+
+
+def test_add_highlights_saturates_out_of_range():
+    """Activations above `upper` (or below 0) must saturate like the PIL draw
+    path, not wrap modulo 256: the hottest patch stays fully opaque."""
+    img = Image.new("RGB", (16, 8), (0, 0, 0))
+    patches = np.array([1.5, -0.5], dtype=np.float64)  # 1.5x upper; negative
+    out = np.asarray(viz.add_highlights(img, patches, 8, upper=1.0, opacity=1.0))
+    hot = out[:8, :8]  # patch 0: t clamps to 1 -> fully colormap-colored
+    cold = out[:8, 8:]  # patch 1: t clamps to 0 -> untouched black
+    want_hot = (viz.colormap(np.array([1.0]))[0, :3] * 255).round()
+    np.testing.assert_allclose(hot[..., :3].reshape(-1, 3)[0], want_hot, atol=1)
+    assert (cold[..., :3] == 0).all()
+
+
+def test_add_highlights_transparent_base():
+    """Source-over semantics on a transparent base (Image.alpha_composite
+    oracle): highlighted transparent regions become visible heat patches."""
+    from PIL import ImageDraw
+
+    rng = np.random.default_rng(5)
+    base = Image.new("RGBA", (16, 8), (10, 20, 30, 0))  # fully transparent
+    patches = np.array([0.8, 0.3])
+    got = np.asarray(viz.add_highlights(base, patches, 8, upper=1.0, opacity=0.9))
+
+    overlay = Image.new("RGBA", base.size, (0, 0, 0, 0))
+    draw = ImageDraw.Draw(overlay)
+    t = patches / (1.0 + 1e-9)
+    cols = (viz.colormap(t)[:, :3] * 255).astype(np.uint8)
+    for p in range(2):
+        draw.rectangle(
+            [(p * 8, 0), (p * 8 + 8, 8)], fill=(*cols[p], int(0.9 * t[p] * 255))
+        )
+    want = np.asarray(Image.alpha_composite(base, overlay))
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1, diff.max()
