@@ -30,6 +30,10 @@ Array = jax.Array
 # far above any dead_threshold_tokens in practice.
 _TOKS_CAP = np.int32(1 << 30)
 
+# Escape hatch for A/B validation (scripts/proto_fused_quality.py): False
+# forces the autodiff-through-decode training path everywhere.
+FUSED_ENABLED = True
+
 
 @dataclasses.dataclass(frozen=True)
 class Matryoshka:
@@ -223,7 +227,8 @@ def matryoshka_loss(
     # numerics). In the fused path `out.x_hats` carries only the FULL
     # reconstruction (stop-gradient), which is all the train step consumes.
     use_fused = (
-        training
+        FUSED_ENABLED
+        and training
         and prefixes is not None
         and prefixes.shape[0] > 1
         and sae_cfg.d_sae % min(1024, sae_cfg.d_sae) == 0
