@@ -112,3 +112,61 @@ def test_two_prefixes_same_group():
         np.testing.assert_allclose(
             np.asarray(base)[j], f32[:, :pj] @ w32[:pj], rtol=2e-2, atol=1e-3
         )
+
+
+@pytest.mark.parametrize(
+    "b,s,d,j,g",
+    [
+        (16, 64, 8, 3, 1024),    # d_sae < group -> g = d_sae
+        (32, 2048, 16, 5, 1024),
+        (8, 1024, 32, 1, 512),   # single prefix
+        (24, 3072, 8, 4, 1024),  # d_sae = 3 groups
+    ],
+)
+def test_prefix_mse_matches_decode_across_shapes(b, s, d, j, g):
+    """The fused op's XLA path (the same algebra the Pallas kernels implement)
+    must match autodiff-through-decode for loss AND gradients across layouts:
+    sub-group cuts, boundary cuts, single-group d_sae, single prefix."""
+    import jax
+
+    from saev_tpu.nn import modeling
+    from saev_tpu.ops import matryoshka as fused
+
+    rng = np.random.default_rng(b + s + j)
+    w = jnp.asarray(rng.normal(size=(s, d)) / np.sqrt(s), jnp.float32)
+    b_dec = jnp.asarray(rng.normal(size=(d,)) * 0.1, jnp.float32)
+    f = jnp.asarray(
+        rng.normal(size=(b, s)) * (rng.random((b, s)) < 0.1), jnp.float32
+    )
+    x = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+    if j == 1:
+        p = np.array([s], np.int32)
+    else:
+        p = np.sort(rng.choice(np.arange(1, s), size=j - 1, replace=False))
+        p = np.concatenate([p, [s]]).astype(np.int32)
+    pj = jnp.asarray(p)
+
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=d, d_sae=s, activation=modeling.Relu()
+    )
+
+    def fused_loss(w_, b_, f_):
+        loss, _ = fused.prefix_mse(w_, b_, f_, x, pj, g, None)
+        return loss
+
+    def decode_loss(w_, b_, f_):
+        params = {"W_dec": w_, "b_dec": b_, "W_enc": w_.T, "b_enc": jnp.zeros(s)}
+        xh = modeling.decode(cfg, params, f_, pj)
+        from saev_tpu.nn.objectives import scale_stabilized_mse
+
+        return scale_stabilized_mse(
+            xh, jnp.broadcast_to(x[:, None, :], xh.shape)
+        ).mean()
+
+    lf, gf = jax.value_and_grad(fused_loss, argnums=(0, 1, 2))(w, b_dec, f)
+    ld, gd = jax.value_and_grad(decode_loss, argnums=(0, 1, 2))(w, b_dec, f)
+    np.testing.assert_allclose(float(lf), float(ld), rtol=1e-5)
+    for a, bb in zip(gf, gd):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-6
+        )
