@@ -11,27 +11,42 @@ dataloader at ~3,500 patches/s on its cluster (BASELINE.md; reference
 docs/internal/archive/experiments/throughput.md:775-5004). `vs_baseline` is
 ours / 3500.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Before timing, the Pallas kernels are numerically checked against the XLA
+fallback on the live chip (scripts/check_tpu_kernels.py) and the verdict is
+embedded in the output as `kernel_parity` — a kernel regression cannot ship
+behind a green CPU suite and a plausible headline number.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline",
+"kernel_parity", "sweep"}. The sweep dict times the signature multi-SAE path
+(n_sae SAEs sharing one batch via the chunked vmap sweep axis; reference
+train.py:339-343) and reports ms/step and the per-SAE cost ratio vs n_sae=1.
+
+Usage: python bench.py [--n-sae N] [--no-sweep] [--no-kernel-check]
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 BASELINE_PATCHES_PER_S = 3500.0
 
+BATCH, D_MODEL, D_SAE = 16384, 1024, 16384
 
-def main():
+
+def build_state(n_sae: int, *, dead_frac: float = 0.05):
+    """Stacked sweep state at production shape with `dead_frac` of latents
+    pinned dead (encoder bias at -1e6 + saturated staleness counters) so every
+    timed step takes the AuxK-active steady-state path."""
     import jax
     import jax.numpy as jnp
 
     from saev_tpu.framework import train as train_mod
     from saev_tpu.nn import modeling, objectives
 
-    batch, d_model, d_sae, n_sae = 16384, 1024, 16384, 1
     sae_cfg = modeling.SparseAutoencoderConfig(
-        d_model=d_model, d_sae=d_sae, activation=modeling.TopK(top_k=32)
+        d_model=D_MODEL, d_sae=D_SAE, activation=modeling.TopK(top_k=32)
     )
     obj_cfg = objectives.Matryoshka(n_prefixes=10)
 
@@ -39,20 +54,16 @@ def main():
     inits = [modeling.init(sae_cfg, k) for k in keys]
     stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
     params = stack([p for p, _ in inits])
-    # Make 5% of latents genuinely dead (encoder bias pinned far negative so
-    # they can never win the top-k and reset their counters) so every timed
-    # step takes the AuxK-active path: the train step skips ALL AuxK work via
-    # lax.cond when nothing is dead (the reference's k_use == 0 early return),
-    # and the headline number should represent the steady state where dead
-    # latents exist, not the cheaper warm-up phase.
-    n_dead = d_sae // 20
-    b_enc = np.asarray(params["b_enc"]).copy()
-    b_enc[:, :n_dead] = -1e6
-    params = {**params, "b_enc": jnp.asarray(b_enc)}
+    n_dead = int(D_SAE * dead_frac)
+    if n_dead:
+        b_enc = np.asarray(params["b_enc"]).copy()
+        b_enc[:, :n_dead] = -1e6
+        params = {**params, "b_enc": jnp.asarray(b_enc)}
     obj_state = stack([objectives.init_state(sae_cfg) for _ in range(n_sae)])
-    toks = np.asarray(obj_state["toks_since_active"]).copy()
-    toks[:, :n_dead] = 1 << 30
-    obj_state = {**obj_state, "toks_since_active": jnp.asarray(toks)}
+    if n_dead:
+        toks = np.asarray(obj_state["toks_since_active"]).copy()
+        toks[:, :n_dead] = 1 << 30
+        obj_state = {**obj_state, "toks_since_active": jnp.asarray(toks)}
     ts = train_mod.SweepState(
         params=params,
         sae_state=stack([s for _, s in inits]),
@@ -68,37 +79,87 @@ def main():
         "aux_alpha": jnp.full((n_sae,), 1 / 32, jnp.float32),
         "momentum": jnp.zeros((n_sae,), jnp.float32),
     }
-    step_fn = train_mod.make_train_step(sae_cfg, obj_cfg, n_steps=6000, optim="adam")
-
     rng = np.random.default_rng(0)
     # A few distinct batches so the compiler can't fold the input.
     xs = [
-        jnp.asarray(rng.normal(size=(batch, d_model)).astype(np.float32))
+        jnp.asarray(rng.normal(size=(BATCH, D_MODEL)).astype(np.float32))
         for _ in range(4)
     ]
     prefixes = jnp.asarray(
-        np.stack([objectives.sample_prefixes(d_sae, 10, rng=rng) for _ in range(n_sae)])
+        np.stack([objectives.sample_prefixes(D_SAE, 10, rng=rng) for _ in range(n_sae)])
     )
+    return sae_cfg, obj_cfg, ts, hp, xs, prefixes
 
-    # Warmup / compile.
+
+def time_step(n_sae: int, *, n_iters: int = 20, sweep_vmap_width: int = 1):
+    """Seconds per step of the full train step for an n_sae sweep (timing via
+    the data-dependency chain through the carried state; NOTES.md gotchas)."""
+    import jax
+
+    from saev_tpu.framework import train as train_mod
+
+    sae_cfg, obj_cfg, ts, hp, xs, prefixes = build_state(n_sae)
+    step_fn = train_mod.make_train_step(
+        sae_cfg, obj_cfg, n_steps=6000, optim="adam",
+        sweep_vmap_width=sweep_vmap_width,
+    )
     for _ in range(3):
         ts, stats = step_fn(ts, xs[0], prefixes, hp)
     jax.block_until_ready(ts.params)
 
-    n_iters = 20
     t0 = time.perf_counter()
     for i in range(n_iters):
         ts, stats = step_fn(ts, xs[i % len(xs)], prefixes, hp)
     jax.block_until_ready(ts.params)
-    dt = time.perf_counter() - t0
+    return (time.perf_counter() - t0) / n_iters
 
-    patches_per_s = batch * n_iters / dt
+
+def main():
+    argv = sys.argv[1:]
+    n_sae = 1
+    if "--n-sae" in argv:
+        n_sae = int(argv[argv.index("--n-sae") + 1])
+    do_sweep = "--no-sweep" not in argv
+    do_kernel_check = "--no-kernel-check" not in argv
+
+    import jax
+
+    kernel_parity = "skipped"
+    if do_kernel_check and jax.default_backend() == "tpu":
+        sys.path.insert(0, "scripts")
+        from check_tpu_kernels import run_checks
+
+        result = run_checks(quick=True)
+        if result["ok"]:
+            kernel_parity = "ok"
+        else:
+            failed = [k for k, v in result.get("checks", {}).items() if not v["ok"]]
+            kernel_parity = "FAIL:" + ",".join(failed or [result.get("error", "?")])
+
+    dt1 = time_step(n_sae)
+    patches_per_s = BATCH * n_sae / dt1
+
+    sweep = {}
+    if do_sweep:
+        # The signature feature: N SAEs amortizing one batch. Per-SAE cost must
+        # stay ~flat as the sweep grows (chunked lax.map over the sweep axis).
+        base_ms = dt1 * 1e3 if n_sae == 1 else time_step(1) * 1e3
+        sweep["1"] = {"ms_per_step": round(base_ms, 1), "per_sae_vs_single": 1.0}
+        for n in (4,):
+            dt = time_step(n) * 1e3
+            sweep[str(n)] = {
+                "ms_per_step": round(dt, 1),
+                "per_sae_vs_single": round(dt / n / base_ms, 3),
+            }
+
     print(
         json.dumps({
             "metric": "sae_train_patches_per_sec_per_chip",
             "value": round(patches_per_s, 1),
             "unit": "patches/s",
             "vs_baseline": round(patches_per_s / BASELINE_PATCHES_PER_S, 2),
+            "kernel_parity": kernel_parity,
+            "sweep": sweep,
         })
     )
 

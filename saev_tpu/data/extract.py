@@ -17,7 +17,7 @@ import typing as tp
 import numpy as np
 from PIL import Image
 
-from .. import helpers
+from .. import guards, helpers
 from . import datasets, models, shards
 
 logger = logging.getLogger(__name__)
@@ -123,6 +123,13 @@ def worker_fn(
     Returns:
         Path to the shards directory.
     """
+    guards.positive("content_tokens_per_example", content_tokens_per_example)
+    guards.positive("d_model", d_model)
+    guards.positive("batch_size", batch_size)
+    guards.positive("max_tokens_per_shard", max_tokens_per_shard)
+    if not layers:
+        raise guards.GuardError("layers: expected at least one recorded layer")
+
     shards_root = pathlib.Path(shards_root)
     assert shards_root.name == "shards"
 

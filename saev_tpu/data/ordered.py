@@ -23,6 +23,7 @@ import typing as tp
 
 import numpy as np
 
+from .. import guards
 from . import shards
 
 
@@ -175,6 +176,8 @@ class DataLoader:
     """
 
     def __init__(self, cfg: Config):
+        guards.positive("batch_size", cfg.batch_size)
+        guards.positive("buffer_size", cfg.buffer_size)
         self.cfg = cfg
         self.logger = logging.getLogger("ordered.DataLoader")
 
@@ -279,6 +282,11 @@ class DataLoader:
                     continue
                 if item is _SENTINEL:
                     return
+                if yielded == 0:
+                    guards.check(
+                        "act", item["act"], ndim=2, last_dim=self.metadata.d_model,
+                        what="(batch, d_model) ordered activations",
+                    )
                 yielded += len(item["act"])
                 yield item
         finally:

@@ -26,7 +26,7 @@ import typing as tp
 
 import numpy as np
 
-from .. import helpers
+from .. import guards, helpers
 from . import _native, buffers, shards
 
 
@@ -379,6 +379,10 @@ class DataLoader:
         token_idx: np.ndarray
 
     def __init__(self, cfg: Config):
+        guards.positive("batch_size", cfg.batch_size)
+        guards.positive("n_threads", cfg.n_threads)
+        guards.positive("buffer_size", cfg.buffer_size)
+        guards.fraction("min_buffer_fill", cfg.min_buffer_fill)
         self.cfg = cfg
 
         self.manager_thread: threading.Thread | None = None
@@ -497,6 +501,11 @@ class DataLoader:
                     act, meta = self.reservoir.get(
                         need, timeout=self.cfg.batch_timeout_s
                     )
+                    if b == 0:
+                        guards.check(
+                            "act", act, ndim=2, last_dim=self.metadata.d_model,
+                            what="(batch, d_model) activations from the reservoir",
+                        )
                     n += need
                     b += 1
                     yield self.ExampleBatch(
@@ -521,6 +530,12 @@ class DataLoader:
                         )
 
                 if not self.manager_alive:
+                    # Prefer the remote traceback when a worker/manager pushed
+                    # one before dying (reference shuffled.py:516-549 raises the
+                    # crash cause, not just the liveness symptom).
+                    if self.err_queue is not None and not self.err_queue.empty():
+                        who, tb = self.err_queue.get_nowait()
+                        raise RuntimeError(f"{who} crashed:\n{tb}")
                     raise RuntimeError(
                         f"Manager thread died unexpectedly after {b}/{len(self)} "
                         f"batches."

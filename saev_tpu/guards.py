@@ -54,6 +54,24 @@ def _ctx(what: str) -> str:
     return f" ({what})" if what else ""
 
 
+def positive(name: str, value, *, what: str = "") -> None:
+    """Assert a config scalar is a positive integer, raising GuardError."""
+    if not isinstance(value, int) or isinstance(value, bool) or value < 1:
+        raise GuardError(
+            f"{name}: expected a positive integer{_ctx(what)}, got {value!r}"
+        )
+
+
+def fraction(name: str, value, *, what: str = "") -> None:
+    """Assert a config scalar lies in [0, 1], raising GuardError."""
+    try:
+        ok = 0.0 <= float(value) <= 1.0
+    except (TypeError, ValueError):
+        ok = False
+    if not ok:
+        raise GuardError(f"{name}: expected a value in [0, 1]{_ctx(what)}, got {value!r}")
+
+
 def _make_typed():
     if os.environ.get("SAEV_NO_TYPECHECK") == "1":
         return lambda fn: fn
@@ -63,12 +81,21 @@ def _make_typed():
     except ImportError:
         return lambda fn: fn
 
+    # typeguard 2.x raises plain TypeError, which jaxtyping re-wraps into its
+    # own TypeCheckError; typeguard >= 4 has a TypeCheckError of its own.
+    check_errors = (jaxtyping.TypeCheckError,) + (
+        (typeguard.TypeCheckError,) if hasattr(typeguard, "TypeCheckError") else ()
+    )
+
     def typed(fn):
         checked = jaxtyping.jaxtyped(typechecker=typeguard.typechecked)(fn)
 
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
-            return checked(*args, **kwargs)
+            try:
+                return checked(*args, **kwargs)
+            except check_errors as err:
+                raise GuardError(f"{fn.__qualname__}: {err}") from err
 
         return wrapper
 

@@ -28,6 +28,7 @@ import typing as tp
 
 import jax
 import jax.numpy as jnp
+from jaxtyping import Float
 
 from .. import guards
 
@@ -221,7 +222,10 @@ def _kth_largest(x: Array, k: int) -> Array:
     return jax.lax.top_k(x, k)[0][..., -1:]
 
 
-def topk_activation(h: Array, k: int, *, fast: bool = False) -> Array:
+@guards.typed
+def topk_activation(
+    h: Float[Array, "batch d_sae"], k: int, *, fast: bool = False
+) -> Float[Array, "batch d_sae"]:
     """Per-row TopK via threshold mask (reference TopKActivation, modeling.py:160).
 
     Keeps all entries >= the k-th largest per row; exact ties at the boundary may
@@ -240,7 +244,13 @@ def topk_activation(h: Array, k: int, *, fast: bool = False) -> Array:
     return jnp.where(h >= kth, h, jnp.zeros((), h.dtype))
 
 
-def batch_topk_train(h: Array, k: int, momentum: float, threshold: Array) -> tuple[Array, Array]:
+@guards.typed
+def batch_topk_train(
+    h: Float[Array, "batch d_sae"],
+    k: int,
+    momentum: Array | float,
+    threshold: Float[Array, ""],
+) -> tuple[Float[Array, "batch d_sae"], Float[Array, ""]]:
     """BatchTopK training mode (reference BatchTopKActivation, modeling.py:216-244).
 
     Flattens the batch, keeps the largest batch*k entries globally, and updates an
@@ -264,7 +274,10 @@ def batch_topk_train(h: Array, k: int, momentum: float, threshold: Array) -> tup
     return f, new_threshold
 
 
-def batch_topk_eval(h: Array, threshold: Array) -> Array:
+@guards.typed
+def batch_topk_eval(
+    h: Float[Array, "batch d_sae"], threshold: Float[Array, ""]
+) -> Float[Array, "batch d_sae"]:
     """JumpReLU with the learned threshold; plain ReLU when threshold <= 0
     (reference modeling.py:221-225)."""
     eff = jnp.maximum(threshold, jnp.zeros((), h.dtype))
