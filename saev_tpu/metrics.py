@@ -1,11 +1,36 @@
-"""Validated reconstruction metrics aggregated over one evaluation corpus.
+"""Validated reconstruction metrics for one evaluation corpus.
 
-Mirrors the reference's `src/saev/metrics.py:15-159`.
+Field names and the metrics.json artifact layout are pinned by the reference
+(`src/saev/metrics.py:15-159`) so runs are interchangeable; the implementation
+here is table-driven: every derived metric is a ratio of two primary fields,
+declared once in `_RATIOS`, and all cross-checks/serialization iterate that
+table instead of being spelled out per field.
 """
 
 import dataclasses
 import math
 from collections import abc
+
+# The spec: derived field -> (numerator, denominator), all names of primary
+# fields. `from_accumulators` computes these; `__post_init__` re-checks them.
+_RATIOS: dict[str, tuple[str, str]] = {
+    "mse_per_dim": ("sse_recon", "n_elements"),
+    "mse_per_token": ("sse_recon", "n_tokens"),
+    "normalized_mse": ("sse_recon", "sse_baseline"),
+    "baseline_mse_per_dim": ("sse_baseline", "n_elements"),
+    "baseline_mse_per_token": ("sse_baseline", "n_tokens"),
+}
+
+# Primary size/total fields and their admissibility predicates.
+_PRIMARY: dict[str, abc.Callable[[float], bool]] = {
+    "sse_recon": lambda v: v >= 0.0,
+    "sse_baseline": lambda v: v > 0.0,
+    "n_tokens": lambda v: v > 0,
+    "d_model": lambda v: v > 0,
+    "n_elements": lambda v: v > 0,
+}
+
+_INT_FIELDS = frozenset({"n_tokens", "d_model", "n_elements"})
 
 
 def close(a: float, b: float) -> bool:
@@ -16,15 +41,12 @@ def close(a: float, b: float) -> bool:
 class Metrics:
     """Validated reconstruction metrics.
 
-    Primary totals are `sse_recon` (SAE reconstruction SSE) and `sse_baseline`
-    (mean-baseline SSE). Derived terms:
-    - `normalized_mse = sse_recon / sse_baseline`
-    - `mse_per_dim = sse_recon / n_elements`
-    - `mse_per_token = sse_recon / n_tokens`
-    - `baseline_mse_per_dim = sse_baseline / n_elements`
-    - `baseline_mse_per_token = sse_baseline / n_tokens`
-
-    Size terms: `n_tokens`, `d_model`, `n_elements = n_tokens * d_model`.
+    Primary totals: `sse_recon` (SAE reconstruction SSE) and `sse_baseline`
+    (mean-baseline SSE). Sizes: `n_tokens`, `d_model`,
+    `n_elements = n_tokens * d_model`. Every other field is a `_RATIOS` entry
+    (e.g. `normalized_mse = sse_recon / sse_baseline`), and construction
+    re-derives and cross-checks each one, so a hand-edited or corrupted
+    metrics.json cannot load silently.
     """
 
     mse_per_dim: float
@@ -39,124 +61,66 @@ class Metrics:
     n_elements: int
 
     def __post_init__(self):
-        msg = f"n_tokens must be an int, got {type(self.n_tokens)}."
-        assert type(self.n_tokens) is int, msg
-        msg = f"d_model must be an int, got {type(self.d_model)}."
-        assert type(self.d_model) is int, msg
-        msg = f"n_elements must be an int, got {type(self.n_elements)}."
-        assert type(self.n_elements) is int, msg
-
-        msg = f"n_tokens must be positive, got {self.n_tokens}."
-        assert self.n_tokens > 0, msg
-        msg = f"d_model must be positive, got {self.d_model}."
-        assert self.d_model > 0, msg
-        expected_n_elements = self.n_tokens * self.d_model
-        msg = f"n_elements={self.n_elements} != n_tokens*d_model={expected_n_elements}."
-        assert self.n_elements == expected_n_elements, msg
-
-        msg = f"sse_recon must be >= 0, got {self.sse_recon}."
-        assert self.sse_recon >= 0.0, msg
-        msg = f"sse_baseline must be > 0, got {self.sse_baseline}."
-        assert self.sse_baseline > 0.0, msg
-
-        for field in dataclasses.fields(self):
-            value = getattr(self, field.name)
-            if not isinstance(value, int | float):
-                continue
-            msg = f"{field.name} must be finite, got {value}."
-            assert math.isfinite(value), msg
-
-        msg = (
-            f"mse_per_dim={self.mse_per_dim} is inconsistent with "
-            f"sse_recon/n_elements={self.sse_recon / self.n_elements}."
+        for name in _INT_FIELDS:
+            v = getattr(self, name)
+            assert type(v) is int, f"{name} must be an int, got {type(v)}."
+        for name, admissible in _PRIMARY.items():
+            v = getattr(self, name)
+            assert admissible(v), f"{name}={v} fails its admissibility bound."
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, int | float):
+                assert math.isfinite(v), f"{f.name} must be finite, got {v}."
+        assert self.n_elements == self.n_tokens * self.d_model, (
+            f"n_elements={self.n_elements} != n_tokens*d_model="
+            f"{self.n_tokens * self.d_model}."
         )
-        assert close(self.mse_per_dim, self.sse_recon / self.n_elements), msg
-        msg = (
-            f"mse_per_token={self.mse_per_token} is inconsistent with "
-            f"sse_recon/n_tokens={self.sse_recon / self.n_tokens}."
-        )
-        assert close(self.mse_per_token, self.sse_recon / self.n_tokens), msg
-        msg = (
-            f"baseline_mse_per_dim={self.baseline_mse_per_dim} is inconsistent with "
-            f"sse_baseline/n_elements={self.sse_baseline / self.n_elements}."
-        )
-        assert close(self.baseline_mse_per_dim, self.sse_baseline / self.n_elements), msg
-        msg = (
-            f"baseline_mse_per_token={self.baseline_mse_per_token} is inconsistent with "
-            f"sse_baseline/n_tokens={self.sse_baseline / self.n_tokens}."
-        )
-        assert close(
-            self.baseline_mse_per_token, self.sse_baseline / self.n_tokens
-        ), msg
-        msg = (
-            f"normalized_mse={self.normalized_mse} is inconsistent with "
-            f"sse_recon/sse_baseline={self.sse_recon / self.sse_baseline}."
-        )
-        assert close(self.normalized_mse, self.sse_recon / self.sse_baseline), msg
+        for name, (num, den) in _RATIOS.items():
+            got = getattr(self, name)
+            want = getattr(self, num) / getattr(self, den)
+            assert close(got, want), (
+                f"{name}={got} is inconsistent with {num}/{den}={want}."
+            )
 
     @classmethod
     def from_accumulators(
         cls, *, sse_recon: float, sse_baseline: float, n_tokens: int, d_model: int
     ) -> "Metrics":
-        """Construct metrics from aggregate sums and shape information."""
-        msg = f"n_tokens must be positive, got {n_tokens}."
-        assert n_tokens > 0, msg
-        msg = f"d_model must be positive, got {d_model}."
-        assert d_model > 0, msg
-        msg = f"sse_recon must be >= 0, got {sse_recon}."
-        assert sse_recon >= 0.0, msg
-        msg = f"sse_baseline must be > 0, got {sse_baseline}."
-        assert sse_baseline > 0.0, msg
-
-        n_elements = n_tokens * d_model
-        return cls(
-            mse_per_dim=sse_recon / n_elements,
-            mse_per_token=sse_recon / n_tokens,
-            normalized_mse=sse_recon / sse_baseline,
-            baseline_mse_per_dim=sse_baseline / n_elements,
-            baseline_mse_per_token=sse_baseline / n_tokens,
-            sse_recon=sse_recon,
-            sse_baseline=sse_baseline,
-            n_tokens=n_tokens,
-            d_model=d_model,
-            n_elements=n_elements,
-        )
+        """Derive the full record from aggregate sums + shape info."""
+        primary = {
+            "sse_recon": sse_recon,
+            "sse_baseline": sse_baseline,
+            "n_tokens": n_tokens,
+            "d_model": d_model,
+            "n_elements": n_tokens * d_model,
+        }
+        for name, admissible in _PRIMARY.items():
+            assert admissible(primary[name]), (
+                f"{name}={primary[name]} fails its admissibility bound."
+            )
+        derived = {
+            name: primary[num] / primary[den] for name, (num, den) in _RATIOS.items()
+        }
+        return cls(**primary, **derived)
 
     @classmethod
     def from_dict(cls, dct: abc.Mapping[str, object]) -> "Metrics":
+        """Strict parse of a metrics.json mapping (bools rejected; ints stay
+        ints, everything else coerces to float)."""
         values: dict[str, int | float] = {}
-        for field in dataclasses.fields(cls):
-            key = field.name
-            field_type = field.type if not isinstance(field.type, str) else (
-                int if field.type == "int" else float
-            )
-            if field_type is int:
-                values[key] = cls._get_int(dct, key)
-                continue
-            msg = f"{key} has unsupported type {field.type}; expected int or float."
-            assert field_type is float, msg
-            values[key] = cls._get_float(dct, key)
+        for f in dataclasses.fields(cls):
+            assert f.name in dct, f"Missing metric key: {f.name}."
+            v = dct[f.name]
+            assert not isinstance(v, bool), f"{f.name} must be numeric, got bool."
+            if f.name in _INT_FIELDS:
+                assert isinstance(v, int), f"{f.name} must be int, got {type(v)}."
+                values[f.name] = v
+            else:
+                assert isinstance(v, int | float), (
+                    f"{f.name} must be int/float, got {type(v)}."
+                )
+                values[f.name] = float(v)
         return cls(**values)  # type: ignore[arg-type]
 
     def to_dict(self) -> dict[str, float | int]:
         return dataclasses.asdict(self)
-
-    @staticmethod
-    def _get_float(dct: abc.Mapping[str, object], key: str) -> float:
-        msg = f"Missing metric key: {key}."
-        assert key in dct, msg
-        value = dct[key]
-        msg = f"{key} must be int/float, got {type(value)}."
-        assert not isinstance(value, bool), msg
-        assert isinstance(value, int | float), msg
-        return float(value)
-
-    @staticmethod
-    def _get_int(dct: abc.Mapping[str, object], key: str) -> int:
-        msg = f"Missing metric key: {key}."
-        assert key in dct, msg
-        value = dct[key]
-        msg = f"{key} must be int, got {type(value)}."
-        assert not isinstance(value, bool), msg
-        assert isinstance(value, int), msg
-        return value

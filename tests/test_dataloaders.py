@@ -202,6 +202,24 @@ class TestIndexed:
         ex = ds[5]
         assert "token_label" in ex
 
+    def test_take_matches_getitem(self, shards_dir):
+        ds = indexed.Dataset(indexed.Config(shards=shards_dir, layer=1))
+        idxs = np.array([159, 0, 17, 100, 5, 17])  # unordered, with a repeat
+        batch = ds.take(idxs)
+        assert batch["act"].shape == (len(idxs), ds.d_model)
+        for row, i in enumerate(idxs):
+            ex = ds[int(i)]
+            np.testing.assert_array_equal(batch["act"][row], ex["act"])
+            assert batch["example_idx"][row] == ex["example_idx"]
+            assert batch["token_idx"][row] == ex["token_idx"]
+
+    def test_take_token_labels(self, tmp_path):
+        seg_dir = conftest.write_shards(tmp_path, n_examples=4, seg=True)
+        ds = indexed.Dataset(indexed.Config(shards=seg_dir, layer=0))
+        batch = ds.take(np.arange(8))
+        assert "token_label" in batch
+        assert batch["token_label"].shape == (8,)
+
 
 def test_make_ordered_config(shards_dir):
     from saev_tpu import data
