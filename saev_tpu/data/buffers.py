@@ -125,39 +125,75 @@ class ReservoirBuffer:
     def qsize(self) -> int:
         return self._n
 
+    def reserve(self, n: int, timeout: float | None = None) -> np.ndarray:
+        """Claim up to `n` free slot ids (at least 1) for a direct producer
+        write. Reserved slots are neither free nor live — the same in-flight
+        convention `get` uses — so the producer can fill `self.acts[ids]` /
+        `self.meta[...][ids]` WITHOUT holding the lock (typically straight from
+        a shard mmap: one page-cache→pool copy instead of two), then `commit`.
+        On error, `cancel` returns the slots to the free pool."""
+        assert n >= 1
+        with self._not_full:
+            if not self._not_full.wait_for(
+                lambda: self._n_free > 0 or self._closed, timeout=timeout
+            ):
+                raise TimeoutError("ReservoirBuffer.reserve timed out")
+            if self._closed:
+                raise BufferClosed("ReservoirBuffer is closed")
+            fit = min(self._n_free, n)
+            slot_ids = self._free[self._n_free - fit : self._n_free].copy()
+            self._n_free -= fit
+        # Ascending slots improve scatter-write locality; row order within the
+        # pool is irrelevant (sampling is uniform).
+        slot_ids.sort()
+        return slot_ids
+
+    def commit(self, slot_ids: np.ndarray) -> None:
+        """Publish reserved-and-filled slots to consumers."""
+        n = len(slot_ids)
+        with self._not_empty:
+            if self._closed:
+                raise BufferClosed("ReservoirBuffer is closed")
+            self._live[self._n : self._n + n] = slot_ids
+            self._n += n
+            self._not_empty.notify_all()
+
+    def cancel(self, slot_ids: np.ndarray) -> None:
+        """Return reserved slots to the free pool without publishing them."""
+        n = len(slot_ids)
+        with self._not_full:
+            self._free[self._n_free : self._n_free + n] = slot_ids
+            self._n_free += n
+            self._not_full.notify_all()
+
     def put(
         self,
         acts: np.ndarray,
         meta: dict[str, np.ndarray],
         timeout: float | None = None,
     ) -> None:
-        """Blocking append of a batch of rows; splits the batch if it doesn't fit."""
+        """Blocking append of a batch of rows; splits the batch if it doesn't
+        fit. Built on reserve/commit, so the row copies run outside the lock."""
         n = len(acts)
         assert all(len(v) == n for v in meta.values())
         start = 0
         deadline = None if timeout is None else _Deadline(timeout)
         while start < n:
-            with self._not_full:
-                remaining = None if deadline is None else deadline.remaining()
-                if not self._not_full.wait_for(
-                    lambda: self._n_free > 0 or self._closed, timeout=remaining
-                ):
-                    raise TimeoutError("ReservoirBuffer.put timed out")
-                if self._closed:
-                    raise BufferClosed("ReservoirBuffer is closed")
-                fit = min(self._n_free, n - start)
-                slot_ids = self._free[self._n_free - fit : self._n_free].copy()
-                # Ascending slots improve scatter-write locality; row order
-                # within the pool is irrelevant (sampling is uniform).
-                slot_ids.sort()
+            remaining = None if deadline is None else deadline.remaining()
+            try:
+                slot_ids = self.reserve(n - start, timeout=remaining)
+            except TimeoutError:
+                raise TimeoutError("ReservoirBuffer.put timed out") from None
+            try:
+                fit = len(slot_ids)
                 self.acts[slot_ids] = acts[start : start + fit]
                 for name, col in self.meta.items():
                     col[slot_ids] = meta[name][start : start + fit]
-                self._live[self._n : self._n + fit] = slot_ids
-                self._n += fit
-                self._n_free -= fit
-                start += fit
-                self._not_empty.notify_all()
+            except BaseException:
+                self.cancel(slot_ids)
+                raise
+            self.commit(slot_ids)
+            start += fit
 
     def get(
         self, n: int, timeout: float | None = None

@@ -213,15 +213,14 @@ def _io_worker(
                         valid = np.where(mask)[0]
                         if len(valid) == 0:
                             continue
-                        t0 = time.perf_counter()
-                        acts = np.array(mmap[start + valid, layer_i, token_idx])
-                        t1 = time.perf_counter()
+                        # Fancy indexing already materializes a copy here.
+                        rows = mmap[start + valid, layer_i, token_idx]
                         example_idx = ex_i_offset + start + valid
                         token_col = np.full(len(valid), t, dtype=np.int64)
                     else:
-                        t0 = time.perf_counter()
-                        acts = np.array(mmap[start:end, layer_i, token_idx])
-                        t1 = time.perf_counter()
+                        # Strided VIEW into the mmap: the only copy happens
+                        # below, page cache -> reserved pool slots.
+                        rows = mmap[start:end, layer_i, token_idx]
                         example_idx = np.arange(
                             ex_i_offset + start, ex_i_offset + end, dtype=np.int64
                         )
@@ -234,13 +233,31 @@ def _io_worker(
                         raise err
 
                     fill_before = reservoir.fill()
-                    reservoir.put(
-                        acts, {"example_idx": example_idx, "token_idx": token_col}
-                    )
-                    t2 = time.perf_counter()
+                    t0 = time.perf_counter()
+                    # reserve/fill/commit: rows land in the reservoir with ONE
+                    # memcpy (page cache -> pool), outside the buffer lock —
+                    # the 1-core ceiling is memcpy-bound (docs/performance.md).
+                    total, done = len(example_idx), 0
+                    while done < total:
+                        slot_ids = reservoir.reserve(total - done)
+                        fit = len(slot_ids)
+                        try:
+                            reservoir.acts[slot_ids] = rows[done : done + fit]
+                            reservoir.meta["example_idx"][slot_ids] = example_idx[
+                                done : done + fit
+                            ]
+                            reservoir.meta["token_idx"][slot_ids] = token_col[
+                                done : done + fit
+                            ]
+                        except BaseException:
+                            reservoir.cancel(slot_ids)
+                            raise
+                        reservoir.commit(slot_ids)
+                        done += fit
+                    t1 = t2 = time.perf_counter()
 
                     n_reads += 1
-                    bytes_sent += acts.nbytes + example_idx.nbytes + token_col.nbytes
+                    bytes_sent += rows.nbytes + example_idx.nbytes + token_col.nbytes
 
                     now = time.time()
                     if cfg.debug and now - t_last_report >= cfg.log_every_s:

@@ -1,0 +1,139 @@
+"""Loader-only thread-scaling benchmark for the shuffled dataloader.
+
+Measures consumer-side MB/s of `saev_tpu.data.shuffled.DataLoader` at
+n_threads ∈ {1, 2, 4} over a generated shard set (production row width:
+d_model=1024 f32 = 4 KB/row). The manager normally caps I/O threads at the
+core count (measured round 2: oversubscribed threads ping-pong the GIL/locks);
+`--uncap` lifts the cap so the contention itself is measured and recorded.
+
+Shards are written immediately before reading, so on this host the data is
+page-cache-resident: the number measured is the loader's CPU path (mmap fault
++ gather + reservoir accounting + batch assembly), i.e. the ceiling the loader
+imposes when disk is not the bottleneck — the quantity that decides whether
+one host core can feed a 63 ms/step chip (~1.04 GB/s).
+
+Usage: python scripts/bench_loader_threads.py [--gb 1.0] [--uncap]
+Writes docs/bench_loader_threads.json and prints a markdown table.
+"""
+
+import json
+import os
+import pathlib
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+D_MODEL = 1024
+TOKENS = 256
+
+
+def write_shards(root: pathlib.Path, total_gb: float) -> pathlib.Path:
+    from saev_tpu.data import datasets, shards
+
+    bytes_per_example = TOKENS * D_MODEL * 4
+    n_examples = int(total_gb * 1e9 / bytes_per_example)
+    data = datasets.FakeImg(n_examples=n_examples)
+    md = shards.Metadata(
+        family="fake-clip",
+        ckpt="bench",
+        layers=(0,),
+        content_tokens_per_example=TOKENS,
+        cls_token=False,
+        d_model=D_MODEL,
+        n_examples=n_examples,
+        max_tokens_per_shard=TOKENS * 1024,  # ~1 GB shards
+        data=shards.encode_dataset_cfg(data),
+        dataset=data.root,
+    )
+    md.dump(root)
+    rng = np.random.default_rng(0)
+    with shards.ShardWriter(root, md) as w:
+        chunk = 64
+        for start in range(0, n_examples, chunk):
+            n = min(chunk, n_examples - start)
+            acts = rng.normal(size=(n, 1, TOKENS, D_MODEL)).astype(np.float32)
+            w.write_batch(acts, start)
+    return root / md.hash
+
+
+def measure(shards_dir: pathlib.Path, n_threads: int, uncap: bool) -> dict:
+    from saev_tpu.data import shuffled
+
+    if uncap:
+        real = os.cpu_count
+        os.cpu_count = lambda: max(n_threads, real() or 1)  # type: ignore[assignment]
+    try:
+        cfg = shuffled.Config(
+            shards=shards_dir,
+            layer=0,
+            batch_size=16384,
+            n_threads=n_threads,
+            buffer_size=16,
+            seed=3,
+        )
+        dl = shuffled.DataLoader(cfg)
+        t0 = time.perf_counter()
+        rows = 0
+        for batch in dl:
+            rows += len(batch["act"])
+        dt = time.perf_counter() - t0
+    finally:
+        if uncap:
+            os.cpu_count = real  # type: ignore[assignment]
+    mb = rows * D_MODEL * 4 / 1e6
+    return {
+        "n_threads": n_threads,
+        "mb_per_s": round(mb / dt, 1),
+        "patches_per_s": round(rows / dt, 0),
+        "seconds": round(dt, 2),
+        "rows": rows,
+    }
+
+
+def main():
+    total_gb = float(sys.argv[sys.argv.index("--gb") + 1]) if "--gb" in sys.argv else 1.0
+    uncap = "--uncap" in sys.argv
+
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="loaderbench_"))
+    shards_root = tmp / "saev" / "shards"
+    shards_root.mkdir(parents=True)
+    print(f"writing {total_gb:.1f} GB of shards to {shards_root} ...", flush=True)
+    shards_dir = write_shards(shards_root, total_gb)
+
+    trials = (
+        int(sys.argv[sys.argv.index("--trials") + 1]) if "--trials" in sys.argv else 3
+    )
+    rows = []
+    for n in (1, 2, 4):
+        best = None
+        for _ in range(trials):
+            r = measure(shards_dir, n, uncap)
+            if best is None or r["mb_per_s"] > best["mb_per_s"]:
+                best = r
+        best["capped"] = not uncap and n > (os.cpu_count() or 1)
+        best["trials"] = trials
+        rows.append(best)
+        print(json.dumps(best), flush=True)
+
+    out = pathlib.Path(__file__).resolve().parent.parent / "docs"
+    out.mkdir(exist_ok=True)
+    (out / "bench_loader_threads.json").write_text(
+        json.dumps({"cores": os.cpu_count(), "uncap": uncap, "rows": rows}, indent=2)
+    )
+    print(f"\ncores={os.cpu_count()} uncap={uncap}")
+    print("| threads | MB/s | patches/s |")
+    print("|---|---|---|")
+    for r in rows:
+        print(f"| {r['n_threads']} | {r['mb_per_s']} | {r['patches_per_s']:.0f} |")
+
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

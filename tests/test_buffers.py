@@ -171,3 +171,67 @@ class TestReservoirBuffer:
         for t in ps + cs:
             t.join(timeout=30.0)
         assert sorted(seen) == list(range(2 * n_per))
+
+
+class TestReserveCommit:
+    """The direct-write producer API (reserve -> fill slots -> commit)."""
+
+    def test_reserved_rows_invisible_until_commit(self):
+        rv = buffers.ReservoirBuffer(8, 2, seed=0)
+        ids = rv.reserve(4)
+        assert len(ids) == 4
+        assert rv.qsize() == 0  # reserved but unpublished
+        rv.acts[ids] = np.arange(8, dtype=np.float32).reshape(4, 2)
+        rv.meta["example_idx"][ids] = np.arange(4)
+        rv.meta["token_idx"][ids] = 0
+        rv.commit(ids)
+        assert rv.qsize() == 4
+        acts, meta = rv.get(4, timeout=1.0)
+        assert sorted(meta["example_idx"].tolist()) == [0, 1, 2, 3]
+
+    def test_reserve_partial_when_nearly_full(self):
+        rv = buffers.ReservoirBuffer(4, 1, seed=0)
+        a = rv.reserve(3)
+        b = rv.reserve(10)  # only 1 slot left; must return it, not block
+        assert len(a) == 3 and len(b) == 1
+        assert set(a.tolist()).isdisjoint(b.tolist())
+
+    def test_reserve_blocks_until_slots_free(self):
+        rv = buffers.ReservoirBuffer(2, 1, seed=0)
+        ids = rv.reserve(2)
+        with pytest.raises(TimeoutError):
+            rv.reserve(1, timeout=0.1)
+        rv.cancel(ids)
+        assert len(rv.reserve(1, timeout=0.1)) == 1
+
+    def test_cancel_returns_slots_without_publishing(self):
+        rv = buffers.ReservoirBuffer(4, 1, seed=0)
+        ids = rv.reserve(4)
+        rv.cancel(ids)
+        assert rv.qsize() == 0
+        # All four slots usable again.
+        ids2 = rv.reserve(4)
+        assert sorted(ids2.tolist()) == sorted(ids.tolist())
+
+    def test_commit_on_closed_raises(self):
+        rv = buffers.ReservoirBuffer(2, 1, seed=0)
+        ids = rv.reserve(1)
+        rv.close()
+        with pytest.raises(buffers.BufferClosed):
+            rv.commit(ids)
+
+    def test_interleaved_with_get(self):
+        rv = buffers.ReservoirBuffer(8, 1, seed=0)
+        rv.put(
+            np.ones((4, 1), np.float32),
+            {"example_idx": np.arange(4), "token_idx": np.zeros(4, np.int64)},
+        )
+        ids = rv.reserve(2)  # in-flight reservation
+        acts, meta = rv.get(4, timeout=1.0)  # live rows unaffected
+        assert len(acts) == 4
+        rv.acts[ids] = 7.0
+        rv.meta["example_idx"][ids] = [10, 11]
+        rv.meta["token_idx"][ids] = 0
+        rv.commit(ids)
+        _, meta2 = rv.get(2, timeout=1.0)
+        assert sorted(meta2["example_idx"].tolist()) == [10, 11]
