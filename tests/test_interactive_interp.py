@@ -86,3 +86,97 @@ def test_semprobe_scoring(tmp_path):
     assert 0.0 <= results["stripes"]["best_f1"] <= 1.0
     assert len(results["stripes"]["top_latents"]) == 5
     assert (tmp_path / "semprobe" / "semprobe_scores.json").exists()
+
+
+def test_semseg_interactive_app(tmp_path):
+    """The intervention explorer: generate the single-file app over fake seg
+    shards + a trained probe + an SAE, then verify the payload's exact-logit
+    construction (head linearity) against a direct recompute."""
+    import json
+    import re
+
+    import jax
+
+    from saev_tpu import nn
+    from saev_tpu.data import OrderedConfig
+    from saev_tpu.nn import modeling
+    from semseg import interactive, training
+
+    shards_dir = helpers.write_shards(tmp_path, n_examples=12, layers=(0,), seg=True)
+
+    head_cfg = training.Train(
+        shards=shards_dir, layer=0, n_classes=8, learning_rate=1e-2,
+        n_train=1024, batch_size=128, seed=1, ckpt_path=tmp_path / "head",
+    )
+    params_head = training.train([head_cfg])
+    training.dump(head_cfg.ckpt_path, [head_cfg], params_head)
+
+    from saev_tpu.data import Metadata
+
+    md = Metadata.load(shards_dir)
+    sae_cfg = modeling.SparseAutoencoderConfig(
+        d_model=md.d_model, d_sae=64,
+        activation=modeling.TopK(top_k=4),
+    )
+    params, state = modeling.init(sae_cfg, jax.random.key(0))
+    ckpt = tmp_path / "sae.pt"
+    nn.dump(ckpt, sae_cfg, params, state)
+
+    out = interactive.worker_fn(interactive.Config(
+        sae_ckpt=ckpt,
+        head_ckpt=head_cfg.ckpt_path,
+        acts=OrderedConfig(shards=shards_dir, layer=0, batch_size=64),
+        n_classes=8,
+        n_examples=4,
+        n_features=2,
+        n_random=1,
+        sparsity_max=1.1,  # untrained SAE: latents aren't sparse yet
+        out=tmp_path / "app.html",
+    ))
+    html_doc = out.read_text()
+    payload = json.loads(re.search(r"const D = (\{.*?\});\n", html_doc, re.S).group(1))
+
+    assert len(payload["examples"]) == 4
+    assert payload["gw"] * payload["gh"] == md.content_tokens_per_example
+    assert payload["perClass"], "no classes got feature proposals"
+    assert len(payload["candidates"]) == len(payload["maxObs"])
+    assert len(payload["directions"]) == len(payload["candidates"])
+
+    # Exactness of the linear-shift trick: replacing candidate latent j with
+    # value v must shift logits by (v - f_x) * direction, matching a direct
+    # recompute through decode + head.
+    import numpy as np
+
+    ex = payload["examples"][0]
+    j = 0
+    latent = payload["candidates"][j]
+    v = 0.7 * payload["maxObs"][j]
+    base = np.asarray(ex["logits"])  # (P, C)
+    fx = np.asarray(ex["fx"])[:, j]  # (P,)
+    dirs = np.asarray(payload["directions"][j])  # (C,)
+    shifted = base + (v - fx)[:, None] * dirs[None, :]
+
+    # Direct recompute: err + modified decode -> head.
+    import jax.numpy as jnp
+
+    from saev_tpu.data import IndexedConfig, IndexedDataset
+
+    ds = IndexedDataset(IndexedConfig(shards=shards_dir, layer=0))
+    p = md.content_tokens_per_example
+    acts = ds.take(np.arange(p))["act"]
+    head = training.load(head_cfg.ckpt_path)
+    w_h, b_h = np.asarray(head["w"][0]), np.asarray(head["b"][0])
+    enc, _ = modeling.encode(sae_cfg, params, state, jnp.asarray(acts), training=False)
+    f_full = np.asarray(enc.f_x)
+    xhat = np.asarray(modeling.decode(sae_cfg, params, enc.f_x))[:, -1, :]
+    err = acts - xhat
+    f_mod = f_full.copy()
+    f_mod[:, latent] = v
+    w_dec = np.asarray(params["W_dec"])
+    b_dec = np.asarray(params["b_dec"])
+    modified_acts = err + f_mod @ w_dec + b_dec
+    want = modified_acts @ w_h + b_h
+    np.testing.assert_allclose(shifted, want, rtol=1e-3, atol=2e-2)
+
+    for needle in ("Random Example", "interpolated", "slider", "cvMod"):
+        assert needle in html_doc, needle
