@@ -51,6 +51,10 @@ class Config:
     """Log10 value range for which to save images."""
     latents: tuple[int, ...] = ()
     """Latents to always include, no matter what."""
+    n_distributions: int = 25
+    """Number of latents to plot activation distributions for."""
+    save_distributions: bool = True
+    """Whether to render the activation-distribution grid figure."""
     n_latents: int = 400
     """Number of latents to save images for."""
     top_k: int = 20
@@ -188,18 +192,69 @@ def worker_fn(cfg: Config) -> None:
             if cfg.ignore_labels and example.seg is not None:
                 seg_np = np.asarray(example.seg)
                 display = np.where(np.isin(seg_np, cfg.ignore_labels), 0.0, display)
-            highlighted = saev_tpu.viz.add_highlights(
-                example.img, display.astype(np.float64), patch_size,
-                upper=max(upper, 1e-9),
-            )
-            highlighted.save(feature_dir / f"{j}_{example.idx}.png")
+            display = display.astype(np.float64)
+
+            # Reference file layout (visuals.py:337-364): original, highlighted
+            # original, flat segmentation, highlighted segmentation.
+            example.img.save(feature_dir / f"{j}_img.png")
+            saev_tpu.viz.add_highlights(
+                example.img, display, patch_size, upper=max(upper, 1e-9)
+            ).save(feature_dir / f"{j}_sae_img.png")
 
             if cfg.save_seg and example.seg is not None and palette is not None:
                 seg_np = np.asarray(example.seg)
                 seg_img = _render_seg(seg_np, palette, patch_size, example.img.size)
-                seg_img.save(feature_dir / f"{j}_{example.idx}_seg.png")
+                seg_img.save(feature_dir / f"{j}_seg.png")
+                saev_tpu.viz.add_highlights(
+                    seg_img, display, patch_size, upper=max(upper, 1e-9)
+                ).save(feature_dir / f"{j}_sae_seg.png")
 
     logger.info("Saved images for %d features.", len(features))
+
+    if cfg.save_distributions:
+        try:
+            distributions = _load_pt(art / "distributions.pt")
+        except FileNotFoundError:
+            logger.info("No distributions.pt; skipping distribution figure.")
+            return
+        fig = plot_activation_distributions(cfg, distributions)
+        fig_fpath = art / f"{cfg.n_distributions}_activation_distributions.png"
+        fig.savefig(fig_fpath, dpi=150)
+        logger.info("Saved activation distributions to '%s'.", fig_fpath)
+
+
+def plot_activation_distributions(cfg: Config, distributions: np.ndarray):
+    """Log-log histogram grid of per-latent activation distributions
+    (reference plot_activation_distributions, visuals.py:98-149)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    m = min(cfg.n_distributions, distributions.shape[0])
+    n_cols = int(np.ceil(np.sqrt(m)))
+    n_rows = int(np.ceil(m / n_cols))
+    fig, axes = plt.subplots(
+        n_rows, n_cols, figsize=(2.2 * n_cols, 1.8 * n_rows), squeeze=False
+    )
+    for i in range(n_rows * n_cols):
+        ax = axes[i // n_cols][i % n_cols]
+        if i >= m:
+            ax.axis("off")
+            continue
+        vals = np.asarray(distributions[i], dtype=np.float64)
+        vals = vals[vals > 0]
+        if vals.size:
+            bins = np.logspace(
+                np.log10(max(vals.min(), 1e-9)), np.log10(vals.max() + 1e-9), 20
+            )
+            ax.hist(vals, bins=bins, color="#1f78b4")
+            ax.set_xscale("log")
+            ax.set_yscale("log")
+        ax.set_title(f"latent {i}", fontsize=6)
+        ax.tick_params(labelsize=5)
+    fig.tight_layout()
+    return fig
 
 
 def _render_seg(

@@ -351,7 +351,12 @@ class ImgSegFolderDataset(_Dataset):
         img_dir = cfg.root / "images" / cfg.split
         self.img_fpaths = _walk_images(img_dir) if img_dir.is_dir() else []
 
+        # All CSV columns are kept: multi-column CSVs define several image-level
+        # label spaces at once (e.g. FishVista habitat/diet columns; reference
+        # datasets.py:419-422 models this as a per-sample labels dict).
         self.labels: dict[str, str] = {}
+        self.label_cols: list[str] = []
+        self.sample_labels: dict[str, dict[str, str]] = {}
         labels_fpath = cfg.root / cfg.labels_csv
         if labels_fpath.exists():
             with open(labels_fpath, newline="") as fd:
@@ -360,8 +365,13 @@ class ImgSegFolderDataset(_Dataset):
                 assert header and header[0] == "stem", (
                     f"First column of {labels_fpath} must be 'stem'."
                 )
+                self.label_cols = list(header[1:])
                 for row in reader:
                     self.labels[row[0]] = row[1] if len(row) > 1 else ""
+                    self.sample_labels[row[0]] = {
+                        col: (row[k + 1] if k + 1 < len(row) else "")
+                        for k, col in enumerate(self.label_cols)
+                    }
 
     def __len__(self) -> int:
         return len(self.img_fpaths)
