@@ -114,6 +114,21 @@ def worker_fn(cfg: Config) -> None:
 
     with np.errstate(divide="ignore"):
         lf, lv = np.log10(sparsity), np.log10(mean_values)
+
+    # Per-latent stats table (reference birdsong/visuals.py:121-130), shared
+    # with the gallery/html tooling.
+    try:
+        import pandas as pd
+
+        pd.DataFrame({
+            "feature": np.arange(d_sae),
+            "log10_freq": lf,
+            "log10_value": lv,
+            "topk_example_idx": list(topk_example_idx),
+        }).to_parquet(art / "var.parquet")
+        logger.info("Saved var.parquet with %d rows.", d_sae)
+    except ImportError:
+        logger.info("pandas unavailable; skipping var.parquet.")
     band = (
         (cfg.log_freq_range[0] < lf) & (lf < cfg.log_freq_range[1])
         & (cfg.log_value_range[0] < lv) & (lv < cfg.log_value_range[1])
@@ -152,13 +167,21 @@ def worker_fn(cfg: Config) -> None:
                 feature_dir / f"{j}_sae_spectrogram.png"
             )
             patches = acts_p > cfg.act_threshold
-            if patches.any():
-                time_clip = bird_mae.filter_audio(waveform, sr, patches, mode="time")
-                write_wav(feature_dir / f"{j}_time_clip.wav", time_clip, sr)
-                tf_clip = bird_mae.filter_audio(
-                    waveform, sr, patches, mode="time+freq"
+            for mode, name in (("time", "time_clip"), ("time+freq", "time_freq_clip")):
+                clip = (
+                    bird_mae.filter_audio(waveform, sr, patches, mode=mode)
+                    if patches.any()
+                    else np.zeros(0, np.float32)
                 )
-                write_wav(feature_dir / f"{j}_time_freq_clip.wav", tf_clip, sr)
+                if clip.size == 0:
+                    # Reference writes an audible placeholder instead of
+                    # dropping the file (birdsong/visuals.py:305-333), so the
+                    # browser's per-example layout stays aligned.
+                    logger.warning(
+                        "Empty %s for latent %d example %d.", name, f, example_idx
+                    )
+                    clip = np.zeros(1, np.float32)
+                write_wav(feature_dir / f"{j}_{name}.wav", clip, sr)
             j += 1
 
     logger.info("Saved clips for %d latents under %s.", len(features), art / "clips")

@@ -63,3 +63,122 @@ def test_clip_pipeline_from_waveform(tmp_path):
     assert (tmp_path / "clip.wav").exists()
     visuals.sae_spectrogram_image(fb, acts).save(tmp_path / "spec.png")
     assert (tmp_path / "spec.png").exists()
+
+
+class TestStats:
+    """birdsong.stats: the birdset activation-distribution study."""
+
+    def test_outlier_dims_finds_planted_channel(self):
+        from birdsong import stats
+
+        rng = np.random.default_rng(0)
+        acts = rng.normal(size=(2000, 64)).astype(np.float32)
+        acts[:, 17] *= 80.0  # the d_bad channel
+        s = stats.compute_stats(acts)
+        flagged = stats.outlier_dims(s)
+        assert flagged, "planted outlier channel not found"
+        assert flagged[0]["dim"] == 17
+        assert flagged[0]["robust_z"] > 6.0
+
+    def test_no_outliers_on_iid_gaussian(self):
+        from birdsong import stats
+
+        rng = np.random.default_rng(1)
+        s = stats.compute_stats(rng.normal(size=(2000, 64)))
+        assert [d["dim"] for d in stats.outlier_dims(s)] == []
+
+    def test_report_over_fake_shards(self, tmp_path):
+        from birdsong import stats
+        from conftest import _Helpers as helpers
+
+        audio = helpers.write_shards(tmp_path / "a", n_examples=8, layers=(0,))
+        img = helpers.write_shards(tmp_path / "b", n_examples=8, layers=(0,))
+        out = tmp_path / "report.json"
+        result = stats.report(
+            {"audio": (audio, 0), "image": (img, 0)}, n=64, out=out
+        )
+        assert out.exists()
+        assert set(result["per_set"]) == {"audio", "image"}
+        assert "audio_vs_image" in result["comparisons"]
+        cmp = result["comparisons"]["audio_vs_image"]
+        assert cmp["norm_ratio"] > 0
+        for name in ("audio", "image"):
+            per = result["per_set"][name]
+            assert per["n_sampled"] == 64
+            assert sum(per["norm_histogram"]["counts"]) == 64
+
+
+def _fake_clips_dir(tmp_path):
+    """Run dir + clips artifacts shaped like birdsong.visuals output."""
+    import json
+
+    from PIL import Image
+
+    from conftest import _Helpers as helpers
+    from saev_tpu import disk
+    from saev_tpu.data import Metadata
+
+    shards_dir = helpers.write_shards(tmp_path, n_examples=4, layers=(0,))
+    md = Metadata.load(shards_dir)
+    runs_root = helpers.tmp_runs_root(tmp_path)
+    run = disk.Run.new(
+        "birdrun", train_shards_dir=shards_dir, val_shards_dir=shards_dir,
+        runs_root=runs_root,
+    )
+    clips = run.inference / md.hash / "clips"
+    for latent in (3, 7):
+        d = clips / str(latent)
+        d.mkdir(parents=True)
+        for j in range(2):
+            Image.new("L", (64, 16)).save(d / f"{j}_spectrogram.png")
+            Image.new("L", (64, 16)).save(d / f"{j}_sae_spectrogram.png")
+            visuals.write_wav(
+                d / f"{j}_time_clip.wav", np.zeros(100, np.float32), 32000
+            )
+            visuals.write_wav(
+                d / f"{j}_time_freq_clip.wav", np.zeros(100, np.float32), 32000
+            )
+    notes = tmp_path / "notes.json"
+    notes.write_text(json.dumps({"3": "call-like harmonic stack"}))
+    return run, shards_dir, notes
+
+
+class TestMakeHtml:
+    def _load(self):
+        import importlib.util
+
+        fpath = (
+            pathlib.Path(__file__).parent.parent
+            / "contrib" / "birdsong" / "scripts" / "make_html.py"
+        )
+        spec = importlib.util.spec_from_file_location("bird_make_html", fpath)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_embedded_with_notes(self, tmp_path):
+        mod = self._load()
+        run, shards_dir, notes = _fake_clips_dir(tmp_path)
+        out = mod.make(mod.Config(
+            run=run.run_dir, shards=shards_dir, embed=True, notes=notes,
+            out=tmp_path / "page.html",
+        ))
+        html_doc = out.read_text()
+        assert "data:image/png;base64," in html_doc
+        assert "data:audio/wav;base64," in html_doc
+        assert "call-like harmonic stack" in html_doc
+        assert "Latent 3" in html_doc and "Latent 7" in html_doc
+        assert "Original Spectrogram" in html_doc
+        assert "Time+Freq-Clipped Audio" in html_doc
+
+    def test_curated_latents(self, tmp_path):
+        mod = self._load()
+        run, shards_dir, _ = _fake_clips_dir(tmp_path)
+        out = mod.make(mod.Config(
+            run=run.run_dir, shards=shards_dir, latents=(7,),
+            out=tmp_path / "curated.html",
+        ))
+        html_doc = out.read_text()
+        assert "Latent 7" in html_doc and "Latent 3" not in html_doc
+        # Relative (non-embedded) mode keeps src paths, not data URIs.
+        assert "data:image/png" not in html_doc
