@@ -65,13 +65,15 @@ def _example_card(latent_dir: pathlib.Path, j: str, rel_root, embed: bool) -> st
         ("time_clip", "Time-Clipped Audio"),
         ("time_freq_clip", "Time+Freq-Clipped Audio"),
     ):
-        wav = latent_dir / f"{j}_{kind}.wav"
-        if wav.exists():
-            cells.append(
-                f'<div class="audio"><label>{label}</label>'
-                f'<audio controls src="{_src(wav, rel_root, embed, "audio/wav")}">'
-                "</audio></div>"
-            )
+        for ext, mime in ((".ogg", "audio/ogg"), (".wav", "audio/wav")):
+            clip = latent_dir / f"{j}_{kind}{ext}"
+            if clip.exists():
+                cells.append(
+                    f'<div class="audio"><label>{label}</label>'
+                    f'<audio controls src="{_src(clip, rel_root, embed, mime)}">'
+                    "</audio></div>"
+                )
+                break
     cells.append("</div>")
     return "".join(cells)
 

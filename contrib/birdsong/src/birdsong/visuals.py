@@ -61,6 +61,22 @@ def write_wav(fpath: pathlib.Path, waveform: np.ndarray, sample_rate: int) -> No
         w.writeframes(pcm.tobytes())
 
 
+def write_clip(
+    fpath_base: pathlib.Path, waveform: np.ndarray, sample_rate: int
+) -> pathlib.Path:
+    """Save a clip as .ogg (reference format, via the ctypes vorbis encoder)
+    when the codec libraries exist, else 16-bit WAV."""
+    from saev_tpu.utils import vorbis
+
+    if vorbis.available():
+        out = fpath_base.with_suffix(".ogg")
+        vorbis.write_ogg(out, waveform, sample_rate)
+        return out
+    out = fpath_base.with_suffix(".wav")
+    write_wav(out, waveform, sample_rate)
+    return out
+
+
 def spectrogram_image(fb_tm: np.ndarray, *, scale: int = 1) -> Image.Image:
     """(512, 128) normalized log-mel → grayscale PIL image (time on x, mel on y,
     low frequencies at the bottom)."""
@@ -181,7 +197,7 @@ def worker_fn(cfg: Config) -> None:
                         "Empty %s for latent %d example %d.", name, f, example_idx
                     )
                     clip = np.zeros(1, np.float32)
-                write_wav(feature_dir / f"{j}_{name}.wav", clip, sr)
+                write_clip(feature_dir / f"{j}_{name}", clip, sr)
             j += 1
 
     logger.info("Saved clips for %d latents under %s.", len(features), art / "clips")

@@ -441,9 +441,9 @@ class HfImageDataset(_Dataset):
 def _load_audio(fpath: pathlib.Path) -> tuple[np.ndarray, int]:
     """Decode an audio file to (mono float32 waveform, sample_rate).
 
-    Layered backends: soundfile (ogg/flac/wav), torchaudio, then scipy (wav
-    only). The image this framework ships in has none of the ogg decoders, so
-    the error names the options instead of failing deep inside a transform.
+    Layered backends: soundfile (ogg/flac/wav), torchaudio, the built-in
+    ctypes libvorbisfile binding (ogg — present on any distro with the
+    vorbis codecs, including this image), then scipy (wav only).
     """
     try:
         import soundfile
@@ -459,6 +459,11 @@ def _load_audio(fpath: pathlib.Path) -> tuple[np.ndarray, int]:
         return wav.numpy().astype(np.float32).mean(axis=0), int(sr)
     except ImportError:
         pass
+    if fpath.suffix.lower() in (".ogg", ".oga"):
+        from ..utils import vorbis
+
+        if vorbis.available():
+            return vorbis.read_ogg(fpath)
     if fpath.suffix.lower() == ".wav":
         import scipy.io.wavfile
 
@@ -478,7 +483,8 @@ def _load_audio(fpath: pathlib.Path) -> tuple[np.ndarray, int]:
         return wav.astype(np.float32), int(sr)
     raise ImportError(
         f"No audio decoder available for {fpath.suffix!r} files: install "
-        "soundfile or torchaudio (scipy handles .wav only)."
+        "soundfile/torchaudio or the system vorbis libraries (scipy handles "
+        ".wav only)."
     )
 
 
