@@ -278,3 +278,86 @@ def test_img_seg_folder_multi_column_labels(tmp_path):
     assert ds.label_cols == ["habitat", "diet"]
     assert ds.sample_labels["img0"] == {"habitat": "reef", "diet": "algae"}
     assert ds.labels["img1"] == "pelagic"  # first column stays the default
+
+
+# ---------------------------------------------------------------------------
+# Figures/tables data interface (tdiscovery.runs + notebooks/figures.py)
+# ---------------------------------------------------------------------------
+
+
+def test_runspec_load_df_and_figures(tmp_path, monkeypatch):
+    import importlib.util
+
+    from saev_tpu.data import Metadata
+    from tdiscovery.runs import RunSpec, load_df, pareto_front
+
+    run, shards_dir = _make_run(tmp_path, seg=True)
+    md = Metadata.load(shards_dir)
+    fake_labels = ["a" if i % 2 == 0 else "b" for i in range(md.n_examples)]
+    monkeypatch.setattr(
+        cls_mod, "load_image_labels", lambda shards: (["class"], {"class": fake_labels})
+    )
+    task = cls_mod.LabelGrouping(name="fig", source_col="class")
+    train_cfg = cls_mod.TrainConfig(
+        run=run.run_dir, train_shards=shards_dir, test_shards=shards_dir, task=task,
+        cls=cls_mod.SparseLinear(C=1.0),
+    )
+    cls_mod.train_worker_fn(train_cfg)
+    cls_mod.eval_worker_fn(
+        cls_mod.EvalConfig(
+            run=run.run_dir, test_shards=shards_dir, task=task,
+            cls=cls_mod.SparseLinear(C=1.0),
+        )
+    )
+    cls_mod.audit_worker_fn(cls_mod.AuditConfig(
+        run=run.run_dir, test_shards=shards_dir,
+        cls_checkpoints=(cls_mod.ckpt_fpath(run, train_cfg),),
+        max_budget=16, budgets=(4, 16), tau=0.1,
+    ))
+
+    # Training writes config.json beside the checkpoint; mimic it here.
+    import json as json_mod
+
+    (run.ckpt.parent / "config.json").write_text(json_mod.dumps({
+        "sae": {"d_sae": 16, "activation": {"key": "top-k", "top_k": 3}},
+        "lr": 4e-4, "optim": "adam", "seed": 0,
+    }))
+
+    specs = [
+        RunSpec(run=run.run_dir, method="sae", note="hermetic"),
+        RunSpec(run=tmp_path / "missing-run", method="sae"),
+    ]
+    df, skipped = load_df(specs)
+    assert len(df) == 1 and len(skipped) == 1
+    row = df.iloc[0]
+    assert row["run_id"] == "clsrun"
+    assert row["d_sae"] == 16 and row["activation"] == "top-k"
+    assert f"{md.hash}/normalized_mse" in df.columns
+    assert f"{md.hash}/cls_fig_accuracy" in df.columns
+    assert f"{md.hash}/audit_auc_b" in df.columns
+
+    # Figure functions produce pdf+csv artifacts from the same interface.
+    fpath = (
+        pathlib.Path(__file__).parent.parent
+        / "contrib" / "trait_discovery" / "notebooks" / "figures.py"
+    )
+    spec = importlib.util.spec_from_file_location("td_figures", fpath)
+    figures = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(figures)
+
+    out = tmp_path / "figs"
+    _, have, _, (pdf, csv) = figures.plot_pareto(
+        specs[:1], md.hash, name="pareto_test", out=out
+    )
+    assert pdf.exists() and csv.exists() and len(have) == 1
+    tidy, _ = figures.table_methods(specs[:1], md.hash, name="methods_test", out=out)
+    assert (out / "methods_test.csv").exists()
+    assert "run_id" in tidy.columns
+    audit = figures.table_audit(specs[:1], md.hash, name="audit_test", out=out)
+    assert len(audit) == 1 and "auc_b" in audit.columns
+
+    # pareto_front: strictly dominated points are excluded.
+    import numpy as np
+
+    keep = pareto_front(np.array([1.0, 2.0, 3.0]), np.array([3.0, 1.0, 2.0]))
+    assert keep.tolist() == [True, True, False]
