@@ -101,3 +101,116 @@ def test_score_run_end_to_end(tmp_path):
         )
     )
     assert again == results
+
+
+def _scored_run(tmp_path, run_id, seed, shards_dir=None):
+    """Run dir with inference + mimic scores over fake shards."""
+    import jax
+
+    from saev_tpu import disk, nn
+    from saev_tpu.data import Metadata, OrderedConfig, fake_vit
+    from saev_tpu.framework import inference
+    from saev_tpu.nn import modeling
+
+    if shards_dir is None:
+        shards_dir = helpers.write_shards(tmp_path, n_examples=24, layers=(0,))
+    runs_root = helpers.tmp_runs_root(tmp_path)
+    run = disk.Run.new(
+        run_id, train_shards_dir=shards_dir, val_shards_dir=shards_dir,
+        runs_root=runs_root,
+    )
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=fake_vit.D_MODEL, d_sae=16, activation=modeling.TopK(top_k=3)
+    )
+    params, state = modeling.init(cfg, jax.random.key(seed))
+    nn.dump(run.ckpt, cfg, params, state)
+    inference.worker_fn(
+        inference.Config(
+            run=run.run_dir,
+            data=OrderedConfig(shards=shards_dir, layer=0, batch_size=64),
+            device="cpu",
+        )
+    )
+    labels = tuple("erato" if i % 2 == 0 else "melpomene" for i in range(24))
+    scoring.score_run(scoring.Config(
+        run=run.run_dir, shards=shards_dir, labels=labels,
+        pairs=(("erato", "melpomene"),), min_samples=5,
+    ))
+    return run, shards_dir, labels
+
+
+def test_render_and_viewer(tmp_path):
+    """render: per-task per-latent strips + index.json; viewer: embedded HTML."""
+    import importlib.util
+    import json
+
+    from mimics import render
+
+    run, shards_dir, labels = _scored_run(tmp_path, "rendrun", 0)
+    indexes = render.worker_fn(render.Config(
+        run=run.run_dir, shards=shards_dir, labels=labels,
+        n_features=3, n_per_class=2,
+    ))
+    assert "erato_vs_melpomene" in indexes
+    from saev_tpu.data import Metadata
+
+    md = Metadata.load(shards_dir)
+    task_dir = run.inference / md.hash / "mimics" / "erato_vs_melpomene"
+    index = json.loads((task_dir / "index.json").read_text())
+    assert index["sides"] == ["erato", "melpomene"]
+    assert len(index["features"]) == 3
+    feat = index["features"][0]
+    for side in ("erato", "melpomene"):
+        assert len(feat["strips"][side]) == 2
+        for name in feat["strips"][side]:
+            assert (task_dir / str(feat["latent"]) / name).exists()
+
+    fpath = (
+        pathlib.Path(__file__).parent.parent
+        / "contrib" / "mimics" / "scripts" / "viewer.py"
+    )
+    spec = importlib.util.spec_from_file_location("mimics_viewer", fpath)
+    viewer = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(viewer)
+    out = viewer.build(viewer.Config(
+        runs=(run.run_dir,), shards=shards_dir, out=tmp_path / "viewer.html",
+    ))
+    html_doc = out.read_text()
+    assert "data:image/png;base64," in html_doc
+    for needle in ("Feature order", "consistency", "Columns", "Prev"):
+        assert needle in html_doc, needle
+
+
+def test_consistency_across_runs(tmp_path):
+    """Two runs over the SAME shards: a latent's consistency is the best
+    pooled-profile correlation against the other run's candidates. A run
+    compared against itself (identical ckpt) must score ~1.0 somewhere."""
+    import json
+
+    from mimics import consistency
+
+    run_a, shards_dir, labels = _scored_run(tmp_path, "runA", 0)
+    run_b, _, _ = _scored_run(tmp_path, "runB", 0, shards_dir=shards_dir)  # same seed
+    run_c, _, _ = _scored_run(tmp_path, "runC", 7, shards_dir=shards_dir)
+
+    results = consistency.worker_fn(consistency.Config(
+        runs=(run_a.run_dir, run_b.run_dir, run_c.run_dir),
+        shards=shards_dir, top_k=5,
+    ))
+    entries = results[str(run_a.run_dir)]["erato_vs_melpomene"]
+    assert len(entries) == 5
+    # run B is an identical checkpoint, so run A's top latent must find a
+    # near-perfect witness.
+    best = entries[0]
+    assert best["consistency"] > 0.999, best
+    assert best["witness_run"] == str(run_b.run_dir)
+    assert best["witness_latent"] == best["latent"]
+    # Entries are sorted by consistency descending.
+    scores = [e["consistency"] for e in entries]
+    assert scores == sorted(scores, reverse=True)
+
+    from saev_tpu.data import Metadata
+
+    md = Metadata.load(shards_dir)
+    fpath = run_a.inference / md.hash / "mimic_consistency.json"
+    assert json.loads(fpath.read_text())["erato_vs_melpomene"] == entries
