@@ -117,8 +117,65 @@ def score(cfg: Score) -> dict[str, object]:
     return results
 
 
+@dataclasses.dataclass(frozen=True)
+class Negatives:
+    """Sample negative images for each probe task (reference
+    semprobe/config.py:43-59, __main__.py:137-162)."""
+
+    dump_to: pathlib.Path = pathlib.Path("./data/semprobe/test")
+    """Where to save negative samples (one '<class>-negative' dir each)."""
+    shards: pathlib.Path | None = None
+    """Shards whose metadata names the source dataset; mutually exclusive
+    with `data`."""
+    data: object | None = None
+    """A datasets.Config to sample from directly."""
+    classes: tuple[str, ...] = ("brazil", "cool")
+    """Task names needing negatives."""
+    n_imgs: int = 20
+    """Negatives per class."""
+    skip: tuple[int, ...] = ()
+    """Dataset indices to exclude (e.g. known positives)."""
+    seed: int = 42
+
+
+def negatives(cfg: Negatives) -> dict[str, int]:
+    """Randomly sample `n_imgs` images per class into
+    `<dump_to>/<class>-negative/` (the curated-set counterpart to hand-picked
+    positives)."""
+    import random
+
+    from saev_tpu.data import datasets
+
+    if cfg.data is not None:
+        data_cfg = cfg.data
+    else:
+        assert cfg.shards is not None, "Provide either `shards` or `data`."
+        data_cfg = Metadata.load(cfg.shards).make_data_cfg()
+    ds = datasets.get_dataset(data_cfg)
+
+    indices = list(range(len(ds)))
+    rng = random.Random(cfg.seed)
+    saved: dict[str, int] = {}
+    for cls in cfg.classes:
+        rng.shuffle(indices)
+        dpath = pathlib.Path(cfg.dump_to) / f"{cls}-negative"
+        dpath.mkdir(parents=True, exist_ok=True)
+        n_saved = 0
+        for i in indices:
+            if i in cfg.skip:
+                continue
+            sample = ds[i]
+            sample["data"].save(dpath / f"example_{cls}_{i}.png")
+            n_saved += 1
+            if n_saved >= cfg.n_imgs:
+                break
+        saved[cls] = n_saved
+        logger.info("Saved %d negatives for task %s -> %s", n_saved, cls, dpath)
+    return saved
+
+
 if __name__ == "__main__":
     from saev_tpu.utils import cli as cli_mod
 
     logging.basicConfig(level=logging.INFO)
-    cli_mod.run({"score": score})
+    cli_mod.run({"score": score, "negatives": negatives})

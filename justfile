@@ -15,11 +15,24 @@ docs:
 notebook:
     python scripts/export_notebook.py
 
-# Train-step + extraction benchmarks (needs a TPU).
+# Train-step + extraction benchmarks (needs a TPU). bench.py runs the
+# Pallas-vs-XLA kernel parity check first and embeds the verdict.
 bench:
     python bench.py
     python scripts/bench_ablate.py
     python scripts/bench_extract.py
+
+# Sweep-axis scaling (n_sae 1..8) with Mosaic-kernel verification (needs a TPU).
+bench-sweep:
+    python scripts/bench_sweep.py
+
+# On-TPU Pallas kernel numeric parity, full shapes (needs a TPU).
+kernel-check:
+    python scripts/check_tpu_kernels.py
+
+# Loader-only thread-scaling measurement (CPU).
+bench-loader:
+    python scripts/bench_loader_threads.py --gb 2.5 --uncap --trials 3
 
 # End-to-end drive on the fake backends (what /verify runs).
 e2e:

@@ -180,3 +180,21 @@ def test_semseg_interactive_app(tmp_path):
 
     for needle in ("Random Example", "interpolated", "slider", "cvMod"):
         assert needle in html_doc, needle
+
+
+def test_semprobe_negatives(tmp_path):
+    from saev_tpu.data import datasets
+    from semprobe import scoring as semprobe_scoring
+
+    saved = semprobe_scoring.negatives(semprobe_scoring.Negatives(
+        dump_to=tmp_path / "neg",
+        data=datasets.FakeImg(n_examples=12),
+        classes=("stripes",),
+        n_imgs=5,
+        skip=(0, 1),
+    ))
+    assert saved == {"stripes": 5}
+    files = sorted((tmp_path / "neg" / "stripes-negative").glob("*.png"))
+    assert len(files) == 5
+    # skipped indices never sampled
+    assert not any(f.stem.endswith(("_0", "_1")) for f in files)
