@@ -137,3 +137,12 @@ def test_activations_toml_sweep(tmp_path):
     for d in dirs:
         assert (d / "metadata.json").exists()
         assert (d / "shards.json").exists()
+
+
+def test_contrib_notebooks_compile():
+    """Every contrib percent-format notebook must at least be valid Python
+    (they're research narratives; this guards against syntax rot)."""
+    notebooks = sorted((REPO / "contrib").rglob("notebooks/*.py"))
+    assert notebooks, "expected contrib notebooks"
+    for nb in notebooks:
+        compile(nb.read_text(), str(nb), "exec")
