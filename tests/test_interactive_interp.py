@@ -198,3 +198,41 @@ def test_semprobe_negatives(tmp_path):
     assert len(files) == 5
     # skipped indices never sampled
     assert not any(f.stem.endswith(("_0", "_1")) for f in files)
+
+
+def test_make_figures(tmp_path):
+    import importlib.util
+
+    from PIL import Image
+
+    fpath = (
+        pathlib.Path(__file__).parent.parent
+        / "contrib" / "interactive_interp" / "scripts" / "make_figures.py"
+    )
+    spec = importlib.util.spec_from_file_location("ii_make_figures", fpath)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    src = tmp_path / "img.png"
+    Image.new("RGB", (640, 480), (40, 80, 160)).save(src)
+    out = mod.overview(mod.Overview(
+        image=src, out=tmp_path / "figs", size=448, grid=16, patches=(0, 17, 255),
+    ))
+    assert out.exists()
+    img = Image.open(out)
+    assert img.size == (448, 448)
+    for p in (0, 17, 255):
+        assert (tmp_path / "figs" / f"img_patch{p}.png").exists()
+    # Highlighted patches are tinted (rose fill over the flat blue base).
+    import numpy as np
+
+    arr = np.asarray(img.convert("RGB"))
+    assert (arr[0, 0] != arr[100, 100]).any()  # patch 0 differs from untinted
+
+    bars = mod.barchart(mod.Barchart(
+        values=(80.0, 15.0), labels=("otter", "beaver"),
+        out=tmp_path / "figs" / "probs.png",
+    ))
+    assert bars.exists()
+    leg = mod.legend(mod.Legend(out=tmp_path / "figs" / "legend.png"))
+    assert leg.exists()
