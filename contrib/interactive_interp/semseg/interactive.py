@@ -128,7 +128,11 @@ def _propose(cfg: Config, agg, freq, rng) -> tuple[dict[int, list[int]], list[in
         picks = [int(s) for s in order if sparse_ok[s] and agg[c, s] > 0]
         if picks:
             per_class[c] = picks[: cfg.n_features]
-    pool = np.where(sparse_ok)[0]
+    # Random controls must be DISJOINT from every class proposal, or a
+    # colliding latent would appear twice in the slider list and its
+    # replacement delta would be applied twice.
+    proposed = {s for picks in per_class.values() for s in picks}
+    pool = np.array([s for s in np.where(sparse_ok)[0] if s not in proposed])
     randoms = (
         [int(s) for s in rng.choice(pool, size=min(cfg.n_random, len(pool)), replace=False)]
         if len(pool)
@@ -314,12 +318,18 @@ function presentClasses() {
 }
 
 function proposeFeatures() {
+  // Each candidate latent appears AT MOST ONCE (the same class picked in two
+  // dropdowns, or a random control, must not double-apply its delta).
   featureRows = [];
-  for (const c of activeClasses) {
-    for (const pos of (D.perClass[String(c)] || []))
-      featureRows.push({ cand: pos, value: 0, cls: c });
-  }
-  for (const pos of D.randoms) featureRows.push({ cand: pos, value: 0, cls: null });
+  const seen = new Set();
+  const push = (pos, cls) => {
+    if (seen.has(pos)) return;
+    seen.add(pos);
+    featureRows.push({ cand: pos, value: 0, cls });
+  };
+  for (const c of activeClasses)
+    for (const pos of (D.perClass[String(c)] || [])) push(pos, c);
+  for (const pos of D.randoms) push(pos, null);
 }
 
 function modifiedLogits() {

@@ -128,7 +128,11 @@ def decide_task_specs(
     they load from the shards' dataset config.
     """
     if labels is None:
-        labels = load_image_labels(pathlib.Path(cfg.shards), cfg.source_col)
+        cols, by_col = load_image_labels(pathlib.Path(cfg.shards))
+        assert cfg.source_col in by_col, (
+            f"Source column {cfg.source_col!r} not in {cols}"
+        )
+        labels = by_col[cfg.source_col]
 
     task_names = make_candidate_task_names(cfg)
     assert task_names, "No task candidates. Set task_names or pair_specs."

@@ -415,7 +415,14 @@ def audit_worker_fn(cfg: AuditConfig) -> dict[str, object]:
     for start, end in saev_tpu.helpers.batched_idx(len(union), cfg.batch_size):
         cols = union[start:end]
         acts_nb = np.asarray(acts_csc[:, cols].todense(), dtype=np.float32)
-        ap_bc = ap_batched(acts_nb, onehot, n_pos)
+        # Tie-aware AP, NOT the standard formula: SAE activations are ~99%
+        # exact zeros, so every latent has one giant tie group and standard
+        # AP would depend on arbitrary dataset patch order (the reference
+        # uses compute_ap_batched here and accepts that bias,
+        # classification.py:739-755 "ties are rare" — false for SAE codes).
+        ap_bc = np.stack(
+            [tie_aware_ap(acts_nb[:, j], onehot, n_pos) for j in range(len(cols))]
+        )
         best = np.argmax(ap_bc, axis=1)
         best_ap[cols] = ap_bc[np.arange(len(cols)), best]
         best_class[cols] = np.asarray(seg_classes)[best]

@@ -145,10 +145,13 @@ class Dataset:
                 [c.content_token_idx for c in coords], dtype=np.int64
             ),
         }
-        if self.labels_mmap is not None and all(
-            c.content_token_idx >= 0 for c in coords
-        ):
-            out["token_label"] = self.labels_mmap[
-                out["example_idx"], out["token_idx"]
-            ].astype(np.int64)
+        if self.labels_mmap is not None:
+            # Per-row semantics matching __getitem__: content tokens get their
+            # label, special/CLS tokens (content_token_idx == -1) get -1.
+            labels = np.full(n, -1, dtype=np.int64)
+            content = out["token_idx"] >= 0
+            labels[content] = self.labels_mmap[
+                out["example_idx"][content], out["token_idx"][content]
+            ]
+            out["token_label"] = labels
         return out

@@ -82,7 +82,17 @@ def load_ckpt(run_dir: pathlib.Path, shards_name: str, cfg: Config) -> dict:
     latents = []
     for _, row in var.iterrows():
         f = int(row["feature"])
-        imgs = sorted((img_root / str(f)).glob("*.png"))[: cfg.max_imgs_per_feature]
+        # Visuals dirs write 4 variants per example ({j}_img/{j}_sae_img/
+        # {j}_seg/{j}_sae_seg); the gallery wants the HIGHLIGHTED image per
+        # example, in example order, falling back to any pngs for older dirs.
+        feature_dir = img_root / str(f)
+        imgs = sorted(
+            feature_dir.glob("*_sae_img.png"),
+            key=lambda p: int(p.name.split("_")[0]),
+        )
+        if not imgs:
+            imgs = sorted(feature_dir.glob("*.png"))
+        imgs = imgs[: cfg.max_imgs_per_feature]
         latents.append({
             "f": f,
             "lf": round(float(row["log10_freq"]), 4),

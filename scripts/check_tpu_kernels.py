@@ -65,22 +65,31 @@ def run_checks(quick: bool = False) -> dict:
             "ok": bool(np.array_equal(got, want)),
         }
 
-    # --- masked k-th (AuxK dead-latent threshold), incl. all-masked rows ---
+    # --- masked k-th (AuxK dead-latent threshold) ---
+    # Two regimes: alive-count > k (FINITE thresholds — the real AuxK case
+    # once many latents die) and alive-count < k (the -inf keep-all branch).
     b, s, k = 512, 4096, 512
     h = rng.normal(size=(b, s)).astype(np.float32)
-    mask = rng.random(s) < 0.05
-    mask[:7] = True  # guarantee a few alive
-    hj, mj = jnp.asarray(h), jnp.asarray(mask)
-    got = np.asarray(jax.jit(lambda a, m: topk.exact_kth_value_masked(a, m, k))(hj, mj))
-    masked = np.where(mask[None, :], h, -np.inf).astype(np.float32)
-    want = np.asarray(jax.lax.top_k(jnp.asarray(masked), k)[0][:, -1:])
-    with np.errstate(invalid="ignore"):
-        finite_err = np.max(np.abs(np.where(np.isfinite(want), got - want, 0.0)))
-    checks["kth_value_masked"] = {
-        "max_abs_err": float(finite_err),
-        "tol": 0.0,
-        "ok": bool(np.array_equal(got, want)),
-    }
+    for name, alive_frac in (("finite", 0.5), ("allkept", 0.03)):
+        mask = rng.random(s) < alive_frac
+        mask[:7] = True  # never fully empty
+        hj, mj = jnp.asarray(h), jnp.asarray(mask)
+        got = np.asarray(
+            jax.jit(lambda a, m: topk.exact_kth_value_masked(a, m, k))(hj, mj)
+        )
+        masked = np.where(mask[None, :], h, -np.inf).astype(np.float32)
+        want = np.asarray(jax.lax.top_k(jnp.asarray(masked), k)[0][:, -1:])
+        if name == "finite":
+            assert np.isfinite(want).all(), "finite regime must have >k alive"
+        with np.errstate(invalid="ignore"):
+            finite_err = np.max(
+                np.abs(np.where(np.isfinite(want), got - want, 0.0))
+            )
+        checks[f"kth_value_masked_{name}"] = {
+            "max_abs_err": float(finite_err),
+            "tol": 0.0,
+            "ok": bool(np.array_equal(got, want)),
+        }
 
     # --- fused Matryoshka prefix-MSE: Pallas vs XLA custom-VJP path ---
     def prefix_case(b, d_model, d_sae, name):

@@ -214,3 +214,18 @@ def test_consistency_across_runs(tmp_path):
     md = Metadata.load(shards_dir)
     fpath = run_a.inference / md.hash / "mimic_consistency.json"
     assert json.loads(fpath.read_text())["erato_vs_melpomene"] == entries
+
+
+def test_decide_task_specs_loads_labels_from_shards(tmp_path):
+    """The no-injection path must survive the (cols, dict) load_image_labels
+    API (round-3 review fix): fake labels match no butterfly task, so every
+    candidate is built but kept=False — and nothing raises."""
+    from mimics import tasks
+
+    shards_dir = helpers.write_shards(tmp_path, n_examples=4, layers=(0,))
+    specs, summary = tasks.decide_task_specs(tasks.DecideTaskSpecsConfig(
+        shards=shards_dir, pair_specs=("erato:melpomene",), views=("dorsal",),
+        min_samples_per_class=1, source_col="class", include_filtered=True,
+    ))
+    assert summary, "candidates should be generated"
+    assert all(not s.keep for s in specs)
