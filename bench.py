@@ -126,7 +126,9 @@ def main():
 
     kernel_parity = "skipped"
     if do_kernel_check and jax.default_backend() == "tpu":
-        sys.path.insert(0, "scripts")
+        import pathlib
+
+        sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
         from check_tpu_kernels import run_checks
 
         result = run_checks(quick=True)

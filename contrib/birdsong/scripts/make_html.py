@@ -44,7 +44,12 @@ def _src(fpath: pathlib.Path, rel_root: pathlib.Path, embed: bool, mime: str) ->
     if embed:
         data = base64.b64encode(fpath.read_bytes()).decode()
         return f"data:{mime};base64,{data}"
-    return str(fpath.relative_to(rel_root))
+    # Relative to the OUTPUT file's directory (the browser resolves srcs
+    # against the page, not the artifact dir); os.path.relpath handles an
+    # --out that lives outside the inference tree.
+    import os
+
+    return os.path.relpath(fpath, rel_root)
 
 
 def _example_card(latent_dir: pathlib.Path, j: str, rel_root, embed: bool) -> str:
@@ -98,13 +103,16 @@ def make(cfg: Config) -> pathlib.Path:
         wanted = {str(l) for l in cfg.latents}
         latent_dirs = [d for d in latent_dirs if d.name in wanted]
 
+    out = cfg.out or (art / "birdsong.html")
     sections = []
     for latent_dir in latent_dirs:
         js = sorted(
             {p.name.split("_")[0] for p in latent_dir.glob("*_spectrogram.png")},
             key=int,
         )
-        cards = [_example_card(latent_dir, j, art, cfg.embed) for j in js]
+        cards = [
+            _example_card(latent_dir, j, out.parent, cfg.embed) for j in js
+        ]
         note_html = (
             f'<p class="notes"><strong>Notes:</strong> '
             f"{html.escape(notes[latent_dir.name])}</p>"
@@ -136,7 +144,6 @@ audio {{ width: 100%; }}
 <h1>SAE Feature Examples — Birdsong Spectrograms ({html.escape(run.run_id)})</h1>
 {"".join(sections)}</body></html>"""
 
-    out = cfg.out or (art / "birdsong.html")
     out.write_text(doc)
     logger.info(
         "Wrote %s (%d latents, embed=%s).", out, len(sections), cfg.embed

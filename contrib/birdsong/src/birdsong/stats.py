@@ -45,7 +45,15 @@ def sample_acts(
     machinery)."""
     ds = IndexedDataset(IndexedConfig(shards=shards, layer=layer))
     rng = np.random.default_rng(seed)
-    idx = rng.choice(len(ds), size=min(n, len(ds)), replace=False)
+    n = min(n, len(ds))
+    if len(ds) <= 4 * n:
+        # Small sets: exact without-replacement sampling is cheap.
+        idx = rng.choice(len(ds), size=n, replace=False)
+    else:
+        # Production sets (~100M tokens): replace=False would materialize an
+        # O(len(ds)) permutation; with n << N, with-replacement sampling is
+        # statistically indistinguishable and O(n).
+        idx = rng.integers(0, len(ds), size=n)
     return ds.take(np.sort(idx))["act"]
 
 

@@ -514,14 +514,21 @@ def eval_worker_fn(cfg: EvalConfig) -> dict[str, object]:
 
     ap = td_metrics.average_precision(scores, onehot)
     ranked_i, _ = extract_feature_ranking(clf)
-    coef = np.asarray(clf.coef_) if hasattr(clf, "coef_") else None
-    if coef is not None and coef.shape[0] == 1 and n_classes == 2:
-        coef = np.vstack([-coef[0], coef[0]])
-    top_per_class = (
-        [np.argsort(-np.abs(coef[c]))[: cfg.top_features].tolist() for c in range(n_classes)]
-        if coef is not None
-        else [ranked_i[: cfg.top_features].tolist()] * n_classes
-    )
+    top_per_class = [ranked_i[: cfg.top_features].tolist()] * n_classes
+    if hasattr(clf, "coef_"):
+        # coef_ rows follow clf.classes_, which may cover only the classes
+        # PRESENT in the train split; align rows into the class_names index
+        # space (absent classes keep the global ranking fallback). A binary
+        # fit has ONE row scoring classes_[1].
+        raw = np.asarray(clf.coef_)
+        fitted = np.asarray(clf.classes_, dtype=int)
+        if raw.shape[0] == 1 and len(fitted) == 2:
+            raw = np.vstack([-raw[0], raw[0]])
+        for row, cls_idx in zip(raw, fitted):
+            if 0 <= cls_idx < n_classes:
+                top_per_class[cls_idx] = (
+                    np.argsort(-np.abs(row))[: cfg.top_features].tolist()
+                )
     results = {
         "accuracy": float((clf.predict(x) == y).mean()),
         "mean_ap": float(np.nanmean(ap)),

@@ -254,20 +254,22 @@ def _io_worker(
                             raise
                         reservoir.commit(slot_ids)
                         done += fit
-                    t1 = t2 = time.perf_counter()
+                    t1 = time.perf_counter()
 
                     n_reads += 1
                     bytes_sent += rows.nbytes + example_idx.nbytes + token_col.nbytes
 
                     now = time.time()
                     if cfg.debug and now - t_last_report >= cfg.log_every_s:
+                        # The mmap read is a lazy view now; reserve/copy/commit
+                        # is the ONE timed phase (page-cache fault + memcpy +
+                        # slot accounting together).
                         logger.debug(
-                            "shard=%s mb_sent=%.1f read_ms=%.2f put_ms=%.2f "
+                            "shard=%s mb_sent=%.1f copy_ms=%.2f "
                             "fill-before=%.3f fill-after=%.3f",
                             shard_i,
                             bytes_sent / 1e6,
                             (t1 - t0) * 1e3,
-                            (t2 - t1) * 1e3,
                             fill_before,
                             reservoir.fill(),
                         )

@@ -130,14 +130,19 @@ def read_ogg(fpath: pathlib.Path | str) -> tuple[np.ndarray, int]:
         chunks = []
         pcm = ctypes.POINTER(ctypes.POINTER(ctypes.c_float))()
         bitstream = ctypes.c_int(0)
+        OV_HOLE = -3  # interruption in the data; the ONLY recoverable error
         while True:
             n = vf_lib.ov_read_float(
                 vf, ctypes.byref(pcm), 4096, ctypes.byref(bitstream)
             )
             if n == 0:
                 break
-            if n < 0:  # recoverable hole in the stream; skip
+            if n == OV_HOLE:
                 continue
+            if n < 0:
+                # OV_EBADLINK/OV_EINVAL etc. do not advance the stream;
+                # retrying would spin forever.
+                raise ValueError(f"ov_read_float failed with rc={n} for {fpath}")
             frame = np.zeros(n, dtype=np.float32)
             for c in range(channels):
                 frame += np.ctypeslib.as_array(pcm[c], shape=(n,))

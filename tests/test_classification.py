@@ -361,3 +361,32 @@ def test_runspec_load_df_and_figures(tmp_path, monkeypatch):
 
     keep = pareto_front(np.array([1.0, 2.0, 3.0]), np.array([3.0, 1.0, 2.0]))
     assert keep.tolist() == [True, True, False]
+
+
+def test_eval_with_absent_train_class(tmp_path, monkeypatch):
+    """A 3-group task whose train split contains only 2 groups: sklearn fits a
+    binary head, and eval must align coef_ rows via clf.classes_ instead of
+    assuming one row per class_name (round-3 review regression)."""
+    run, shards_dir = _make_run(tmp_path)
+
+    # 12 images: groups a/b present, c empty (labels never say "cc").
+    fake_labels = ["aa" if i % 2 == 0 else "bb" for i in range(12)]
+    monkeypatch.setattr(
+        cls_mod, "load_image_labels", lambda shards: (["class"], {"class": fake_labels})
+    )
+    task = cls_mod.LabelGrouping(
+        name="absent", source_col="class",
+        groups={"a": ["aa"], "b": ["bb"], "c": ["cc"]},
+    )
+    head = cls_mod.SparseLinear(C=1.0)
+    assert cls_mod.train_worker_fn(cls_mod.TrainConfig(
+        run=run.run_dir, train_shards=shards_dir, test_shards=shards_dir,
+        task=task, cls=head,
+    )) == 0
+
+    results = cls_mod.eval_worker_fn(cls_mod.EvalConfig(
+        run=run.run_dir, test_shards=shards_dir, task=task, cls=head,
+    ))
+    assert len(results["top_features_per_class"]) == 3
+    for ranking in results["top_features_per_class"]:
+        assert len(ranking) > 0

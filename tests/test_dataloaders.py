@@ -231,14 +231,15 @@ def test_make_ordered_config(shards_dir):
     assert ocfg.batch_size == 99
     assert ocfg.drop_last is True
 
-    def test_take_labels_with_special_tokens(self, tmp_path):
-        """take() must keep per-row label semantics when the view includes
-        special tokens: CLS rows get -1, content rows get their label."""
-        seg_dir = conftest.write_shards(tmp_path, n_examples=4, seg=True)
-        ds = indexed.Dataset(indexed.Config(shards=seg_dir, layer=0, tokens="all"))
-        batch = ds.take(np.arange(6))
-        assert "token_label" in batch
-        special = batch["token_idx"] < 0
-        assert special.any() and (~special).any()
-        assert (batch["token_label"][special] == -1).all()
-        assert (batch["token_label"][~special] >= 0).all()
+
+def test_take_labels_with_special_tokens(tmp_path):
+    """take() must keep per-row label semantics when the view includes
+    special tokens: CLS rows get -1, content rows get their label."""
+    seg_dir = conftest.write_shards(tmp_path, n_examples=4, seg=True)
+    ds = indexed.Dataset(indexed.Config(shards=seg_dir, layer=0, tokens="all"))
+    batch = ds.take(np.arange(6))
+    assert "token_label" in batch
+    special = batch["token_idx"] < 0
+    assert special.any() and (~special).any()
+    assert (batch["token_label"][special] == -1).all()
+    assert (batch["token_label"][~special] >= 0).all()

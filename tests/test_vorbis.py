@@ -92,3 +92,24 @@ def test_birdsong_write_clip_prefers_ogg(tmp_path):
     assert out.suffix == ".ogg"
     rec, sr = vorbis.read_ogg(out)
     assert sr == 16000 and len(rec) > 0
+
+
+@pytest.mark.timeout(60)
+def test_truncated_stream_terminates(tmp_path):
+    """Mid-stream corruption must terminate (shorter audio or ValueError),
+    never spin on a persistent decoder error (round-3 review: only OV_HOLE
+    is recoverable)."""
+    sr = 16000
+    wav = _tone(sr, seconds=2.0)
+    fpath = tmp_path / "full.ogg"
+    vorbis.write_ogg(fpath, wav, sr)
+    data = fpath.read_bytes()
+    for frac in (0.9, 0.6, 0.3):
+        cut = tmp_path / f"cut{int(frac * 100)}.ogg"
+        cut.write_bytes(data[: int(len(data) * frac)])
+        try:
+            rec, sr2 = vorbis.read_ogg(cut)
+            assert sr2 == sr
+            assert len(rec) <= len(wav)
+        except ValueError:
+            pass  # a hard decoder error is acceptable; hanging is not
