@@ -26,6 +26,7 @@ COMMANDS = {
     "baseline::inference": tdiscovery.baselines.inference_cli,
     "cls::train": tdiscovery.classification.train_cli,
     "cls::eval": tdiscovery.classification.eval_cli,
+    "cls::audit": tdiscovery.classification.audit_cli,
     "metrics": tdiscovery.metrics.cli,
     "probe1d": tdiscovery.probe1d.cli,
     "visuals": tdiscovery.visuals.cli,
