@@ -98,11 +98,58 @@ def write_token_labels(
     return fpath
 
 
+def load_reference_data_module(name: str):
+    """Import `saev.data.<name>` from the read-only reference checkout WITHOUT
+    executing saev/data/__init__.py (it pulls open_clip/timm, absent here).
+    The real `saev` package is imported (dependency-light; parity tests rely
+    on it), `saev.data` is seeded as a shell package, and the submodule loads
+    from its file with the test-only dependency stubs on sys.path."""
+    import importlib.util
+    import os
+    import sys
+    import types
+
+    import pytest as _pytest
+
+    root = pathlib.Path(os.environ.get("SAEV_REFERENCE", "/root/reference")) / "src"
+    if not (root / "saev" / "data" / f"{name}.py").exists():
+        _pytest.skip(f"reference checkout not found at {root}")
+    stubs = str(pathlib.Path(__file__).parent / "refstubs")
+    for p in (stubs, str(root)):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+
+    import saev  # noqa: F401  (real package; its __init__ is light)
+
+    if "saev.data" not in sys.modules:
+        shell = types.ModuleType("saev.data")
+        shell.__path__ = [str(root / "saev" / "data")]
+        sys.modules["saev.data"] = shell
+
+    def load(mod_name):
+        full = f"saev.data.{mod_name}"
+        if full in sys.modules:
+            return sys.modules[full]
+        spec = importlib.util.spec_from_file_location(
+            full, root / "saev" / "data" / f"{mod_name}.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        mod.__package__ = "saev.data"
+        sys.modules[full] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load("models")
+    load("transforms")
+    return load(name)
+
+
 class _Helpers:
     tmp_shards_root = staticmethod(tmp_shards_root)
     tmp_runs_root = staticmethod(tmp_runs_root)
     write_shards = staticmethod(write_shards)
     write_token_labels = staticmethod(write_token_labels)
+    load_reference_data_module = staticmethod(load_reference_data_module)
     fake_ckpt = FAKE_CKPT
 
 

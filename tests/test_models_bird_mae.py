@@ -254,3 +254,71 @@ def test_istft_matches_torch():
     ).numpy()
     assert ours.shape == theirs.shape
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# LIVE parity against the reference's OWN Bird-MAE module
+# (src/saev/data/bird_mae.py:373-497): its Encoder, randomized at a tiny
+# config, converted through convert.from_timm, must match our JAX engine.
+# ---------------------------------------------------------------------------
+
+
+def test_bird_mae_live_reference_parity():
+    from conftest import load_reference_data_module
+
+    ref = load_reference_data_module("bird_mae")
+
+    t_px, m_px = 64, 32  # 4x2 = 8 patches
+    cfg = ref.Config(
+        img_size_x=t_px, img_size_y=m_px, embed_dim=D, depth=DEPTH,
+        n_heads=HEADS, final_norm="patch-norm",
+    )
+    torch.manual_seed(13)
+    enc = ref.Encoder(cfg).eval()
+    with torch.no_grad():
+        # _init_weights leaves cls at zeros; randomize for a non-trivial test.
+        enc.cls_token.normal_(std=0.02)
+
+    # The extraction recorder hooks block.norm2 (reference bird_mae.py:593-608).
+    taps_t = []
+    hooks = [
+        blk.norm2.register_forward_hook(lambda m, i, o: taps_t.append(o.detach()))
+        for blk in enc.blocks
+    ]
+    fb = np.random.default_rng(14).normal(size=(2, t_px, m_px)).astype(np.float32)
+    with torch.no_grad():
+        want = enc(torch.from_numpy(fb)[:, None, :, :])
+    for h in hooks:
+        h.remove()
+
+    sd = {
+        k: v.detach().numpy()
+        for k, v in {**dict(enc.state_dict()), **dict(enc.named_buffers())}.items()
+    }
+    import dataclasses
+
+    spec = dataclasses.replace(
+        bird_mae.PRETRAINED_SPECS["Bird-MAE-Base"],
+        d_model=D, n_layers=DEPTH, n_heads=HEADS,
+    )
+    params, pos = convert.from_timm(sd, spec)
+    params["pos"] = pos
+
+    tokens = np.stack([
+        fb_i.reshape(t_px // 16, 16, m_px // 16, 16)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 256)
+        for fb_i in fb
+    ])
+    out_j, taps_j = vit.run(
+        spec, params, tokens, tuple(range(DEPTH)), (t_px // 16, m_px // 16)
+    )
+
+    for i in range(DEPTH):
+        np.testing.assert_allclose(
+            taps_j[:, i], taps_t[i].numpy(), rtol=RTOL, atol=ATOL
+        )
+    # final_norm="patch-norm": reference tokens are norm(x)[:, 1:].
+    np.testing.assert_allclose(
+        out_j[:, 1:], want["tokens"].numpy(), rtol=RTOL, atol=ATOL
+    )

@@ -222,3 +222,78 @@ def test_parse_name():
     assert dinov3.Vit._parse_name("/a/b/dinov3_vits16plus_pretrain_x-abc.pth") == (
         "dinov3_vits16plus"
     )
+
+
+# ---------------------------------------------------------------------------
+# LIVE parity against the reference's OWN DINOv3 module (src/saev/data/
+# dinov3.py:23-456): its Encoder, randomized, converted through our
+# convert_encoder, must match our JAX engine bit-for-tolerance. The
+# hand-rebuilt _TorchDinov3 above pins the architecture as WE read it; this
+# pins it as the reference WROTE it.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_dinov3():
+    from conftest import load_reference_data_module
+
+    return load_reference_data_module("dinov3")
+
+
+def test_dinov3_live_reference_parity(ref_dinov3):
+    ref = ref_dinov3
+    cfg = ref.Config(
+        img_size=4 * P, patch_size=P, embed_dim=D, depth=DEPTH, num_heads=HEADS,
+        n_storage_tokens=N_STORAGE, ffn_layer="mlp", ffn_ratio=4.0,
+        mask_k_bias=True, pos_embed_rope_dtype="fp32",
+    )
+    enc = ref.Encoder(cfg)
+    torch.manual_seed(11)
+    with torch.no_grad():
+        for p_ in enc.parameters():
+            if p_.ndim >= 2:
+                torch.nn.init.normal_(p_, std=0.02)
+            else:
+                torch.nn.init.normal_(p_, std=0.01)
+        for i, blk in enumerate(enc.blocks):
+            # Real checkpoints carry the K-mask as data; q/v biased, k not.
+            blk.attn.qkv.bias_mask.copy_(
+                torch.cat([torch.ones(D), torch.zeros(D), torch.ones(D)])
+            )
+            blk.ls1.gamma.fill_(1e-2 * (i + 1))
+            blk.ls2.gamma.fill_(2e-2 * (i + 1))
+    enc.eval()
+
+    b, gh, gw = 2, 4, 4
+    n = gh * gw
+    g = torch.Generator().manual_seed(5)
+    x_tokens = torch.randn(b, n, 3 * P * P, generator=g)
+    grid = torch.tensor([[gh, gw]] * b)
+    with torch.no_grad():
+        want = enc(x_tokens, grid=grid)
+
+    sd = {
+        k: v.detach().numpy()
+        for k, v in {**dict(enc.state_dict()), **dict(enc.named_buffers())}.items()
+    }
+    spec = _tiny_spec()
+    params, periods = dinov3.convert_encoder(sd, spec)
+    model = object.__new__(dinov3.Vit)
+    model._ckpt_path = "ref"
+    model._name = "tiny"
+    model.spec = spec
+    model.params = params
+    model.periods = periods
+
+    out_j, _taps = model.forward_recorded(
+        np.asarray(x_tokens.numpy()), (DEPTH - 1,),
+        grid=np.tile(np.array([[gh, gw]]), (b, 1)),
+    )
+    # forward_recorded's `out` is the final-norm output, matching the
+    # reference's x_norm (dinov3.py:456-461).
+    np.testing.assert_allclose(
+        out_j[:, 0], want["cls"].numpy(), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        out_j[:, 1 + N_STORAGE :], want["patches"].numpy(), rtol=2e-4, atol=3e-5
+    )
