@@ -3,10 +3,15 @@ read-only reference package in parity tests.
 
 Matches the orjson behaviors the reference relies on: compact separators
 (no spaces), bytes output, OPT_APPEND_NEWLINE, OPT_INDENT_2, native
-dataclass serialization, and a `default=` fallback hook.
+dataclass serialization, and a `default=` fallback hook. Fidelity detail
+the Metadata content hash depends on (reference shards.py:127-135): orjson
+serializes DATACLASSES in field-definition order even under OPT_SORT_KEYS
+(the option only sorts plain dicts), so dataclasses are pre-converted to
+field-order dicts here and exempted from sorting.
 """
 
 import dataclasses
+import enum
 import json as _json
 
 OPT_APPEND_NEWLINE = 1 << 0
@@ -15,21 +20,66 @@ OPT_SERIALIZE_NUMPY = 1 << 2
 OPT_SORT_KEYS = 1 << 3
 
 
+class _FieldOrder(dict):
+    """Marker: a dataclass rendering whose key order must survive sorting."""
+
+
+def _convert(obj, default):
+    if isinstance(obj, enum.Enum):
+        # orjson serializes enum members by VALUE natively.
+        return _convert(obj.value, default)
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        return _FieldOrder(
+            (f.name, _convert(getattr(obj, f.name), default))
+            for f in dataclasses.fields(obj)
+        )
+    if isinstance(obj, dict):
+        return {k: _convert(v, default) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_convert(v, default) for v in obj]
+    return obj
+
+
 def dumps(obj, option=None, default=None):
     def _default(o):
-        if dataclasses.is_dataclass(o) and not isinstance(o, type):
-            return dataclasses.asdict(o)
+        if isinstance(o, _FieldOrder):
+            return dict(o)
         if default is not None:
-            return default(o)
+            converted = default(o)
+            return _convert(converted, default)
         raise TypeError(o)
 
-    kwargs = {"separators": (",", ":"), "default": _default}
-    if option:
-        if option & OPT_INDENT_2:
-            kwargs = {"indent": 2, "default": _default}
-        if option & OPT_SORT_KEYS:
-            kwargs["sort_keys"] = True
-    out = _json.dumps(obj, **kwargs).encode()
+    obj = _convert(obj, default)
+    sort = bool(option and option & OPT_SORT_KEYS)
+
+    def render(o, indent_level=0):
+        # Manual renderer so _FieldOrder dicts keep their order even when
+        # sort_keys is requested for plain dicts.
+        if isinstance(o, _FieldOrder):
+            items = list(o.items())
+        elif isinstance(o, dict):
+            items = sorted(o.items()) if sort else list(o.items())
+        else:
+            items = None
+        if items is not None:
+            inner = ",".join(f"{_json.dumps(k)}:{render(v)}" for k, v in items)
+            return "{" + inner + "}"
+        if isinstance(o, list):
+            return "[" + ",".join(render(v) for v in o) + "]"
+        try:
+            return _json.dumps(o, separators=(",", ":"))
+        except TypeError:
+            return render(_default(o))
+
+    if option and option & OPT_INDENT_2:
+        # Indented output never feeds the content hash; stdlib rendering of
+        # the converted structure is sufficient.
+        out = _json.dumps(
+            obj, indent=2, default=_default,
+            sort_keys=False,
+        ).encode()
+    else:
+        out = render(obj).encode()
     if option and option & OPT_APPEND_NEWLINE:
         out += b"\n"
     return out

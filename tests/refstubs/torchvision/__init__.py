@@ -6,4 +6,4 @@ callable transform classes. Numerics never flow through these — the parity
 tests drive the reference Encoder directly on pre-patchified tensors.
 """
 
-from . import transforms  # noqa: F401
+from . import datasets, transforms  # noqa: F401

@@ -1,0 +1,111 @@
+"""LIVE disk-protocol interop against the reference's own storage code.
+
+The round-2 parity suite proved checkpoint interop bidirectionally through
+the reference's `saev.nn`; this file does the same for the SHARD protocol
+through the reference's `saev.data.shards` (Metadata :44, ShardWriter :372,
+ShardInfo :595, IndexMap :987):
+
+- shards written by OUR extraction pipeline load, validate, hash-match, and
+  index identically under the reference's code;
+- shards written by the REFERENCE's ShardWriter stream correctly through OUR
+  Shuffled/Indexed loaders, byte-for-byte.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from conftest import _Helpers as helpers
+from conftest import load_reference_data_module
+from saev_tpu.data import indexed, shards as our_shards, shuffled
+
+
+@pytest.fixture(scope="module")
+def ref_shards():
+    return load_reference_data_module("shards")
+
+
+def test_our_shards_read_by_reference(tmp_path, ref_shards):
+    shards_dir = helpers.write_shards(tmp_path, n_examples=10, layers=(0, 1))
+
+    md_ref = ref_shards.Metadata.load(shards_dir)
+    md_ours = our_shards.Metadata.load(shards_dir)
+    assert md_ref.shard_shape == md_ours.shard_shape
+    assert md_ref.examples_per_shard == md_ours.examples_per_shard
+    assert md_ref.n_shards == md_ours.n_shards
+    assert md_ref.layers == md_ours.layers
+
+    # The content hash is the shard dir's name: the reference's own hash code
+    # must agree with the directory OUR dump created.
+    assert md_ref.hash == shards_dir.name == md_ours.hash
+
+    info = ref_shards.ShardInfo.load(shards_dir)
+    info.validate(shards_dir)
+    assert sum(s.n_examples for s in info) == md_ref.n_examples
+
+    # Reference IndexMap coordinates must locate the same bytes our indexed
+    # dataset returns.
+    imap = ref_shards.IndexMap(md_ref, "content", 1)
+    ds = indexed.Dataset(indexed.Config(shards=shards_dir, layer=1))
+    assert len(imap) == len(ds)
+    for i in (0, 7, 63, len(ds) - 1):
+        idx = imap.from_global(i)
+        mm = np.memmap(
+            shards_dir / f"acts{idx.shard_idx:06}.bin",
+            mode="r", dtype=np.float32, shape=md_ref.shard_shape,
+        )
+        want = np.array(
+            mm[idx.example_idx_in_shard, idx.layer_idx_in_shard, idx.token_idx_in_shard]
+        )
+        np.testing.assert_array_equal(ds[i]["act"], want)
+        assert ds[i]["example_idx"] == idx.example_idx
+
+
+def test_reference_written_shards_read_by_us(tmp_path, ref_shards):
+    from saev_tpu.data import datasets
+
+    root = helpers.tmp_shards_root(tmp_path)
+    n_examples, tokens, d_model = 6, 4, 16
+    data_cfg = datasets.FakeImg(n_examples=n_examples)
+    md = ref_shards.Metadata(
+        family="fake-clip",
+        ckpt="interop",
+        layers=(0,),
+        content_tokens_per_example=tokens,
+        cls_token=True,
+        d_model=d_model,
+        n_examples=n_examples,
+        max_tokens_per_shard=(tokens + 1) * 2,  # 2 examples/shard -> 3 shards
+        data=our_shards.encode_dataset_cfg(data_cfg),
+        dataset=data_cfg.root,
+    )
+    md.dump(root)
+    shards_dir = root / md.hash
+
+    rng = np.random.default_rng(0)
+    acts = rng.normal(size=(n_examples, 1, tokens + 1, d_model)).astype(np.float32)
+    with ref_shards.ShardWriter(root, md) as writer:
+        writer.write_batch(torch.from_numpy(acts[:4]), 0)
+        writer.write_batch(torch.from_numpy(acts[4:]), 4)
+
+    # Our loaders must accept and reproduce the reference-written bytes.
+    md_ours = our_shards.Metadata.load(shards_dir)
+    assert md_ours.hash == md.hash
+    info = our_shards.ShardInfo.load(shards_dir)
+    info.validate(shards_dir)
+
+    ds = indexed.Dataset(indexed.Config(shards=shards_dir, layer=0))
+    for i in range(n_examples * tokens):
+        ex, tok = i // tokens, i % tokens
+        np.testing.assert_array_equal(ds[i]["act"], acts[ex, 0, tok + 1])
+
+    dl = shuffled.DataLoader(shuffled.Config(
+        shards=shards_dir, layer=0, batch_size=8, n_threads=1, buffer_size=2,
+    ))
+    seen = 0
+    for batch in dl:
+        for e, t, act in zip(batch["example_idx"], batch["token_idx"], batch["act"]):
+            np.testing.assert_array_equal(act, acts[int(e), 0, int(t) + 1])
+            seen += 1
+    assert seen == n_examples * tokens
