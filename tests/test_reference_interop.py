@@ -109,3 +109,48 @@ def test_reference_written_shards_read_by_us(tmp_path, ref_shards):
             np.testing.assert_array_equal(act, acts[int(e), 0, int(t) + 1])
             seen += 1
     assert seen == n_examples * tokens
+
+
+def _load_reference_disk():
+    import importlib.util
+    import pathlib
+    import sys
+
+    root = pathlib.Path("/root/reference/src")
+    if "saev.disk" in sys.modules:
+        return sys.modules["saev.disk"]
+    import saev  # noqa: F401  (real light package; stubs already on path)
+
+    spec = importlib.util.spec_from_file_location("saev.disk", root / "saev" / "disk.py")
+    mod = importlib.util.module_from_spec(spec)
+    mod.__package__ = "saev"
+    sys.modules["saev.disk"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_run_dir_interop(tmp_path, ref_shards):
+    """Run directories scaffolded by OUR disk.Run.new validate under the
+    reference's disk.Run (reference disk.py:67-128) and vice versa."""
+    import saev_tpu.disk
+
+    ref_disk = _load_reference_disk()
+    shards_dir = helpers.write_shards(tmp_path, n_examples=4, layers=(0,))
+    runs_root = helpers.tmp_runs_root(tmp_path)
+
+    ours = saev_tpu.disk.Run.new(
+        "interop1", train_shards_dir=shards_dir, val_shards_dir=shards_dir,
+        runs_root=runs_root,
+    )
+    theirs = ref_disk.Run(ours.run_dir)
+    assert theirs.run_dir == ours.run_dir
+    # The links/ symlinks must resolve to the shard dirs on both sides.
+    assert (ours.run_dir / "links" / "train-shards").resolve() == shards_dir.resolve()
+
+    made_by_ref = ref_disk.Run.new(
+        "interop2", train_shards_dir=shards_dir, val_shards_dir=shards_dir,
+        runs_root=runs_root,
+    )
+    reopened = saev_tpu.disk.Run(made_by_ref.run_dir)
+    assert reopened.run_dir == made_by_ref.run_dir
+    assert reopened.ckpt.parent.exists()
