@@ -154,3 +154,47 @@ def test_run_dir_interop(tmp_path, ref_shards):
     reopened = saev_tpu.disk.Run(made_by_ref.run_dir)
     assert reopened.run_dir == made_by_ref.run_dir
     assert reopened.ckpt.parent.exists()
+
+
+def test_sweep_engine_equivalence(tmp_path):
+    """Our sweep loader/expander must agree with the reference's own
+    configs.py (load_sweep :17, expand :100) on the same sweep file."""
+    import importlib.util
+    import sys
+
+    import saev_tpu.configs
+
+    # Ensure stubs + reference src are importable (and skip when absent).
+    load_reference_data_module("shards")
+
+    root = __import__("pathlib").Path("/root/reference/src")
+    if "saev.configs" not in sys.modules:
+        import saev  # noqa: F401
+
+        spec = importlib.util.spec_from_file_location(
+            "saev.configs", root / "saev" / "configs.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        mod.__package__ = "saev"
+        sys.modules["saev.configs"] = mod
+        spec.loader.exec_module(mod)
+    ref_configs = sys.modules["saev.configs"]
+
+    sweep = tmp_path / "sweep.py"
+    sweep.write_text(
+        "def make_cfgs():\n"
+        "    return [\n"
+        "        {'lr': [1e-4, 4e-4], 'sae': {'d_sae': [1024, 2048]},\n"
+        "         'optim': 'adam'},\n"
+        "        {'lr': 3e-4, 'tags': ['a', 'b']},\n"
+        "    ]\n"
+    )
+
+    ref_dcts = ref_configs.load_sweep(sweep)
+    our_dcts = saev_tpu.configs.load_sweep(sweep)
+    assert ref_dcts == our_dcts
+
+    ref_expanded = [e for d in ref_dcts for e in ref_configs.expand(d)]
+    our_expanded = [e for d in our_dcts for e in saev_tpu.configs.expand(d)]
+    assert ref_expanded == our_expanded
+    assert len(ref_expanded) == 6  # 2x2 cartesian + 2 (every list expands)
