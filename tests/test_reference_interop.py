@@ -198,3 +198,89 @@ def test_sweep_engine_equivalence(tmp_path):
     our_expanded = [e for d in our_dcts for e in saev_tpu.configs.expand(d)]
     assert ref_expanded == our_expanded
     assert len(ref_expanded) == 6  # 2x2 cartesian + 2 (every list expands)
+
+
+def _load_reference_toplevel(name):
+    import importlib.util
+    import sys
+
+    load_reference_data_module("shards")  # path setup + skip handling
+    full = f"saev.{name}"
+    if full in sys.modules:
+        return sys.modules[full]
+    root = __import__("pathlib").Path("/root/reference/src")
+    spec = importlib.util.spec_from_file_location(full, root / "saev" / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    mod.__package__ = "saev"
+    sys.modules[full] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_metrics_json_interop(tmp_path):
+    """metrics.json written by OUR inference round-trips through the
+    reference's validated Metrics (reference metrics.py:15-159), and a
+    reference-built Metrics dict loads under ours."""
+    import json
+
+    import jax
+
+    import saev_tpu.disk
+    import saev_tpu.metrics
+    from saev_tpu import nn
+    from saev_tpu.data import Metadata, OrderedConfig, fake_vit
+    from saev_tpu.framework import inference
+    from saev_tpu.nn import modeling
+
+    ref_metrics = _load_reference_toplevel("metrics")
+
+    shards_dir = helpers.write_shards(tmp_path, n_examples=6, layers=(0,))
+    md = Metadata.load(shards_dir)
+    runs_root = helpers.tmp_runs_root(tmp_path)
+    run = saev_tpu.disk.Run.new(
+        "metrun", train_shards_dir=shards_dir, val_shards_dir=shards_dir,
+        runs_root=runs_root,
+    )
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=fake_vit.D_MODEL, d_sae=16, activation=modeling.TopK(top_k=3)
+    )
+    params, state = modeling.init(cfg, jax.random.key(0))
+    nn.dump(run.ckpt, cfg, params, state)
+    inference.worker_fn(inference.Config(
+        run=run.run_dir,
+        data=OrderedConfig(shards=shards_dir, layer=0, batch_size=24),
+        device="cpu",
+    ))
+
+    dct = json.loads((run.inference / md.hash / "metrics.json").read_text())
+    theirs = ref_metrics.Metrics.from_dict(dct)  # their validators must accept
+    assert theirs.n_tokens == dct["n_tokens"]
+
+    back = saev_tpu.metrics.Metrics.from_dict(theirs.to_dict())
+    assert back.to_dict() == dct
+
+
+def test_csr_topk_interop():
+    """helpers.csr_topk agrees with the reference's implementation (reference
+    helpers.py:684-710) on both axes over a realistic sparse matrix."""
+    import scipy.sparse
+
+    import saev_tpu.helpers
+
+    ref_helpers = _load_reference_toplevel("helpers")
+
+    rng = np.random.default_rng(0)
+    dense = rng.normal(size=(200, 40)).astype(np.float32)
+    dense[rng.random(dense.shape) < 0.9] = 0.0
+    csr = scipy.sparse.csr_matrix(np.maximum(dense, 0))
+
+    for axis, k in ((0, 7), (1, 5)):
+        ours = saev_tpu.helpers.csr_topk(csr, k=k, axis=axis)
+        theirs = ref_helpers.csr_topk(csr, k=k, axis=axis)
+        np.testing.assert_array_equal(ours.values, theirs.values)
+        # Indices may differ on ties at exact zero; values above pin the
+        # retrieval; check indices agree wherever values are unique-positive.
+        pos = ours.values > 0
+        np.testing.assert_array_equal(
+            ours.indices[pos], theirs.indices[pos]
+        )
