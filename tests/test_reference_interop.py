@@ -284,3 +284,67 @@ def test_csr_topk_interop():
         np.testing.assert_array_equal(
             ours.indices[pos], theirs.indices[pos]
         )
+
+
+def _load_reference_utils(name):
+    import importlib.util
+    import sys
+    import types
+
+    load_reference_data_module("shards")
+    root = __import__("pathlib").Path("/root/reference/src")
+    if "saev.utils" not in sys.modules:
+        shell = types.ModuleType("saev.utils")
+        shell.__path__ = [str(root / "saev" / "utils")]
+        sys.modules["saev.utils"] = shell
+    full = f"saev.utils.{name}"
+    if full in sys.modules:
+        return sys.modules[full]
+    spec = importlib.util.spec_from_file_location(
+        full, root / "saev" / "utils" / f"{name}.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    mod.__package__ = "saev.utils"
+    sys.modules[full] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_scheduling_interop():
+    """warmup_cosine values match the reference's stateful WarmupCosine
+    scheduler step for step (reference utils/scheduling.py:42-71); the
+    reference's step() call number t yields the LR our pure function gives
+    at step index t."""
+    from saev_tpu.utils import scheduling as ours
+
+    theirs = _load_reference_utils("scheduling")
+
+    ref_wc = theirs.WarmupCosine(
+        init=0.0, peak=4e-4, final=0.0, n_warmup=50, n_steps=500
+    )
+    for t in range(1, 601):
+        want = ref_wc.step()
+        got = float(ours.warmup_cosine(t, 0.0, 50, 4e-4, 500, 0.0))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-12, err_msg=str(t))
+
+
+def test_batch_entropy_interop():
+    """calc_batch_entropy metrics match the reference's implementation
+    (reference utils/statistics.py:57-126)."""
+    import torch as _torch
+
+    from saev_tpu.utils import statistics as ours
+
+    theirs = _load_reference_utils("statistics")
+
+    rng = np.random.default_rng(3)
+    example_idx = rng.integers(0, 50, size=512)
+    token_idx = rng.integers(0, 16, size=512)
+
+    got = ours.calc_batch_entropy(example_idx, token_idx, 50, 16)
+    want = theirs.calc_batch_entropy(
+        _torch.from_numpy(example_idx), _torch.from_numpy(token_idx), 50, 16
+    )
+    for key, value in want.items():
+        assert key in got, (key, sorted(got))
+        np.testing.assert_allclose(got[key], value, rtol=1e-6, err_msg=key)
