@@ -350,3 +350,79 @@ def test_batch_entropy_interop():
     for key, value in want.items():
         assert key in got, (key, sorted(got))
         np.testing.assert_allclose(got[key], value, rtol=1e-6, err_msg=key)
+
+
+@pytest.mark.timeout(180)
+def test_reference_ordered_loader_reads_our_shards(tmp_path):
+    """The reference's OrderedDataLoader — manager process and all — streams
+    OUR shards in exact global order, matching our ordered loader batch for
+    batch (reference ordered.py:46-376). Works because the platform's fork
+    start method lets the manager child inherit the stubbed module graph."""
+    import torch.multiprocessing as mp
+
+    if mp.get_start_method(allow_none=True) not in (None, "fork"):
+        pytest.skip("needs fork start method so the child inherits refstubs")
+
+    from saev_tpu.data import ordered as our_ordered
+
+    ref_ordered = load_reference_data_module("ordered")
+    shards_dir = helpers.write_shards(tmp_path, n_examples=10, layers=(0, 1))
+
+    ref_dl = ref_ordered.DataLoader(ref_ordered.Config(
+        shards=shards_dir, layer=1, batch_size=48, buffer_size=4,
+    ))
+    ref_batches = [
+        {k: np.asarray(v) for k, v in b.items()} for b in ref_dl
+    ]
+
+    our_dl = our_ordered.DataLoader(our_ordered.Config(
+        shards=shards_dir, layer=1, batch_size=48,
+    ))
+    our_batches = list(our_dl)
+
+    assert len(ref_batches) == len(our_batches)
+    for ref_b, our_b in zip(ref_batches, our_batches):
+        np.testing.assert_array_equal(ref_b["act"], our_b["act"])
+        np.testing.assert_array_equal(ref_b["example_idx"], our_b["example_idx"])
+        np.testing.assert_array_equal(ref_b["token_idx"], our_b["token_idx"])
+
+
+@pytest.mark.timeout(300)
+def test_reference_shuffled_loader_reads_our_shards(tmp_path):
+    """The reference's ShuffledDataLoader (manager process + I/O threads +
+    shared-memory reservoir, reference shuffled.py:380-699) covers OUR shards
+    exactly once with byte-identical activations."""
+    import torch.multiprocessing as mp
+
+    if mp.get_start_method(allow_none=True) not in (None, "fork"):
+        pytest.skip("needs fork start method so the child inherits refstubs")
+
+    ref_shuffled = load_reference_data_module("shuffled")
+    shards_dir = helpers.write_shards(tmp_path, n_examples=10, layers=(0, 1))
+
+    from saev_tpu.data import indexed
+
+    ds = indexed.Dataset(indexed.Config(shards=shards_dir, layer=1))
+    want = {
+        (ex["example_idx"], ex["token_idx"]): ex["act"]
+        for ex in (ds[i] for i in range(len(ds)))
+    }
+
+    dl = ref_shuffled.DataLoader(ref_shuffled.Config(
+        shards=shards_dir, layer=1, batch_size=32, n_threads=2, buffer_size=4,
+        batch_timeout_s=60.0,
+    ))
+    seen = set()
+    try:
+        for batch in dl:
+            acts = np.asarray(batch["act"])
+            for e, t, act in zip(
+                np.asarray(batch["example_idx"]), np.asarray(batch["token_idx"]), acts
+            ):
+                key = (int(e), int(t))
+                assert key not in seen
+                seen.add(key)
+                np.testing.assert_array_equal(act, want[key])
+    finally:
+        dl.shutdown()
+    assert seen == set(want)
