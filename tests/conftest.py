@@ -98,12 +98,15 @@ def write_token_labels(
     return fpath
 
 
-def load_reference_data_module(name: str):
-    """Import `saev.data.<name>` from the read-only reference checkout WITHOUT
-    executing saev/data/__init__.py (it pulls open_clip/timm, absent here).
-    The real `saev` package is imported (dependency-light; parity tests rely
-    on it), `saev.data` is seeded as a shell package, and the submodule loads
-    from its file with the test-only dependency stubs on sys.path."""
+def load_reference_module(dotted: str):
+    """Import `saev.<dotted>` (e.g. "disk", "configs", "data.shards",
+    "utils.scheduling") from the read-only reference checkout WITHOUT
+    executing heavy package __init__s (saev/data pulls open_clip/timm, absent
+    here). The real `saev` package is imported (dependency-light; parity
+    tests rely on its __version__/helpers), intermediate packages are seeded
+    as shell packages, and modules load from their files with the test-only
+    dependency stubs on sys.path. Honors $SAEV_REFERENCE; skips when the
+    checkout is absent."""
     import importlib.util
     import os
     import sys
@@ -112,8 +115,10 @@ def load_reference_data_module(name: str):
     import pytest as _pytest
 
     root = pathlib.Path(os.environ.get("SAEV_REFERENCE", "/root/reference")) / "src"
-    if not (root / "saev" / "data" / f"{name}.py").exists():
-        _pytest.skip(f"reference checkout not found at {root}")
+    parts = dotted.split(".")
+    fpath = root.joinpath("saev", *parts[:-1], f"{parts[-1]}.py")
+    if not fpath.exists():
+        _pytest.skip(f"reference module {dotted} not found under {root}")
     stubs = str(pathlib.Path(__file__).parent / "refstubs")
     for p in (stubs, str(root)):
         if p not in sys.path:
@@ -121,27 +126,41 @@ def load_reference_data_module(name: str):
 
     import saev  # noqa: F401  (real package; its __init__ is light)
 
-    if "saev.data" not in sys.modules:
-        shell = types.ModuleType("saev.data")
-        shell.__path__ = [str(root / "saev" / "data")]
-        sys.modules["saev.data"] = shell
+    def shell(pkg_name: str, pkg_path: pathlib.Path) -> None:
+        if pkg_name not in sys.modules:
+            mod = types.ModuleType(pkg_name)
+            mod.__path__ = [str(pkg_path)]
+            sys.modules[pkg_name] = mod
 
-    def load(mod_name):
-        full = f"saev.data.{mod_name}"
+    def load(full: str, mod_fpath: pathlib.Path, package: str):
         if full in sys.modules:
             return sys.modules[full]
-        spec = importlib.util.spec_from_file_location(
-            full, root / "saev" / "data" / f"{mod_name}.py"
-        )
+        spec = importlib.util.spec_from_file_location(full, mod_fpath)
         mod = importlib.util.module_from_spec(spec)
-        mod.__package__ = "saev.data"
+        mod.__package__ = package
         sys.modules[full] = mod
         spec.loader.exec_module(mod)
         return mod
 
-    load("models")
-    load("transforms")
-    return load(name)
+    pkg = "saev"
+    pkg_path = root / "saev"
+    for part in parts[:-1]:
+        pkg = f"{pkg}.{part}"
+        pkg_path = pkg_path / part
+        shell(pkg, pkg_path)
+
+    if parts[0] == "data":
+        # dinov3/shards/etc. do `from . import models, transforms` at import.
+        for dep in ("models", "transforms"):
+            if parts[-1] != dep:
+                load(f"saev.data.{dep}", root / "saev" / "data" / f"{dep}.py", "saev.data")
+
+    return load(f"saev.{dotted}", fpath, pkg)
+
+
+def load_reference_data_module(name: str):
+    """Back-compat alias: `saev.data.<name>`."""
+    return load_reference_module(f"data.{name}")
 
 
 class _Helpers:
@@ -149,6 +168,7 @@ class _Helpers:
     tmp_runs_root = staticmethod(tmp_runs_root)
     write_shards = staticmethod(write_shards)
     write_token_labels = staticmethod(write_token_labels)
+    load_reference_module = staticmethod(load_reference_module)
     load_reference_data_module = staticmethod(load_reference_data_module)
     fake_ckpt = FAKE_CKPT
 

@@ -52,9 +52,11 @@ def dumps(obj, option=None, default=None):
     obj = _convert(obj, default)
     sort = bool(option and option & OPT_SORT_KEYS)
 
-    def render(o, indent_level=0):
+    def render(o):
         # Manual renderer so _FieldOrder dicts keep their order even when
-        # sort_keys is requested for plain dicts.
+        # sort_keys is requested for plain dicts. Strings render as raw UTF-8
+        # (ensure_ascii=False), matching orjson's byte output — the Metadata
+        # content hash flows through these bytes.
         if isinstance(o, _FieldOrder):
             items = list(o.items())
         elif isinstance(o, dict):
@@ -62,21 +64,39 @@ def dumps(obj, option=None, default=None):
         else:
             items = None
         if items is not None:
-            inner = ",".join(f"{_json.dumps(k)}:{render(v)}" for k, v in items)
+            for k, _ in items:
+                if not isinstance(k, str):
+                    # Real orjson raises without OPT_NON_STR_KEYS.
+                    raise TypeError(f"Dict key must be str, got {type(k).__name__}")
+            inner = ",".join(
+                f"{_json.dumps(k, ensure_ascii=False)}:{render(v)}"
+                for k, v in items
+            )
             return "{" + inner + "}"
         if isinstance(o, list):
             return "[" + ",".join(render(v) for v in o) + "]"
         try:
-            return _json.dumps(o, separators=(",", ":"))
+            return _json.dumps(o, separators=(",", ":"), ensure_ascii=False)
         except TypeError:
             return render(_default(o))
 
     if option and option & OPT_INDENT_2:
-        # Indented output never feeds the content hash; stdlib rendering of
-        # the converted structure is sufficient.
+        # orjson applies OPT_SORT_KEYS under OPT_INDENT_2 too (still only to
+        # plain dicts; _FieldOrder survives via its dict rendering order —
+        # stdlib sort_keys would break that, so pre-sort plain dicts instead).
+        def presort(o):
+            if isinstance(o, _FieldOrder):
+                return _FieldOrder((k, presort(v)) for k, v in o.items())
+            if isinstance(o, dict):
+                items = sorted(o.items()) if sort else o.items()
+                return {k: presort(v) for k, v in items}
+            if isinstance(o, list):
+                return [presort(v) for v in o]
+            return o
+
         out = _json.dumps(
-            obj, indent=2, default=_default,
-            sort_keys=False,
+            presort(obj), indent=2, default=_default,
+            sort_keys=False, ensure_ascii=False,
         ).encode()
     else:
         out = render(obj).encode()

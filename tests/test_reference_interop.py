@@ -17,7 +17,7 @@ import pytest
 torch = pytest.importorskip("torch")
 
 from conftest import _Helpers as helpers
-from conftest import load_reference_data_module
+from conftest import load_reference_data_module, load_reference_module
 from saev_tpu.data import indexed, shards as our_shards, shuffled
 
 
@@ -111,30 +111,12 @@ def test_reference_written_shards_read_by_us(tmp_path, ref_shards):
     assert seen == n_examples * tokens
 
 
-def _load_reference_disk():
-    import importlib.util
-    import pathlib
-    import sys
-
-    root = pathlib.Path("/root/reference/src")
-    if "saev.disk" in sys.modules:
-        return sys.modules["saev.disk"]
-    import saev  # noqa: F401  (real light package; stubs already on path)
-
-    spec = importlib.util.spec_from_file_location("saev.disk", root / "saev" / "disk.py")
-    mod = importlib.util.module_from_spec(spec)
-    mod.__package__ = "saev"
-    sys.modules["saev.disk"] = mod
-    spec.loader.exec_module(mod)
-    return mod
-
-
 def test_run_dir_interop(tmp_path, ref_shards):
     """Run directories scaffolded by OUR disk.Run.new validate under the
     reference's disk.Run (reference disk.py:67-128) and vice versa."""
     import saev_tpu.disk
 
-    ref_disk = _load_reference_disk()
+    ref_disk = load_reference_module("disk")
     shards_dir = helpers.write_shards(tmp_path, n_examples=4, layers=(0,))
     runs_root = helpers.tmp_runs_root(tmp_path)
 
@@ -159,26 +141,9 @@ def test_run_dir_interop(tmp_path, ref_shards):
 def test_sweep_engine_equivalence(tmp_path):
     """Our sweep loader/expander must agree with the reference's own
     configs.py (load_sweep :17, expand :100) on the same sweep file."""
-    import importlib.util
-    import sys
-
     import saev_tpu.configs
 
-    # Ensure stubs + reference src are importable (and skip when absent).
-    load_reference_data_module("shards")
-
-    root = __import__("pathlib").Path("/root/reference/src")
-    if "saev.configs" not in sys.modules:
-        import saev  # noqa: F401
-
-        spec = importlib.util.spec_from_file_location(
-            "saev.configs", root / "saev" / "configs.py"
-        )
-        mod = importlib.util.module_from_spec(spec)
-        mod.__package__ = "saev"
-        sys.modules["saev.configs"] = mod
-        spec.loader.exec_module(mod)
-    ref_configs = sys.modules["saev.configs"]
+    ref_configs = load_reference_module("configs")
 
     sweep = tmp_path / "sweep.py"
     sweep.write_text(
@@ -200,23 +165,6 @@ def test_sweep_engine_equivalence(tmp_path):
     assert len(ref_expanded) == 6  # 2x2 cartesian + 2 (every list expands)
 
 
-def _load_reference_toplevel(name):
-    import importlib.util
-    import sys
-
-    load_reference_data_module("shards")  # path setup + skip handling
-    full = f"saev.{name}"
-    if full in sys.modules:
-        return sys.modules[full]
-    root = __import__("pathlib").Path("/root/reference/src")
-    spec = importlib.util.spec_from_file_location(full, root / "saev" / f"{name}.py")
-    mod = importlib.util.module_from_spec(spec)
-    mod.__package__ = "saev"
-    sys.modules[full] = mod
-    spec.loader.exec_module(mod)
-    return mod
-
-
 def test_metrics_json_interop(tmp_path):
     """metrics.json written by OUR inference round-trips through the
     reference's validated Metrics (reference metrics.py:15-159), and a
@@ -232,7 +180,7 @@ def test_metrics_json_interop(tmp_path):
     from saev_tpu.framework import inference
     from saev_tpu.nn import modeling
 
-    ref_metrics = _load_reference_toplevel("metrics")
+    ref_metrics = load_reference_module("metrics")
 
     shards_dir = helpers.write_shards(tmp_path, n_examples=6, layers=(0,))
     md = Metadata.load(shards_dir)
@@ -267,7 +215,7 @@ def test_csr_topk_interop():
 
     import saev_tpu.helpers
 
-    ref_helpers = _load_reference_toplevel("helpers")
+    ref_helpers = load_reference_module("helpers")
 
     rng = np.random.default_rng(0)
     dense = rng.normal(size=(200, 40)).astype(np.float32)
@@ -286,30 +234,6 @@ def test_csr_topk_interop():
         )
 
 
-def _load_reference_utils(name):
-    import importlib.util
-    import sys
-    import types
-
-    load_reference_data_module("shards")
-    root = __import__("pathlib").Path("/root/reference/src")
-    if "saev.utils" not in sys.modules:
-        shell = types.ModuleType("saev.utils")
-        shell.__path__ = [str(root / "saev" / "utils")]
-        sys.modules["saev.utils"] = shell
-    full = f"saev.utils.{name}"
-    if full in sys.modules:
-        return sys.modules[full]
-    spec = importlib.util.spec_from_file_location(
-        full, root / "saev" / "utils" / f"{name}.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    mod.__package__ = "saev.utils"
-    sys.modules[full] = mod
-    spec.loader.exec_module(mod)
-    return mod
-
-
 def test_scheduling_interop():
     """warmup_cosine values match the reference's stateful WarmupCosine
     scheduler step for step (reference utils/scheduling.py:42-71); the
@@ -317,7 +241,7 @@ def test_scheduling_interop():
     at step index t."""
     from saev_tpu.utils import scheduling as ours
 
-    theirs = _load_reference_utils("scheduling")
+    theirs = load_reference_module("utils.scheduling")
 
     ref_wc = theirs.WarmupCosine(
         init=0.0, peak=4e-4, final=0.0, n_warmup=50, n_steps=500
@@ -337,7 +261,7 @@ def test_batch_entropy_interop():
 
     from saev_tpu.utils import statistics as ours
 
-    theirs = _load_reference_utils("statistics")
+    theirs = load_reference_module("utils.statistics")
 
     rng = np.random.default_rng(3)
     example_idx = rng.integers(0, 50, size=512)
