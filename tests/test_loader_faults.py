@@ -183,3 +183,37 @@ class TestLoaderGuards:
         cfg = ordered.Config(shards=shards_dir, layer=0, batch_size=0)
         with pytest.raises(guards.GuardError, match="batch_size"):
             ordered.DataLoader(cfg)
+
+
+class TestTmpdirStaging:
+    def test_use_tmpdir_copies_and_reuses(self, tmp_path, helpers, monkeypatch):
+        """use_tmpdir stages shards to $TMPDIR/<job>/saev/shards/<hash> with a
+        completion marker, and a second loader reuses the copy (reference
+        shuffled.py:74-129)."""
+        shards_dir = helpers.write_shards(tmp_path, n_examples=8)
+        staging = tmp_path / "node_local"
+        staging.mkdir()
+        monkeypatch.setenv("TMPDIR", str(staging))
+        monkeypatch.setenv("SLURM_JOB_ID", "job42")
+
+        cfg = _shuffled_cfg(shards_dir, use_tmpdir=True)
+        dl = shuffled.DataLoader(cfg)
+        staged = staging / "job42" / "saev" / "shards" / shards_dir.name
+        assert (staged / ".copy_complete").exists()
+        assert (staged / "metadata.json").exists()
+        assert dl._shards_path == staged
+
+        total = sum(len(b["act"]) for b in dl)
+        assert total == dl.n_samples
+
+        # Second loader reuses the staged copy (marker short-circuits the copy).
+        marker_mtime = (staged / ".copy_complete").stat().st_mtime
+        dl2 = shuffled.DataLoader(cfg)
+        assert dl2._shards_path == staged
+        assert (staged / ".copy_complete").stat().st_mtime == marker_mtime
+
+    def test_use_tmpdir_without_env_falls_back(self, tmp_path, helpers, monkeypatch):
+        shards_dir = helpers.write_shards(tmp_path, n_examples=8)
+        monkeypatch.delenv("TMPDIR", raising=False)
+        dl = shuffled.DataLoader(_shuffled_cfg(shards_dir, use_tmpdir=True))
+        assert dl._shards_path == pathlib.Path(shards_dir)
