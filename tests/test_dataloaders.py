@@ -243,3 +243,17 @@ def test_take_labels_with_special_tokens(tmp_path):
     assert special.any() and (~special).any()
     assert (batch["token_label"][special] == -1).all()
     assert (batch["token_label"][~special] >= 0).all()
+
+
+def test_shuffled_drop_last(tmp_path):
+    """drop_last on the shuffled loader: only full batches are yielded."""
+    shards_dir = conftest.write_shards(tmp_path, n_examples=10, layers=(0,))
+    cfg = shuffled.Config(
+        shards=shards_dir, layer=0, batch_size=48, n_threads=1, buffer_size=4,
+        drop_last=True,
+    )
+    dl = shuffled.DataLoader(cfg)
+    assert len(dl) == 160 // 48
+    batches = list(dl)
+    assert len(batches) == 3
+    assert all(len(b["act"]) == 48 for b in batches)
