@@ -123,3 +123,55 @@ def test_visuals_reference_file_layout_and_seg(tmp_path):
     assert (d0 / "0_seg.png").exists()
     assert (d0 / "0_sae_seg.png").exists()
     assert (art / "4_activation_distributions.png").exists()
+
+
+def test_feature_gallery_picks_highlighted_images(tmp_path):
+    """The gallery engine must select ONE image per example (the {j}_sae_img
+    highlight), not all four visuals variants (round-3 review fix)."""
+    import json
+    import re
+
+    import jax
+
+    from saev_tpu import disk, nn
+    from saev_tpu.data import Metadata, OrderedConfig, fake_vit
+    from saev_tpu.framework import inference
+    from saev_tpu.interactive import features
+    from saev_tpu.nn import modeling
+    from tdiscovery import visuals
+
+    shards_dir = helpers.write_shards(tmp_path, n_examples=8, layers=(0,), seg=True)
+    md = Metadata.load(shards_dir)
+    runs_root = helpers.tmp_runs_root(tmp_path)
+    run = disk.Run.new(
+        "galrun", train_shards_dir=shards_dir, val_shards_dir=shards_dir,
+        runs_root=runs_root,
+    )
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=fake_vit.D_MODEL, d_sae=16, activation=modeling.TopK(top_k=2)
+    )
+    params, state = modeling.init(cfg, jax.random.key(2))
+    nn.dump(run.ckpt, cfg, params, state)
+    inference.worker_fn(inference.Config(
+        run=run.run_dir,
+        data=OrderedConfig(shards=shards_dir, layer=0, batch_size=32),
+        device="cpu",
+    ))
+    visuals.worker_fn(visuals.Config(
+        run=run.run_dir, shards=shards_dir, top_k=2, n_latents=2, latents=(0,),
+        log_freq_range=(-12.0, 2.0), log_value_range=(-12.0, 6.0),
+        save_seg=True, save_distributions=False,
+    ))
+
+    out = features.generate(features.Config(
+        run=run.run_dir, shards=shards_dir, n_features=4,
+        out=tmp_path / "features.html",
+    ))
+    payload = json.loads(
+        re.search(r"window.SAEV = (\{.*?\});</script>", out.read_text(), re.S).group(1)
+    )
+    for ckpt in payload["ckpts"]:
+        for latent in ckpt["latents"]:
+            # top_k=2 examples -> at most 2 highlighted images, never the
+            # 4-variant spread (2 examples x img/sae_img/seg/sae_seg = 8).
+            assert 1 <= len(latent["imgs"]) <= 2, len(latent["imgs"])
