@@ -350,3 +350,35 @@ def test_reference_shuffled_loader_reads_our_shards(tmp_path):
     finally:
         dl.shutdown()
     assert seen == set(want)
+
+
+def test_prefix_sampling_distribution_interop():
+    """Our host-side Pareto prefix sampler draws from the SAME distribution as
+    the reference's torch sampler (reference objectives.py:161-201). RNG
+    streams differ by design (numpy vs torch), so this pins the marginal
+    distribution: a two-sample KS test over pooled draws must not reject."""
+    import torch as _torch
+
+    from saev_tpu.nn import objectives as ours
+
+    ref_obj = load_reference_module("nn.objectives")
+
+    d_sae, n_prefixes, n_draws = 512, 6, 800
+    rng = np.random.default_rng(0)
+    _torch.manual_seed(0)
+    our_samples = np.concatenate([
+        ours.sample_prefixes(d_sae, n_prefixes, rng=rng)[:-1]  # drop fixed d_sae
+        for _ in range(n_draws)
+    ])
+    ref_samples = np.concatenate([
+        ref_obj.sample_prefixes(d_sae, n_prefixes).numpy()[:-1]
+        for _ in range(n_draws)
+    ])
+
+    import scipy.stats
+
+    ks = scipy.stats.ks_2samp(our_samples, ref_samples)
+    assert ks.pvalue > 1e-3, (ks.statistic, ks.pvalue)
+    # Shape sanity: the Pareto favors SHORT prefixes on both sides.
+    assert np.median(our_samples) < d_sae / 4
+    assert np.median(ref_samples) < d_sae / 4
