@@ -382,3 +382,31 @@ def test_prefix_sampling_distribution_interop():
     # Shape sanity: the Pareto favors SHORT prefixes on both sides.
     assert np.median(our_samples) < d_sae / 4
     assert np.median(ref_samples) < d_sae / 4
+
+
+@pytest.mark.parametrize("agg", ["majority", "prefer-fg"])
+def test_pixel_to_patch_labels_interop(ref_shards, agg):
+    """Pixel->patch label aggregation agrees exactly with the reference's
+    implementation for both policies (reference shards.py:894-961), including
+    majority ties and background-dominant patches."""
+    from PIL import Image
+
+    from saev_tpu.data import shards as ours
+
+    rng = np.random.default_rng(0)
+    h = w = 32
+    patch = 8
+    n_patches = (h // patch) * (w // patch)
+    # Blocky masks with ties and background-heavy regions.
+    seg = rng.integers(0, 4, size=(h // 4, w // 4)).repeat(4, 0).repeat(4, 1)
+    seg_img = Image.fromarray(seg.astype(np.uint8))
+
+    want = ref_shards.pixel_to_patch_labels(
+        seg_img, n_patches, patch,
+        pixel_agg=ref_shards.PixelAgg(agg), bg_label=0,
+    ).numpy()
+    got = np.asarray(ours.pixel_to_patch_labels(
+        np.asarray(seg_img, dtype=np.uint8), n_patches, patch_size=patch,
+        pixel_agg=ours.PixelAgg(agg), bg_label=0,
+    ))
+    np.testing.assert_array_equal(got, want)
