@@ -410,3 +410,32 @@ def test_pixel_to_patch_labels_interop(ref_shards, agg):
         pixel_agg=ours.PixelAgg(agg), bg_label=0,
     ))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.timeout(180)
+def test_reference_ordered_loader_token_labels(tmp_path):
+    """Labeled shards: the reference's ordered loader attaches the same
+    token_labels ours does (reference ordered.py:124-158)."""
+    import torch.multiprocessing as mp
+
+    if mp.get_start_method(allow_none=True) not in (None, "fork"):
+        pytest.skip("needs fork start method so the child inherits refstubs")
+
+    from saev_tpu.data import ordered as our_ordered
+
+    ref_ordered = load_reference_data_module("ordered")
+    seg_dir = helpers.write_shards(tmp_path, n_examples=6, layers=(0,), seg=True)
+
+    ref_dl = ref_ordered.DataLoader(ref_ordered.Config(
+        shards=seg_dir, layer=0, batch_size=32, buffer_size=4,
+    ))
+    ref_batches = [{k: np.asarray(v) for k, v in b.items()} for b in ref_dl]
+    our_batches = list(our_ordered.DataLoader(our_ordered.Config(
+        shards=seg_dir, layer=0, batch_size=32,
+    )))
+
+    assert len(ref_batches) == len(our_batches)
+    for ref_b, our_b in zip(ref_batches, our_batches):
+        assert "token_labels" in ref_b and "token_labels" in our_b
+        np.testing.assert_array_equal(ref_b["token_labels"], our_b["token_labels"])
+        np.testing.assert_array_equal(ref_b["act"], our_b["act"])
