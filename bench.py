@@ -139,7 +139,11 @@ def main():
             kernel_parity = "FAIL:" + ",".join(failed or [result.get("error", "?")])
 
     dt1 = time_step(n_sae)
+    # With --n-sae > 1 the throughput is SAE-patches/s (N SAEs amortizing one
+    # batch); scale the baseline by N too so vs_baseline stays an
+    # apples-to-apples per-SAE comparison under the same metric name.
     patches_per_s = BATCH * n_sae / dt1
+    baseline = BASELINE_PATCHES_PER_S * n_sae
 
     sweep = {}
     if do_sweep:
@@ -159,7 +163,7 @@ def main():
             "metric": "sae_train_patches_per_sec_per_chip",
             "value": round(patches_per_s, 1),
             "unit": "patches/s",
-            "vs_baseline": round(patches_per_s / BASELINE_PATCHES_PER_S, 2),
+            "vs_baseline": round(patches_per_s / baseline, 2),
             "kernel_parity": kernel_parity,
             "sweep": sweep,
         })

@@ -20,55 +20,70 @@ logger = logging.getLogger(__name__)
 
 
 def load_sweep(sweep_fpath: pathlib.Path) -> list[dict]:
-    """Load a sweep file and return the list of config dicts.
+    """Execute a sweep file's `make_cfgs()` and return its config dicts.
 
-    Args:
-        sweep_fpath: Path to a Python file with a `make_cfgs()` function.
-
-    Returns:
-        List of config dictionaries from `make_cfgs()`. Empty list on any error.
+    A sweep file is plain Python defining `make_cfgs() -> list[dict]` (the
+    protocol the reference pins in `src/saev/configs.py:16-39`; our sweep
+    files are interchangeable with its — see the live equivalence test).
+    Anything that goes wrong — unreadable file, syntax error, missing or
+    raising `make_cfgs`, a non-list return — degrades to `[]` with a logged
+    warning so one broken sweep file never kills a launcher.
     """
+    def run() -> object:
+        scope: dict[str, object] = {}
+        exec(compile(sweep_fpath.read_text(), str(sweep_fpath), "exec"), scope)
+        return scope["make_cfgs"]()
+
     try:
-        namespace: dict[str, object] = {}
-        exec(sweep_fpath.read_text(), namespace)
-        result = namespace["make_cfgs"]()
-        if not isinstance(result, list):
-            logger.warning(
-                "make_cfgs() in %s returned %s, expected list",
-                sweep_fpath,
-                type(result).__name__,
-            )
-            return []
-        return result
+        dcts = run()
     except Exception as err:
-        logger.warning("Failed to load sweep from %s: %s", sweep_fpath, err)
+        logger.warning("sweep file %s unusable (%s); ignoring it", sweep_fpath, err)
         return []
+    if not isinstance(dcts, list):
+        logger.warning(
+            "sweep file %s: make_cfgs() must return a list, not %s; ignoring it",
+            sweep_fpath,
+            type(dcts).__name__,
+        )
+        return []
+    return dcts
 
 
 def expand(config: dict[str, object]) -> Iterator[dict[str, object]]:
-    """Expand a nested dict that may contain lists into many dicts."""
-    yield from _expand_discrete(dict(config))
+    """Expand a nested dict whose list values are axes into the full grid.
+
+    Implemented as flatten → product → unflatten: every leaf path of the
+    nested dict becomes an axis (a list value contributes its elements, a
+    scalar contributes a single option), and one `itertools.product` over the
+    axes — later leaves varying fastest — reproduces the reference engine's
+    enumeration order exactly (pinned by the live-equivalence test).
+    """
+    axes: list[tuple[tuple[str, ...], list]] = []
+    _flatten_axes(config, (), axes)
+    for combo in itertools.product(*(options for _, options in axes)):
+        grid_point: dict[str, object] = {}
+        for (path, _), value in zip(axes, combo):
+            node = grid_point
+            for key in path[:-1]:
+                node = node.setdefault(key, {})  # type: ignore[assignment]
+            node[path[-1]] = value
+        yield grid_point
 
 
-def _expand_discrete(config: dict[str, object]) -> Iterator[dict[str, object]]:
-    if not config:
-        yield {}
-        return
-
-    key, value = config.popitem()
-
-    if isinstance(value, list):
-        for c in _expand_discrete(config):
-            for v in value:
-                yield {**c, key: v}
-    elif isinstance(value, dict):
-        for c, v in itertools.product(
-            _expand_discrete(config), _expand_discrete(dict(value))
-        ):
-            yield {**c, key: v}
-    else:
-        for c in _expand_discrete(config):
-            yield {**c, key: value}
+def _flatten_axes(
+    node: dict[str, object],
+    path: tuple[str, ...],
+    axes: list[tuple[tuple[str, ...], list]],
+) -> None:
+    """Depth-first leaf walk; each leaf contributes one product axis."""
+    for key, value in node.items():
+        if isinstance(value, dict) and value:
+            _flatten_axes(value, path + (key,), axes)
+        elif isinstance(value, list):
+            axes.append((path + (key,), value))
+        else:
+            # Scalars (and empty dicts) are degenerate one-option axes.
+            axes.append((path + (key,), [value]))
 
 
 def load_cfgs(
@@ -95,7 +110,10 @@ def load_cfgs(
 
     cfgs: list[T] = []
     errs: list[str] = []
-    d = 0  # global counter for seed incrementing across all expanded configs
+    # Every expanded config — even ones that fail or collapse to the bare
+    # override — advances `d`, so seeds stay distinct and stable regardless
+    # of which grid points error out.
+    d = 0
 
     for sweep_dct in sweep_dcts:
         filtered_dct = _filter_overridden_fields(sweep_dct, overridden_fields)
@@ -143,7 +161,9 @@ def _filter_overridden_fields(
                 try:
                     default_value = type(overridden_value)()
                 except TypeError:
-                    # Cannot construct a default to diff against; treat as overridden.
+                    # No zero-arg constructor means no baseline to diff the
+                    # override against — the safe reading is "the CLI set the
+                    # whole subtree", so the sweep loses this key entirely.
                     continue
                 nested_overrides = get_non_default_values(
                     overridden_value, default_value
@@ -159,29 +179,31 @@ def _filter_overridden_fields(
     return result
 
 
-def _convert_value(value: object, field_type: object) -> object:
-    """Coerce a sweep/JSON value to the declared field type."""
+def _convert_value(value: object, field_type: object, *, strict: bool = True) -> object:
+    """Coerce a sweep/JSON value to the declared field type.
+
+    One coercion table shared by the sweep-update path (strict: a scalar that
+    doesn't match its declared type is an error the launcher reports) and the
+    `dict_to_dataclass` path (lenient: values pass through untyped, matching
+    the reference's loader at `src/saev/configs.py:214-260`).
+    """
     origin = tp.get_origin(field_type)
     args = tp.get_args(field_type)
 
     if origin is tuple and args:
         return tuple(value) if isinstance(value, list) else value
-    elif origin is list and args and dataclasses.is_dataclass(args[0]):
+    if origin is list and args and dataclasses.is_dataclass(args[0]):
         return [dict_to_dataclass(item, args[0]) for item in value]
-    elif dataclasses.is_dataclass(field_type):
+    if dataclasses.is_dataclass(field_type):
         return dict_to_dataclass(value, field_type)
-    elif field_type is pathlib.Path:
+    path_like = field_type is pathlib.Path or (
+        origin in (tp.Union, types.UnionType) and pathlib.Path in args
+    )
+    if path_like:
         return pathlib.Path(value) if value is not None else value
-    elif origin is tp.Union and pathlib.Path in args:
-        return pathlib.Path(value) if value is not None else value
-    elif origin is types.UnionType and pathlib.Path in args:
-        return pathlib.Path(value) if value is not None else value
-    else:
-        if isinstance(field_type, type) and not isinstance(value, field_type):
-            raise TypeError(
-                f"Expected {field_type.__name__}, got {type(value).__name__}"
-            )
-        return value
+    if strict and isinstance(field_type, type) and not isinstance(value, field_type):
+        raise TypeError(f"Expected {field_type.__name__}, got {type(value).__name__}")
+    return value
 
 
 def _resolve_field_type(cls: type, name: str) -> object:
@@ -220,35 +242,22 @@ def _recursive_dataclass_update(obj, updates: dict[str, object], base_cfg, d: in
 
 
 def dict_to_dataclass(data: dict, cls: type[T]) -> T:
-    """Recursively convert a dictionary to a dataclass instance."""
+    """Instantiate `cls` from a plain dict, coercing nested fields lazily.
+
+    Unknown keys are ignored; present keys run through the shared coercion
+    table in lenient mode (no scalar type enforcement — JSON round-trips may
+    legitimately hand an int where a float is declared).
+    """
     if not dataclasses.is_dataclass(cls):
         return data  # type: ignore[return-value]
 
-    kwargs: dict[str, object] = {}
-    for field in dataclasses.fields(cls):
-        if field.name not in data:
-            continue
-        value = data[field.name]
-        field_type = _resolve_field_type(cls, field.name)
-
-        origin = tp.get_origin(field_type)
-        args = tp.get_args(field_type)
-
-        if origin is tuple and args:
-            kwargs[field.name] = tuple(value) if isinstance(value, list) else value
-        elif origin is list and args and dataclasses.is_dataclass(args[0]):
-            kwargs[field.name] = [dict_to_dataclass(item, args[0]) for item in value]
-        elif dataclasses.is_dataclass(field_type):
-            kwargs[field.name] = dict_to_dataclass(value, field_type)
-        elif field_type is pathlib.Path:
-            kwargs[field.name] = pathlib.Path(value) if value is not None else value
-        elif origin is tp.Union and pathlib.Path in args:
-            kwargs[field.name] = pathlib.Path(value) if value is not None else value
-        elif origin is types.UnionType and pathlib.Path in args:
-            kwargs[field.name] = pathlib.Path(value) if value is not None else value
-        else:
-            kwargs[field.name] = value
-
+    kwargs = {
+        f.name: _convert_value(
+            data[f.name], _resolve_field_type(cls, f.name), strict=False
+        )
+        for f in dataclasses.fields(cls)
+        if f.name in data
+    }
     return cls(**kwargs)
 
 

@@ -192,7 +192,13 @@ class ReservoirBuffer:
             except BaseException:
                 self.cancel(slot_ids)
                 raise
-            self.commit(slot_ids)
+            try:
+                self.commit(slot_ids)
+            except BufferClosed:
+                # Preserve slot conservation: a commit refused by close() must
+                # return the reserved slots to the free pool before raising.
+                self.cancel(slot_ids)
+                raise
             start += fit
 
     def get(

@@ -252,7 +252,13 @@ def _io_worker(
                         except BaseException:
                             reservoir.cancel(slot_ids)
                             raise
-                        reservoir.commit(slot_ids)
+                        try:
+                            reservoir.commit(slot_ids)
+                        except buffers.BufferClosed:
+                            # Keep slot conservation if the buffer closed
+                            # between reserve and commit.
+                            reservoir.cancel(slot_ids)
+                            raise
                         done += fit
                     t1 = time.perf_counter()
 

@@ -1,7 +1,9 @@
 """Disk-layout helpers: runs root / shards root / run directories.
 
-Layout (same as the reference protocol, `src/saev/disk.py:13-161` and
-docs/src/developers/disk-layout.md):
+The on-disk layout is a compatibility contract with the reference protocol
+(`src/saev/disk.py:13-161`, docs/src/developers/disk-layout.md) — run dirs
+written here are readable by the reference and vice versa (proven live in
+tests/test_reference_interop.py):
 
     $SAEV_SCRATCH/saev/shards/<hash>/{metadata.json, shards.json, acts*.bin[, labels.bin]}
     $SAEV_NFS/saev/runs/<run_id>/{checkpoint/{sae.pt,config.json}, links/{train,val}-shards, inference/<hash>/}
@@ -10,51 +12,59 @@ docs/src/developers/disk-layout.md):
 import json
 import pathlib
 
+_RUN_SUBDIRS = ("checkpoint", "links", "inference")
+
+
+def _tail_is(path: pathlib.Path, *tail: str) -> bool:
+    """True when the last `len(tail)` path components equal `tail`."""
+    n = len(tail)
+    return len(path.parts) >= n and path.parts[-n:] == tail
+
 
 def is_runs_root(path: pathlib.Path) -> bool:
-    """True if `path` is a directory ending in saev/runs."""
-    return path.is_dir() and path.parts[-2:] == ("saev", "runs")
+    """True if `path` is an existing directory whose tail is saev/runs."""
+    return path.is_dir() and _tail_is(path, "saev", "runs")
 
 
 def is_shards_root(path: pathlib.Path) -> bool:
-    """True if `path` is a directory ending in saev/shards."""
-    return path.is_dir() and path.parts[-2:] == ("saev", "shards")
+    """True if `path` is an existing directory whose tail is saev/shards."""
+    return path.is_dir() and _tail_is(path, "saev", "shards")
 
 
 def is_shards_dir(path: pathlib.Path) -> bool:
-    """True if `path` is a directory ending in saev/shards/<hash>."""
-    if not path.is_dir():
-        return False
-    if len(path.parts) < 3 or path.parts[-3:-1] != ("saev", "shards"):
-        return False
-    return True
+    """True if `path` is an existing directory shaped like saev/shards/<hash>.
+
+    Only the path shape is checked here; content validation (metadata.json,
+    shards.json, the .bin files) lives in `saev_tpu.data.shards`.
+    """
+    return path.is_dir() and len(path.parts) >= 3 and _tail_is(
+        path.parent, "saev", "shards"
+    )
 
 
 class Run:
-    """An SAE training run directory and its associated data.
+    """Handle on one training-run directory under a saev/runs root.
 
-    Args:
-        run_dir: Run directory, $SAEV_NFS/saev/runs/<run_id>. Assumes the run already
-            exists and validates the structure. Use `Run.new()` to create a new run.
+    Construction validates an *existing* run (shape `.../saev/runs/<run_id>`
+    plus the three required subdirectories); `Run.new()` is the only way to
+    create one. Everything else is derived paths.
     """
 
     def __init__(self, run_dir: pathlib.Path):
         self.run_dir = pathlib.Path(run_dir)
 
-        if len(self.run_dir.parts) < 3 or self.run_dir.parts[-3:-1] != ("saev", "runs"):
+        if not _tail_is(self.run_dir.parent, "saev", "runs"):
             raise ValueError("Run directory is invalid.")
-
         if not self.run_dir.exists():
             raise FileNotFoundError(
-                f"Run directory does not exist: {self.run_dir}. "
-                "Use Run.new() to create a new run."
+                f"no run at {self.run_dir} — Run.new() creates the layout"
             )
-        for sub in ("checkpoint", "links", "inference"):
-            if not (self.run_dir / sub).exists():
-                raise FileNotFoundError(
-                    f"{sub.capitalize()} directory does not exist: "
-                    f"{self.run_dir / sub}. Use Run.new() to create a new run."
-                )
+        missing = [s for s in _RUN_SUBDIRS if not (self.run_dir / s).exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"run at {self.run_dir} is missing {', '.join(missing)}/ — "
+                "Run.new() creates the full layout"
+            )
 
     @classmethod
     def new(
@@ -65,12 +75,11 @@ class Run:
         val_shards_dir: pathlib.Path,
         runs_root: pathlib.Path,
     ) -> "Run":
-        """Create a new run with directory structure and symlinks."""
+        """Create the run-dir skeleton + shard symlinks, then validate it."""
         run_dir = pathlib.Path(runs_root) / run_id
         run_dir.mkdir(parents=True)
-        (run_dir / "checkpoint").mkdir()
-        (run_dir / "links").mkdir()
-        (run_dir / "inference").mkdir()
+        for sub in _RUN_SUBDIRS:
+            (run_dir / sub).mkdir()
 
         (run_dir / "links" / "train-shards").symlink_to(train_shards_dir)
         (run_dir / "links" / "val-shards").symlink_to(val_shards_dir)
@@ -85,8 +94,7 @@ class Run:
     @property
     def config(self) -> dict[str, object]:
         """The training run config as a plain dict."""
-        config_fpath = self.run_dir / "checkpoint" / "config.json"
-        with open(config_fpath) as fd:
+        with open(self.run_dir / "checkpoint" / "config.json") as fd:
             return json.load(fd)
 
     @property

@@ -64,10 +64,14 @@ def positive(name: str, value, *, what: str = "") -> None:
 
 def fraction(name: str, value, *, what: str = "") -> None:
     """Assert a config scalar lies in [0, 1], raising GuardError."""
-    try:
-        ok = 0.0 <= float(value) <= 1.0
-    except (TypeError, ValueError):
+    if isinstance(value, bool):
+        # float(True) == 1.0 would pass the range check; match positive().
         ok = False
+    else:
+        try:
+            ok = 0.0 <= float(value) <= 1.0
+        except (TypeError, ValueError):
+            ok = False
     if not ok:
         raise GuardError(f"{name}: expected a value in [0, 1]{_ctx(what)}, got {value!r}")
 

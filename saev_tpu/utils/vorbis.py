@@ -179,6 +179,9 @@ def write_ogg(
         ctypes.c_float(quality),
     )
     if rc != 0:
+        # vi was already initialized above; clear it before raising so a
+        # failed encode_init doesn't leak the native vorbis_info allocation.
+        vo.vorbis_info_clear(vi)
         raise ValueError(f"vorbis_encode_init_vbr failed rc={rc}")
     vc, vd, vb, os_ = _opaque(), _opaque(), _opaque(), _opaque()
     vo.vorbis_comment_init(vc)

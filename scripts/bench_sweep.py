@@ -42,6 +42,13 @@ def run(n_sae: int, sweep_vmap_width: int = 1) -> dict:
     compile_s = time.time() - t0
     hlo = compiled.as_text()
     n_mosaic = len(re.findall(r'custom_call_target="tpu_custom_call"', hlo))
+    if jax.default_backend() == "tpu" and n_mosaic == 0:
+        # The whole point of the verification is catching a silent XLA
+        # fallback; a zero count on the TPU backend is a failure, not a row.
+        raise AssertionError(
+            f"n_sae={n_sae}: no tpu_custom_call sites in the compiled HLO — "
+            "the Pallas kernels did not lower inside the sweep"
+        )
 
     for _ in range(3):
         ts, stats = compiled(ts, xs[0], prefixes, hp)
