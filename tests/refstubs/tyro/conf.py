@@ -3,3 +3,9 @@ class Suppress:
 
     def __class_getitem__(cls, item):
         return item
+
+
+def arg(**kwargs):
+    """Annotation metadata passthrough: tyro.conf.arg(name="") is only read
+    by the real tyro CLI parser, never at import/runtime in the tests."""
+    return kwargs
