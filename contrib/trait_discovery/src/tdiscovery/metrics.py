@@ -147,6 +147,18 @@ def worker_fn(cfg: Config) -> dict[str, object]:
     }
     out_fpath = val_art / "trait_metrics.json"
     saev_tpu.helpers.jdump(results, open(out_fpath, "wb"), indent=2)
+
+    # The analysis layer (tdiscovery.analysis / the reference's notebooks)
+    # reads a per-(train, val) npz with the raw arrays; write the same
+    # artifact the reference's worker does (reference metrics.py:262-271).
+    np.savez(
+        val_art / f"probe1d_metrics__train-{cfg.train_shards.name}.npz",
+        ap=np.nan_to_num(ap_c, nan=0.0).astype(np.float32),
+        precision=precision.astype(np.float32),
+        recall=recall.astype(np.float32),
+        f1=f1.astype(np.float32),
+        top_labels=top_labels_dk,
+    )
     logger.info("mAP=%.4f; wrote %s", results["mean_ap"], out_fpath)
     return results
 

@@ -67,6 +67,22 @@ def main(pytest_report: pathlib.Path, coverage_json: pathlib.Path | None = None)
         lines.append("")
         lines.append(f"{covered}/{total} lines ({pct:.1f}%).")
         lines.append("")
+        worst = sorted(
+            (
+                (f["summary"]["percent_covered"], name, f["summary"])
+                for name, f in cov.get("files", {}).items()
+                if f["summary"]["num_statements"] >= 20
+            ),
+        )[:10]
+        if worst:
+            lines.append("Least-covered files (>=20 lines):")
+            lines.append("")
+            for pct_f, name, s in worst:
+                lines.append(
+                    f"- `{name}` — {s['covered_lines']}/{s['num_statements']} "
+                    f"({pct_f:.0f}%)"
+                )
+            lines.append("")
 
     return "\n".join(lines)
 

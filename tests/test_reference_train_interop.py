@@ -90,6 +90,41 @@ def _ref_data_package():
     return pkg
 
 
+def _ref_nn_package():
+    """Give `saev.nn` its public surface even when an earlier test left only
+    a bare shell package in sys.modules (conftest.load_reference_module
+    shells intermediate packages without executing their __init__)."""
+    modeling = load_reference_module("nn.modeling")
+    objectives = load_reference_module("nn.objectives")
+    pkg = sys.modules["saev.nn"]
+    for name in ("SparseAutoencoder", "SparseAutoencoderConfig", "dump", "load"):
+        if not hasattr(pkg, name):
+            setattr(pkg, name, getattr(modeling, name))
+    for name in ("ObjectiveConfig", "get_objective"):
+        if not hasattr(pkg, name):
+            setattr(pkg, name, getattr(objectives, name))
+    if not hasattr(pkg, "objectives"):
+        pkg.objectives = objectives
+    import saev
+
+    saev.nn = pkg
+    return pkg
+
+
+def _link(dotted: str):
+    """Load a reference module AND wire the parent-attribute chain, so
+    `saev.utils.scheduling`-style attribute access works even when earlier
+    tests left bare shell packages (shells never set parent attrs)."""
+    mod = load_reference_module(dotted)
+    parts = ("saev." + dotted).split(".")
+    for i in range(1, len(parts)):
+        parent = sys.modules[".".join(parts[:i])]
+        child = sys.modules.get(".".join(parts[: i + 1]))
+        if child is not None and not hasattr(parent, parts[i]):
+            setattr(parent, parts[i], child)
+    return mod
+
+
 @pytest.fixture(scope="module")
 def ref_framework():
     """Load the reference's framework.train + framework.inference modules."""
@@ -100,6 +135,12 @@ def ref_framework():
 
     _install_wandb_stub()
     _ref_data_package()
+    _ref_nn_package()
+    for dotted in (
+        "utils.scheduling", "utils.wandb", "utils.monitoring",
+        "utils.statistics", "configs", "disk", "helpers", "metrics",
+    ):
+        _link(dotted)
     train = load_reference_module("framework.train")
     inference = load_reference_module("framework.inference")
     return train, inference
