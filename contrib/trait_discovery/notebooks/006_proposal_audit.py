@@ -81,3 +81,17 @@ if __name__ == "__main__":
         shard, name="proposal_audit", out=OUT,
     )
     print(audit.to_string(index=False))
+
+    # %% [markdown]
+    # ## Stage 4 — hypothesis battery over every audited run
+    # The analysis half of the reference notebook (006:326-3166): assemble
+    # (sae_df, clf_df) across runs, then test what drives Yield — layer,
+    # classifier family, sparsity, top-k — with fitted slopes/R² saved
+    # alongside the figures in audit_stats.json.
+
+    # %%
+    from tdiscovery import audit_analysis
+
+    extra = [pathlib.Path(p) for p in os.environ.get("TD_RUNS", "").split(":") if p]
+    stats = audit_analysis.run_battery([RUN, *extra], OUT / "audit_battery")
+    print({k: v for k, v in stats.items() if k.startswith("h1")})

@@ -113,3 +113,7 @@ def test_probe_and_metrics_pipeline(tmp_path):
     assert 0.0 <= results["mean_ap"] <= 1.0
     assert "purity@16" in results
     assert (art / "trait_metrics.json").exists()
+    # The analysis layer's npz artifact (reference metrics.py:262-271).
+    with np.load(art / f"probe1d_metrics__train-{md.hash}.npz") as fd:
+        assert {"ap", "precision", "recall", "f1", "top_labels"} <= set(fd.files)
+        assert fd["ap"].shape == fd["precision"].shape
