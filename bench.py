@@ -93,15 +93,24 @@ def build_state(n_sae: int, *, dead_frac: float = 0.05):
 
 def time_step(n_sae: int, *, n_iters: int = 20, sweep_vmap_width: int = 1):
     """Seconds per step of the full train step for an n_sae sweep (timing via
-    the data-dependency chain through the carried state; NOTES.md gotchas)."""
+    the data-dependency chain through the carried state; NOTES.md gotchas).
+
+    Times the dead-subspace AuxK variant at the tight rung — the step the
+    train loop runs at steady state (5% dead fits the d_sae/16 cap; the loop
+    proves that per-step via stats["aux_risk"] and routes to a wider rung or
+    the dense variant otherwise, framework/train.py step_fn_at)."""
     import jax
 
     from saev_tpu.framework import train as train_mod
+    from saev_tpu.nn import objectives as obj_mod
 
     sae_cfg, obj_cfg, ts, hp, xs, prefixes = build_state(n_sae)
+    cap = obj_mod.subspace_cap_ladder(D_SAE, sae_cfg.activation.aux.k_aux)[0]
+    assert int(D_SAE * 0.05) <= cap, "bench dead set must fit the timed cap"
     step_fn = train_mod.make_train_step(
         sae_cfg, obj_cfg, n_steps=6000, optim="adam",
         sweep_vmap_width=sweep_vmap_width,
+        aux_subspace_cap=cap,
     )
     for _ in range(3):
         ts, stats = step_fn(ts, xs[0], prefixes, hp)

@@ -51,6 +51,11 @@ logger = logging.getLogger("train")
 
 Array = jax.Array
 
+# Lag (in steps) at which the train loop reads stats["aux_risk"] when routing
+# between the subspace and dense AuxK step variants; the risk counter inside
+# the step bounds n_dead this many steps ahead (make_train_step).
+AUX_RISK_HORIZON = 2
+
 
 @dataclasses.dataclass(frozen=True)
 class Config:
@@ -497,6 +502,7 @@ def make_train_step(
     sweep_parallel: int = 1,
     mesh=None,
     aux_enabled: bool = True,
+    aux_subspace_cap: int | None = None,
 ):
     """Build the jitted train step for one cohort.
 
@@ -506,6 +512,14 @@ def make_train_step(
     eager code skips the same work via its k_use == 0 early return). The train
     loop uses this warm-up variant until `aux_from_step` and the full step
     after (train()).
+
+    `aux_subspace_cap` compiles the AuxK path in the dead-subspace form
+    (objectives._aux_loss_subspace): every aux tensor shrinks from d_sae to
+    `cap` columns, ~3x cheaper at production shape. Exact iff n_dead <= cap at
+    the step — the train loop guarantees that by reading the lagged
+    stats["aux_risk"] counter (an upper bound on n_dead over the next
+    AUX_RISK_HORIZON steps) and routing to the dense variant when the bound
+    exceeds the cap (step_fn_at).
 
     Signature: step(sweep_state, x, prefixes, hp) -> (sweep_state, stats)
       x:        (batch, d_model) f32, sharded over the data mesh axis
@@ -534,6 +548,7 @@ def make_train_step(
             hp={"sparsity_coeff": coeff, "aux_alpha": alpha, "momentum": momentum},
             precision=precision,
             any_dead=any_dead,
+            aux_subspace_cap=aux_subspace_cap,
         )
         return loss, out, s1, s2
 
@@ -603,6 +618,18 @@ def make_train_step(
             opt_state=opt_state,
             step=ts.step + 1,
         )
+        # Upper bound on n_dead over the next AUX_RISK_HORIZON steps: counters
+        # grow by at most bsz/step, so a latent dead within h steps must
+        # already sit within h*bsz of the threshold. The loop reads this with
+        # an AUX_RISK_HORIZON-step lag (no pipeline stall) to route between
+        # the subspace and dense AuxK step variants.
+        risk_floor = jnp.int32(
+            obj_cfg.dead_threshold_tokens - AUX_RISK_HORIZON * x.shape[0]
+        )
+        aux_risk = jnp.sum(
+            obj_states["toks_since_active"] >= risk_floor, axis=-1
+        ).astype(jnp.int32)
+
         stats = {
             "mse": losses.mse,
             "sparsity": losses.sparsity,
@@ -613,6 +640,7 @@ def make_train_step(
             "loss": losses.loss,
             "grad_norm": grad_norm,
             "lr": lr,
+            "aux_risk": aux_risk,
         }
         return new_ts, stats
 
@@ -680,17 +708,47 @@ class _CohortRuntime(tp.NamedTuple):
     metrics_fn: tp.Any
     hp: dict[str, Array]
     prefix_rng: np.random.Generator
-    # AuxK two-phase stepping: no latent can be dead before
+    # AuxK three-phase stepping: no latent can be dead before
     # dead_threshold_tokens of training, so steps < aux_from_step use
     # step_fn_warm (AuxK statically compiled out, ~19 ms cheaper at
-    # production shape); later steps use the full step_fn.
+    # production shape). After that, the smallest dead-subspace variant in
+    # step_fn_subs whose cap the lagged risk counter proves sufficient runs
+    # (~11 ms cheaper at the tight rung); the dense step_fn is the
+    # always-correct fallback.
     step_fn_warm: tp.Any = None
     aux_from_step: int = 0
+    # [(cap, step_fn), ...] ascending by cap.
+    step_fn_subs: list = None
+    # Mutable routing state (shared across _replace copies by design):
+    # pending [(step_idx, stats), ...] awaiting risk readout, and the newest
+    # proven bound in risk[0] (None = unknown, use dense).
+    pending: list = None
+    risk: list = None
 
     def step_fn_at(self, global_step: int):
         if self.step_fn_warm is not None and global_step < self.aux_from_step:
             return self.step_fn_warm
+        if not self.step_fn_subs:
+            return self.step_fn
+        # Drain stats that are AUX_RISK_HORIZON+ steps old. Reading them can
+        # block only until that step's compute finished — at least one newer
+        # step is already enqueued, so the device never idles on the readout.
+        while self.pending and self.pending[0][0] <= global_step - AUX_RISK_HORIZON:
+            _, stats = self.pending.pop(0)
+            self.risk[0] = int(np.max(np.asarray(stats["aux_risk"])))
+        if self.risk[0] is not None:
+            for cap, fn in self.step_fn_subs:
+                if self.risk[0] <= cap:
+                    return fn
         return self.step_fn
+
+    def record_stats(self, global_step: int, stats) -> None:
+        # Warm-phase stats before (aux_from_step - horizon) would never be
+        # read; skip them so pending stays O(horizon).
+        if self.step_fn_subs and (
+            global_step >= self.aux_from_step - AUX_RISK_HORIZON
+        ):
+            self.pending.append((global_step, stats))
 
 
 def _device_mesh(batch_size: int, sweep: int = 1):
@@ -790,6 +848,13 @@ def train(
             if has_aux
             else n_steps + 1
         )
+        aux_caps = (
+            objectives.subspace_cap_ladder(
+                c0.sae.d_sae, c0.sae.activation.aux.k_aux
+            )
+            if has_aux
+            else []
+        )
         runtimes.append(
             _CohortRuntime(
                 cohort=cohort,
@@ -804,6 +869,19 @@ def train(
                 )
                 if has_aux and aux_from_step > 0
                 else None,
+                step_fn_subs=[
+                    (
+                        cap,
+                        make_train_step(
+                            c0.sae, c0.objective, n_steps, c0.optim,
+                            c0.matmul_precision, aux_subspace_cap=cap,
+                            **step_kwargs,
+                        ),
+                    )
+                    for cap in aux_caps
+                ],
+                pending=[],
+                risk=[None],
                 aux_from_step=aux_from_step,
                 metrics_fn=make_metrics_fn(
                     c0.sae, sweep_vmap_width=eff_width,
@@ -879,6 +957,7 @@ def train(
                 ])
             )
             new_ts, stats = rt.step_fn_at(global_step)(rt.ts, x, prefixes, rt.hp)
+            rt.record_stats(global_step, stats)
 
             if log_now:
                 heavy = rt.metrics_fn(new_ts, x, prefixes)

@@ -167,6 +167,89 @@ def _aux_loss(
     return jnp.where(n_dead > 0, loss, jnp.zeros((), loss.dtype))
 
 
+def default_subspace_cap(d_sae: int, k_aux: int) -> int:
+    """Default dead-subspace width: a quarter of the dictionary, at least
+    4x k_aux, rounded up to a 128-lane multiple, capped at d_sae."""
+    cap = max(d_sae // 4, 4 * k_aux)
+    cap = -(-cap // 128) * 128
+    return min(cap, d_sae)
+
+
+def subspace_cap_ladder(d_sae: int, k_aux: int) -> list[int]:
+    """Ascending subspace caps for the train loop's AuxK routing.
+
+    Two rungs: a tight cap (d_sae/16, the few-percent-dead steady state — at
+    production shape the whole aux path shrinks 16x) and the d_sae/4 default;
+    n_dead above the top rung routes to the dense step. Each rung is one extra
+    compile at loop start, nothing at steady state."""
+    tight = min(-(-max(d_sae // 16, 2 * k_aux) // 128) * 128, d_sae)
+    wide = default_subspace_cap(d_sae, k_aux)
+    return sorted({c for c in (tight, wide) if c < d_sae})
+
+
+def _aux_loss_subspace(
+    aux_cfg: modeling.AuxK,
+    sae_cfg: modeling.SparseAutoencoderConfig,
+    params: modeling.Params,
+    x: Array,
+    x_hat_full: Array,
+    toks: Array,
+    dead_threshold: int,
+    cap: int,
+    alpha: Array | float | None = None,
+    precision=None,
+) -> Array:
+    """AuxK loss computed in the gathered subspace of the `cap` stalest latents.
+
+    Dead latents form a GLOBAL column set (dead_mask is per-latent, shared
+    across rows), and at steady state only a few percent of the dictionary is
+    dead — yet the dense aux path (kth threshold + decode + backward matmuls)
+    runs at full d_sae width, ~16 ms of the production step. Gathering the
+    `cap` stalest columns (by toks_since_active) shrinks every aux tensor by
+    d_sae/cap: all dead latents sort above all live ones, so whenever
+    n_dead <= cap the subspace contains every dead latent and this loss (and
+    its gradients, which flow through the gathered W_enc/W_dec columns and
+    scatter back) equals `_aux_loss` exactly. Callers MUST guarantee
+    n_dead <= cap — the train loop does so with a lagged risk counter
+    (stats["aux_risk"]) and falls back to the dense variant otherwise
+    (framework/train.py).
+
+    The subspace pre-activations are recomputed as x @ W_enc[:, idx] rather
+    than gathered from h_x: the 2x(B x D x cap) recompute matmuls are cheaper
+    than scattering a (B, d_sae) gradient back into the main encode backward.
+    """
+    from .. import ops
+
+    residual = jax.lax.stop_gradient(x - x_hat_full)
+    cap = min(cap, sae_cfg.d_sae)
+    k_aux = min(aux_cfg.k_aux, cap)
+    # Stalest-cap columns. top_k on the int32 staleness counters: every dead
+    # latent (toks >= threshold) outranks every live one.
+    idx = jax.lax.top_k(toks, cap)[1]
+    dead_sub = jnp.take(toks, idx) >= jnp.int32(dead_threshold)
+    w_enc_sub = jnp.take(params["W_enc"], idx, axis=1)  # (d_model, cap)
+    b_enc_sub = jnp.take(params["b_enc"], idx)
+    h_sub = (
+        jnp.dot(x, w_enc_sub, preferred_element_type=jnp.float32, precision=precision)
+        + b_enc_sub
+    )
+    kth = ops.exact_kth_value_masked(jax.lax.stop_gradient(h_sub), dead_sub, k_aux)
+    keep = (h_sub >= kth) & dead_sub[None, :]
+    aux_acts = jnp.where(keep, h_sub, jnp.zeros((), h_sub.dtype))
+    w_dec_sub = jnp.take(params["W_dec"], idx, axis=0)  # (cap, d_model)
+    aux_recon = (
+        jnp.dot(
+            aux_acts, w_dec_sub, preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        + params["b_dec"]
+    )
+    alpha = aux_cfg.alpha if alpha is None else alpha
+    loss = alpha * jnp.mean((aux_recon - residual) ** 2)
+    n_dead = jnp.sum(dead_sub)
+    return jnp.where(n_dead > 0, loss, jnp.zeros((), loss.dtype))
+
+
 def matryoshka_loss(
     obj_cfg: Matryoshka,
     sae_cfg: modeling.SparseAutoencoderConfig,
@@ -180,6 +263,7 @@ def matryoshka_loss(
     hp: dict[str, Array] | None = None,
     precision=None,
     any_dead: Array | None = None,
+    aux_subspace_cap: int | None = None,
 ) -> tuple[MatryoshkaLoss, modeling.Output, modeling.State, ObjectiveState]:
     """One objective forward (reference MatryoshkaObjective.forward,
     objectives.py:101-156). Pure: returns updated SAE state (BatchTopK threshold)
@@ -201,6 +285,11 @@ def matryoshka_loss(
       when True (cond operands are copied, breaking fusion) — measured on
       v5e; prefer the static gate. The predicate must be UNBATCHED (a batched
       cond predicate lowers to select and executes both branches).
+
+    `aux_subspace_cap` (static int) switches the AuxK computation to the
+    dead-subspace variant `_aux_loss_subspace`, exact iff n_dead <= cap at
+    every step it is used — the caller's contract (the train loop enforces it
+    with the stats["aux_risk"] counter and a dense fallback step).
     """
     hp = hp or {}
     enc, new_sae_state = modeling.encode(
@@ -256,7 +345,18 @@ def matryoshka_loss(
 
     aux_cfg = sae_cfg.activation.aux
     if training and isinstance(aux_cfg, modeling.AuxK):
+        use_subspace = (
+            aux_subspace_cap is not None and aux_subspace_cap < sae_cfg.d_sae
+        )
+
         def _heavy():
+            if use_subspace:
+                return _aux_loss_subspace(
+                    aux_cfg, sae_cfg, params, x, xhat_full,
+                    new_obj_state["toks_since_active"],
+                    obj_cfg.dead_threshold_tokens, aux_subspace_cap,
+                    alpha=hp.get("aux_alpha"), precision=precision,
+                )
             return _aux_loss(
                 aux_cfg, sae_cfg, params, x, enc.h_x, xhat_full, dead_mask,
                 alpha=hp.get("aux_alpha"), precision=precision,

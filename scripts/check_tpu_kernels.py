@@ -139,6 +139,64 @@ def run_checks(quick: bool = False) -> dict:
     if not quick:
         prefix_case(16384, 1024, 16384, "prefix_mse_production")
 
+    # --- dead-subspace AuxK vs dense AuxK (the steady-state train step) ---
+    # bench.py times the subspace variant; this check pins it to the dense
+    # reference path on-chip: same loss and same parameter gradients whenever
+    # n_dead <= cap (the train loop's routing guarantee).
+    from saev_tpu.nn import modeling
+
+    b, d_model, d_sae = (2048, 256, 4096) if quick else (4096, 512, 8192)
+    cap = d_sae // 4
+    sae_cfg = modeling.SparseAutoencoderConfig(
+        d_model=d_model, d_sae=d_sae, activation=modeling.TopK(top_k=32)
+    )
+    obj_cfg = objectives.Matryoshka(n_prefixes=10, dead_threshold_tokens=1000)
+    params, state = modeling.init(sae_cfg, jax.random.key(0))
+    n_dead = d_sae // 20
+    dead_cols = rng.choice(d_sae, size=n_dead, replace=False)
+    b_enc = np.asarray(params["b_enc"]).copy()
+    b_enc[dead_cols] = -1e6
+    params = {**params, "b_enc": jnp.asarray(b_enc)}
+    toks = np.zeros(d_sae, np.int32)
+    toks[dead_cols] = 1 << 20
+    obj_state = {"toks_since_active": jnp.asarray(toks)}
+    x = jnp.asarray(rng.normal(size=(b, d_model)).astype(np.float32))
+    prefixes = jnp.asarray(
+        objectives.sample_prefixes(d_sae, 10, rng=np.random.default_rng(2))
+    )
+
+    def aux_loss(p, cap_, precision):
+        loss, _, _, _ = objectives.matryoshka_loss(
+            obj_cfg, sae_cfg, p, state, obj_state, x, prefixes,
+            training=True, aux_subspace_cap=cap_, precision=precision,
+        )
+        return loss.aux
+
+    # Two regimes: HIGHEST (f32 matmuls) isolates the subspace math — a
+    # selection or gather bug shows up as O(1) error, so the tolerance is
+    # sharp; DEFAULT (bf16 matmul passes, the timed bench path) only bounds
+    # the recompute-vs-shared-matmul noise, same 1e-2 headroom as the
+    # prefix-MSE checks (the -1e6 dead-pinning bias amplifies bf16 noise
+    # through the quadratic loss).
+    for pname, precision, tol in (
+        ("highest", jax.lax.Precision.HIGHEST, 1e-4),
+        ("default", None, 1e-2),
+    ):
+        (l_sub, g_sub) = jax.jit(
+            jax.value_and_grad(lambda p: aux_loss(p, cap, precision))
+        )(params)
+        (l_dense, g_dense) = jax.jit(
+            jax.value_and_grad(lambda p: aux_loss(p, None, precision))
+        )(params)
+        errs = {"loss": _rel_err(l_sub, l_dense)}
+        for key in g_dense:
+            errs[key] = _rel_err(g_sub[key], g_dense[key])
+        checks[f"auxk_subspace_vs_dense_{pname}"] = {
+            "rel_err": errs,
+            "tol": tol,
+            "ok": bool(all(v < tol for v in errs.values())),
+        }
+
     # --- sweep composition: the same kernels under vmap over stacked SAEs ---
     b, d_model, d_sae, n_sae = 512, 256, 2048, 3
     f = np.maximum(rng.normal(size=(n_sae, b, d_sae)), 0).astype(np.float32)

@@ -360,3 +360,201 @@ def test_train_step_skips_aux_only_when_none_can_be_dead():
     stats = run_step(mixed)
     aux = np.asarray(stats["aux"])
     assert aux[0] > 0 and aux[1] == 0.0
+
+
+def _subspace_setup(n_dead: int, d_sae: int = 64, k_aux: int = 4):
+    """SAE with exactly n_dead latents pinned dead (saturated counters +
+    encoder bias at -1e6 so they never fire and stay dead through the
+    counter update)."""
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=8, d_sae=d_sae,
+        activation=modeling.TopK(top_k=4, aux=modeling.AuxK(k_aux=k_aux, alpha=1.0)),
+    )
+    params, state = modeling.init(cfg, jax.random.key(0))
+    obj_cfg = objectives.Matryoshka(n_prefixes=3, dead_threshold_tokens=100)
+    x = jax.random.normal(jax.random.key(2), (16, 8))
+    prefixes = jnp.asarray([5, 17, d_sae], jnp.int32)
+    toks = np.zeros(d_sae, np.int32)
+    # Scatter the dead set (not a contiguous block) so the gather is exercised.
+    dead_cols = np.random.default_rng(3).choice(d_sae, size=n_dead, replace=False)
+    toks[dead_cols] = 200
+    obj_state = {"toks_since_active": jnp.asarray(toks)}
+    if n_dead:
+        params = {
+            **params,
+            "b_enc": params["b_enc"].at[jnp.asarray(dead_cols)].set(-1e6),
+        }
+    return cfg, obj_cfg, params, state, obj_state, x, prefixes
+
+
+def _loss_and_grads(cfg, obj_cfg, params, state, obj_state, x, prefixes, cap):
+    def scalar(p):
+        loss, _, _, _ = objectives.matryoshka_loss(
+            obj_cfg, cfg, p, state, obj_state, x, prefixes,
+            training=True, aux_subspace_cap=cap,
+        )
+        return loss.loss, loss
+
+    (_, loss), g = jax.value_and_grad(scalar, has_aux=True)(params)
+    return loss, g
+
+
+def test_aux_subspace_matches_dense():
+    """Dead-subspace AuxK == dense AuxK (loss AND all gradients) whenever
+    n_dead <= cap: below k_aux, above k_aux, and exactly at the cap."""
+    for n_dead in (2, 12, 16):
+        cfg, obj_cfg, params, state, obj_state, x, prefixes = _subspace_setup(
+            n_dead
+        )
+        l_dense, g_dense = _loss_and_grads(
+            cfg, obj_cfg, params, state, obj_state, x, prefixes, cap=None
+        )
+        l_sub, g_sub = _loss_and_grads(
+            cfg, obj_cfg, params, state, obj_state, x, prefixes, cap=16
+        )
+        assert float(l_dense.aux) > 0, n_dead
+        np.testing.assert_allclose(
+            float(l_sub.aux), float(l_dense.aux), rtol=1e-6, err_msg=f"n_dead={n_dead}"
+        )
+        np.testing.assert_allclose(
+            float(l_sub.loss), float(l_dense.loss), rtol=1e-6
+        )
+        for k in g_dense:
+            # rtol 5e-5: the subspace recomputes h on the gathered columns, so
+            # f32 summation order differs from the shared encode matmul; the
+            # -1e6 dead-pinning bias makes |h|~1e6 on those columns and
+            # amplifies that last-ulp difference through the quadratic loss.
+            np.testing.assert_allclose(
+                np.asarray(g_sub[k]), np.asarray(g_dense[k]),
+                rtol=5e-5, atol=1e-7, err_msg=f"n_dead={n_dead} grad {k}",
+            )
+
+
+def test_aux_subspace_no_dead_is_zero():
+    cfg, obj_cfg, params, state, obj_state, x, prefixes = _subspace_setup(0)
+    l_sub, _ = _loss_and_grads(
+        cfg, obj_cfg, params, state, obj_state, x, prefixes, cap=16
+    )
+    assert float(l_sub.aux) == 0.0
+
+
+def test_aux_subspace_cap_at_d_sae_is_dense():
+    """cap >= d_sae routes to the plain dense path (no gather)."""
+    cfg, obj_cfg, params, state, obj_state, x, prefixes = _subspace_setup(12)
+    l_dense, _ = _loss_and_grads(
+        cfg, obj_cfg, params, state, obj_state, x, prefixes, cap=None
+    )
+    l_cap, _ = _loss_and_grads(
+        cfg, obj_cfg, params, state, obj_state, x, prefixes, cap=64
+    )
+    np.testing.assert_allclose(float(l_cap.aux), float(l_dense.aux), rtol=1e-7)
+
+
+def test_default_subspace_cap():
+    # Production shape: a quarter of the dictionary.
+    assert objectives.default_subspace_cap(16384, 512) == 4096
+    # Lane-aligned, at least 4x k_aux, never above d_sae.
+    assert objectives.default_subspace_cap(16384, 2048) == 8192
+    assert objectives.default_subspace_cap(1000, 100) == 400 - 400 % 128 + (128 if 400 % 128 else 0)
+    assert objectives.default_subspace_cap(64, 512) == 64
+    cap = objectives.default_subspace_cap(4096, 100)
+    assert cap % 128 == 0 and cap <= 4096
+
+
+def test_subspace_cap_ladder():
+    # Production shape: tight rung d_sae/16, wide rung d_sae/4, ascending.
+    assert objectives.subspace_cap_ladder(16384, 512) == [1024, 4096]
+    # Tiny dictionaries where no cap < d_sae: empty ladder (dense only).
+    assert objectives.subspace_cap_ladder(64, 512) == []
+    for d_sae, k_aux in ((16384, 512), (8192, 64), (4096, 2048)):
+        ladder = objectives.subspace_cap_ladder(d_sae, k_aux)
+        assert ladder == sorted(set(ladder))
+        for c in ladder:
+            assert c % 128 == 0 and 2 * min(k_aux, c) <= 2 * c and c < d_sae
+
+
+def test_aux_risk_stat_bounds_future_n_dead():
+    """stats['aux_risk'] from step i must upper-bound n_dead at steps i+1 and
+    i+2 (the routing contract of the three-variant train loop)."""
+    from saev_tpu.framework import train as train_mod
+
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=8, d_sae=32,
+        activation=modeling.TopK(top_k=4, aux=modeling.AuxK(k_aux=4, alpha=1.0)),
+    )
+    obj_cfg = objectives.Matryoshka(n_prefixes=2, dead_threshold_tokens=64)
+    params, state = modeling.init(cfg, jax.random.key(0))
+    # 5 latents already close to the threshold, pinned inactive.
+    toks = np.zeros(32, np.int32)
+    toks[:5] = 40
+    params = {**params, "b_enc": params["b_enc"].at[:5].set(-1e6)}
+    stack = lambda t: jax.tree.map(lambda a: jnp.asarray(a)[None], t)
+    ts = train_mod.SweepState(
+        params=stack(params),
+        sae_state=stack(state),
+        obj_state=stack({"toks_since_active": jnp.asarray(toks)}),
+        opt_state=train_mod._adam_init(stack(params)),
+        step=jnp.zeros((), jnp.int32),
+    )
+    hp = {
+        "lr": jnp.full((1,), 1e-4, jnp.float32),
+        "n_lr_warmup": jnp.zeros((1,), jnp.float32),
+        "grad_clip": jnp.ones((1,), jnp.float32),
+        "sparsity_coeff": jnp.zeros((1,), jnp.float32),
+        "aux_alpha": jnp.full((1,), 1.0, jnp.float32),
+        "momentum": jnp.zeros((1,), jnp.float32),
+    }
+    step = train_mod.make_train_step(cfg, obj_cfg, n_steps=10, optim="adam")
+    rng = np.random.default_rng(0)
+    pfx = jnp.asarray([[7, 32]], jnp.int32)
+    risks, n_deads = [], []
+    for i in range(5):
+        x = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+        ts, stats = step(ts, x, pfx, hp)
+        risks.append(int(stats["aux_risk"][0]))
+        n_deads.append(int(stats["n_dead"][0]))
+    assert max(n_deads) > 0  # the pinned latents do die during the run
+    for i in range(len(risks)):
+        for h in (1, 2):
+            if i + h < len(n_deads):
+                assert n_deads[i + h] <= risks[i], (i, h, n_deads, risks)
+
+
+def test_step_fn_routing_warm_sub_dense():
+    """step_fn_at routes warm -> subspace/dense on the lagged risk bound."""
+    from saev_tpu.framework import train as train_mod
+
+    calls = []
+    mk = lambda tag: (lambda *a: calls.append(tag))
+    rt = train_mod._CohortRuntime(
+        cohort=None, ts=None, step_fn=mk("dense"), metrics_fn=None, hp=None,
+        prefix_rng=None, step_fn_warm=mk("warm"), aux_from_step=3,
+        step_fn_subs=[(8, mk("sub8")), (16, mk("sub16"))],
+        pending=[], risk=[None],
+    )
+    # Warm phase.
+    rt.step_fn_at(0)()
+    assert calls[-1] == "warm"
+    # Past warm-up with no proven bound yet: dense.
+    rt.step_fn_at(3)()
+    assert calls[-1] == "dense"
+    # A lagged stat proving risk <= cap routes to the tightest sufficient
+    # subspace rung; a stat younger than the horizon must NOT be consumed.
+    rt.record_stats(3, {"aux_risk": np.asarray([5])})
+    rt.step_fn_at(4)()
+    assert calls[-1] == "dense" and rt.pending
+    rt.step_fn_at(5)()
+    assert calls[-1] == "sub8" and not rt.pending
+    # Risk between the rungs picks the wide rung; above all rungs -> dense.
+    rt.record_stats(5, {"aux_risk": np.asarray([9])})
+    rt.step_fn_at(7)()
+    assert calls[-1] == "sub16"
+    rt.record_stats(7, {"aux_risk": np.asarray([17])})
+    rt.step_fn_at(9)()
+    assert calls[-1] == "dense"
+    # Warm-phase stats older than aux_from_step - horizon are not recorded.
+    rt2 = rt._replace(pending=[], risk=[None], aux_from_step=100)
+    rt2.record_stats(0, {"aux_risk": np.asarray([0])})
+    assert not rt2.pending
+    rt2.record_stats(98, {"aux_risk": np.asarray([0])})
+    assert rt2.pending
