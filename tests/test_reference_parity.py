@@ -379,3 +379,144 @@ def test_topk_tie_rate_on_vit_activations(ref, tmp_path, helpers):
 
     report = _tie_report(h, k)
     assert report["diverging_rate"] <= 0.01, report
+
+
+# ---------------------------------------------------------------------------
+# Legacy checkpoint schemas: synthesized historical byte-streams, loaded by the
+# reference's OWN migration code and ours (reference modeling.py:578-658). The
+# published osunlp checkpoints use these formats; with no network in the suite,
+# the header layouts are reconstructed exactly as the reference's `load`
+# parses them (pre-schema d_vit/exp_factor, the two incompatible schema-1
+# formats, schema-2 legacy nested sparsity dicts).
+# ---------------------------------------------------------------------------
+
+_LEGACY_CASES = {
+    # Original pre-schema: one raw-cfg JSON line, d_vit naming, exp_factor,
+    # long-gone knobs (sparsity_coeff/ghost_grads/...), ReLU implied.
+    "pre_schema": (
+        "relu",
+        {
+            "d_vit": D_MODEL,
+            "exp_factor": D_SAE // D_MODEL,
+            "sparsity_coeff": 4e-4,
+            "ghost_grads": False,
+            "l1_coeff": 1e-3,
+            "use_ghost_grads": True,
+            "seed": 7,
+            "n_reinit_samples": 512,
+        },
+    ),
+    # Schema-1 format A: `cls` names the activation type (top_k defaulted).
+    "schema1a": (
+        "topk32",
+        {
+            "schema": 1,
+            "cls": "TopK",
+            "cfg": {"d_model": D_MODEL, "exp_factor": D_SAE // D_MODEL, "seed": 1},
+        },
+    ),
+    # Schema-1 format B: activation as a nested payload with the legacy "kind"
+    # field name and a legacy bare sparsity dict ({"coeff": ...} == L1).
+    "schema1b": (
+        "relu",
+        {
+            "schema": 1,
+            "cls": "SparseAutoencoderConfig",
+            "cfg": {
+                "d_model": D_MODEL,
+                "d_sae": D_SAE,
+                "activation": {
+                    "cls": "Relu",
+                    "params": {
+                        "kind": "relu",
+                        "sparsity": {"coeff": 4e-4},
+                        "aux": {"cls": "NoAux", "params": {"kind": "no-aux"}},
+                    },
+                },
+            },
+        },
+    ),
+    # Schema 2: modern nesting but legacy empty-sparsity dict (== NoSparsity).
+    "schema2": (
+        "batchtopk",
+        {
+            "schema": 2,
+            "cfg": {
+                "d_model": D_MODEL,
+                "d_sae": D_SAE,
+                "reinit_blend": 0.8,
+                "activation": {
+                    "cls": "BatchTopK",
+                    "params": {
+                        "kind": "batch-top-k",
+                        "top_k": 8,
+                        "sparsity": {},
+                        "momentum": 0.1,
+                        "aux": {
+                            "cls": "AuxK",
+                            "params": {"kind": "auxk", "k_aux": 512, "alpha": 1 / 32},
+                        },
+                    },
+                },
+            },
+        },
+    ),
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(_LEGACY_CASES))
+def test_legacy_schema_streams_agree_with_reference_loader(ref, fmt, tmp_path):
+    """Both loaders accept the same historical bytes and agree on cfg, weights,
+    and eval forward (bitwise L0)."""
+    import json
+
+    ref_modeling, _ = ref
+    kind, header = _LEGACY_CASES[fmt]
+    act = {
+        "relu": ref_modeling.Relu(sparsity=ref_modeling.L1Sparsity(coeff=4e-4)),
+        "topk32": ref_modeling.TopK(top_k=32),
+        "batchtopk": ref_modeling.BatchTopK(top_k=8),
+    }[kind]
+    ref_cfg = ref_modeling.SparseAutoencoderConfig(
+        d_model=D_MODEL, d_sae=D_SAE, activation=act
+    )
+    donor = _randomize_ref_sae(
+        ref_modeling.SparseAutoencoder(ref_cfg), seed=31, threshold=0.41
+    )
+    fpath = tmp_path / f"{fmt}.pt"
+    with open(fpath, "wb") as fd:
+        fd.write(json.dumps(header).encode() + b"\n")
+        torch.save(donor.state_dict(), fd)
+
+    ref_sae = ref_modeling.load(fpath)
+    ref_sae.eval()
+    our_cfg, params, state = nn.load(fpath)
+
+    # Config agreement with what the reference's migration produced.
+    assert our_cfg.d_model == ref_sae.cfg.d_model == D_MODEL
+    assert our_cfg.d_sae == ref_sae.cfg.d_sae == D_SAE
+    assert type(our_cfg.activation).__name__ == type(ref_sae.cfg.activation).__name__
+    if kind != "relu":
+        assert our_cfg.activation.top_k == ref_sae.cfg.activation.top_k
+    else:
+        assert our_cfg.activation.sparsity.coeff == pytest.approx(
+            ref_sae.cfg.activation.sparsity.coeff
+        )
+
+    # Weights bitwise equal to the reference-loaded model.
+    ref_sd = ref_sae.state_dict()
+    for ours, theirs in (("W_enc", "W_enc"), ("W_dec", "W_dec"),
+                         ("b_enc", "b_enc"), ("b_dec", "b_dec")):
+        np.testing.assert_array_equal(
+            np.asarray(params[ours]), ref_sd[theirs].numpy()
+        )
+    if kind == "batchtopk":
+        assert float(state["threshold"]) == pytest.approx(0.41)
+
+    x = _x(seed=13)
+    with torch.no_grad():
+        ref_out = ref_sae(torch.from_numpy(x))
+    out, _ = modeling.forward(our_cfg, params, state, jnp.asarray(x), training=False)
+    _assert_forward_parity(
+        ref_out.f_x, ref_out.x_hats[:, -1, :], out.f_x, out.x_hats[:, -1, :]
+    )
