@@ -69,6 +69,35 @@ for key, cmp in result["comparisons"].items():
     print(key, json.dumps({k: v for k, v in cmp.items() if k == "norm_ratio"}))
 
 # %% [markdown]
+# ## Channel trace through the model internals
+# The reference's graphs 1-4 (birdset.py:429-1046): instrument every block's
+# attention / MLP / norm outputs and follow the pathological channel through
+# the layers, plus its LayerNorm scale/bias per layer. Requires the Bird-MAE
+# weights; set BIRDSET_TRACE=1 to run (downloads / loads the checkpoint).
+
+# %%
+if os.environ.get("BIRDSET_TRACE"):
+    import numpy as np
+
+    from birdsong import trace
+    from saev_tpu.models import bird_mae
+
+    model = bird_mae.Transformer(os.environ.get("BIRDSET_ARCH", "Bird-MAE-Large"))
+    rng = np.random.default_rng(0)
+    waveforms = rng.normal(size=(2, bird_mae.SR_HZ * 5)).astype(np.float32)
+    tokens = np.stack([
+        bird_mae.spectrogram_to_tokens(bird_mae.transform(w)) for w in waveforms
+    ])
+    report = trace.trace_report(
+        model,
+        tokens,
+        (bird_mae.N_TIME_PATCHES, bird_mae.N_MEL_PATCHES),
+        out_dir=OUT.parent / "channel_trace",
+    )
+    print("pathological channel:", report["channel"])
+    print("dominance (resid):", report["dominance_by_site"]["resid"])
+
+# %% [markdown]
 # ## Norm histograms (matplotlib, optional)
 
 # %%

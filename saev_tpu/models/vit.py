@@ -342,12 +342,16 @@ def embed_tokens(spec: Spec, params: dict, tokens: Array) -> Array:
 
 
 def _apply_block(spec: Spec, blk: dict, x: Array, sin, cos, compute_dtype):
-    """One transformer block; returns (x_out, norm2_output)."""
+    """One transformer block; returns (x_out, sites) where sites maps every
+    internal tap point (norm1/attn_out/norm2/mlp_out) to its activation.
+    Callers that use only one site pay nothing for the rest — dead values are
+    pruned during XLA compilation."""
     b, t, d = x.shape
     n_prefix = spec.n_prefix_tokens
     scale = 1.0 / np.sqrt(spec.d_head)
 
     h = _layer_norm(x, blk["ln1"], spec.ln_eps)
+    h_norm1 = h
     qkv = (
         jnp.dot(h, blk["attn"]["qkv"]["w"], preferred_element_type=jnp.float32)
         + blk["attn"]["qkv"]["b"]
@@ -377,6 +381,7 @@ def _apply_block(spec: Spec, blk: dict, x: Array, sin, cos, compute_dtype):
     )
     if spec.layerscale:
         o = o * blk["ls1"]
+    attn_out = o
     x = x + o.astype(compute_dtype)
 
     h = _layer_norm(x, blk["ln2"], spec.ln_eps)
@@ -408,7 +413,13 @@ def _apply_block(spec: Spec, blk: dict, x: Array, sin, cos, compute_dtype):
     if spec.layerscale:
         h = h * blk["ls2"]
     x = x + h.astype(compute_dtype)
-    return x, h_norm2
+    sites = {
+        "norm1": h_norm1,
+        "attn_out": attn_out,
+        "norm2": h_norm2,
+        "mlp_out": h,
+    }
+    return x, sites
 
 
 def forward(
@@ -470,9 +481,9 @@ def forward(
     taps = []
 
     for i, blk in enumerate(params["blocks"]):
-        x, h_norm2 = _apply_block(spec, blk, x, sin, cos, compute_dtype)
+        x, sites = _apply_block(spec, blk, x, sin, cos, compute_dtype)
         if i in layers:
-            tap = h_norm2 if spec.tap_point == "norm2" else x
+            tap = sites["norm2"] if spec.tap_point == "norm2" else x
             taps.append(tap.astype(jnp.float32))
 
     assert len(taps) == len(set(layers)), (
@@ -490,6 +501,53 @@ def forward(
         x_out = _layer_norm(x_out, params["ln_f"], spec.ln_eps)
     return x_out, taps_arr
 
+
+SITE_NAMES = ("resid", "norm1", "attn_out", "norm2", "mlp_out")
+
+
+def forward_sites(
+    spec: Spec,
+    params: dict,
+    tokens: Array,
+    *,
+    grid: tuple[int, int],
+    compute_dtype: tp.Any = jnp.float32,
+) -> dict[str, Array]:
+    """Run the ViT recording EVERY internal site of EVERY block — the
+    microscope for model-internals studies (e.g. hunting pathological channels,
+    reference contrib/birdsong/notebooks/birdset.py:429-1046 instruments
+    block/attention/MLP/norm outputs with hooks).
+
+    Returns {site: (B, n_layers, T, D) float32} for sites `SITE_NAMES`
+    ("resid" is the residual stream after each block).
+    """
+    x = embed_tokens(spec, params, tokens)
+    _, t, d = x.shape
+    gh, gw = grid
+    if spec.pos_kind == "learned" or (spec.pos_kind == "rope" and spec.rope_abs_pos):
+        x = x + params["pos"]
+    elif spec.pos_kind == "sincos2d":
+        pos = jnp.asarray(sincos_2d(d, gh, gw))
+        if spec.n_prefix_tokens:
+            pos = jnp.concatenate(
+                [jnp.zeros((spec.n_prefix_tokens, d), pos.dtype), pos], axis=0
+            )
+        x = x + pos
+    sin = cos = None
+    if spec.pos_kind == "rope":
+        sin_np, cos_np = rope_angles(spec, gh, gw)
+        sin, cos = jnp.asarray(sin_np), jnp.asarray(cos_np)
+    if spec.pre_norm:
+        x = _layer_norm(x, params["ln_pre"], spec.ln_eps)
+
+    x = x.astype(compute_dtype)
+    recorded: dict[str, list] = {name: [] for name in SITE_NAMES}
+    for blk in params["blocks"]:
+        x, sites = _apply_block(spec, blk, x, sin, cos, compute_dtype)
+        recorded["resid"].append(x.astype(jnp.float32))
+        for name in ("norm1", "attn_out", "norm2", "mlp_out"):
+            recorded[name].append(sites[name].astype(jnp.float32))
+    return {name: jnp.stack(acts, axis=1) for name, acts in recorded.items()}
 
 
 def forward_from(

@@ -182,3 +182,82 @@ class TestMakeHtml:
         assert "Latent 7" in html_doc and "Latent 3" not in html_doc
         # Relative (non-embedded) mode keeps src paths, not data URIs.
         assert "data:image/png" not in html_doc
+
+
+class TestChannelTrace:
+    """birdsong.trace: the model-internals channel microscope (reference
+    birdset.py:429-1046 graphs 1-4 + layernorm studies)."""
+
+    @staticmethod
+    def _tiny_model(bad_channel: int | None = None):
+        import types
+
+        import jax
+
+        from saev_tpu.models import vit
+
+        spec = vit.Spec(
+            d_model=32, n_layers=3, n_heads=4, patch_size=4,
+            cls_token=False, pos_kind="learned",
+        )
+        params = vit.init(spec, jax.random.key(0), n_pos=16)
+        if bad_channel is not None:
+            # Plant a pathological channel the way Bird-MAE's d=295 shows up:
+            # a huge constant component entering the residual stream at embed.
+            b = np.asarray(params["patch_embed"]["b"]).copy()
+            b[bad_channel] = 50.0
+            params = dict(params)
+            params["patch_embed"] = {**params["patch_embed"], "b": b}
+        return types.SimpleNamespace(spec=spec, params=params)
+
+    @staticmethod
+    def _tokens(n=2):
+        rng = np.random.default_rng(0)
+        return rng.normal(size=(n, 16, 3 * 4 * 4)).astype(np.float32)
+
+    def test_forward_sites_shapes_and_consistency(self):
+        from birdsong import trace
+
+        model = self._tiny_model()
+        acts = trace.trace_sites(model, self._tokens(), (4, 4))
+        assert set(acts) == set(trace.SITES)
+        for site, a in acts.items():
+            assert a.shape == (2, 3, 16, 32), (site, a.shape)
+        # The last resid tap must equal the engine's standard layer tap.
+        from saev_tpu.models import vit
+
+        _, taps = vit.forward(
+            model.spec, model.params, self._tokens(), (0, 1, 2), grid=(4, 4)
+        )
+        np.testing.assert_allclose(
+            acts["resid"], np.asarray(taps), rtol=1e-5, atol=1e-5
+        )
+
+    def test_planted_channel_found_and_dominant(self):
+        from birdsong import trace
+
+        bad = 7
+        model = self._tiny_model(bad_channel=bad)
+        acts = trace.trace_sites(model, self._tokens(), (4, 4))
+        assert trace.find_bad_channel(acts) == bad
+        tr = trace.channel_trace(acts, bad)
+        # The planted channel dominates the residual stream at every layer.
+        assert (tr.dominance("resid") > 10).all()
+        # And a healthy model shows no such dominance at the planted index.
+        healthy = trace.channel_trace(
+            trace.trace_sites(self._tiny_model(), self._tokens(), (4, 4)), bad
+        )
+        assert healthy.dominance("resid").max() < 10
+
+    def test_trace_report_artifacts(self, tmp_path):
+        from birdsong import trace
+
+        model = self._tiny_model(bad_channel=3)
+        report = trace.trace_report(
+            model, self._tokens(), (4, 4), out_dir=tmp_path
+        )
+        assert report["channel"] == 3 and report["n_layers"] == 3
+        assert set(report["dominance_by_site"]) == set(trace.SITES)
+        assert len(report["layernorm"]["ln1"]["chan_scale"]) == 3
+        figs = [pathlib.Path(p) for p in report["figures"]]
+        assert len(figs) == len(trace.SITES) and all(f.exists() for f in figs)
