@@ -229,3 +229,130 @@ def test_decide_task_specs_loads_labels_from_shards(tmp_path):
     ))
     assert summary, "candidates should be generated"
     assert all(not s.keep for s in specs)
+
+
+# ---------------------------------------------------------------------------
+# Width-sweep analysis + checkpoint exploration (exps/002 notebook, exps/001
+# exploration; reference notebook.py / exploration.py)
+# ---------------------------------------------------------------------------
+
+
+def _fake_run(runs_root: pathlib.Path, run_id: str, *, d_sae: int, l0: float,
+              nmse: float, tracker: pathlib.Path, shard: str | None = None,
+              sep: float | None = None):
+    import json
+
+    ckpt_dir = runs_root / run_id / "checkpoint"
+    ckpt_dir.mkdir(parents=True)
+    (ckpt_dir / "config.json").write_text(json.dumps({
+        "sae": {"d_sae": d_sae, "d_model": 32}, "lr": 1e-3,
+        "tags": ["widths-test"],
+    }))
+    proj = tracker / "saev"
+    (proj / run_id).mkdir(parents=True, exist_ok=True)
+    (proj / run_id / "summary.json").write_text(json.dumps({
+        "eval": {"l0": l0, "nmse": nmse},
+    }))
+    if shard and sep is not None:
+        art = runs_root / run_id / "inference" / shard
+        art.mkdir(parents=True)
+        (art / "mimic_scores.json").write_text(json.dumps({
+            "erato_vs_melpomene": {
+                "best_latent": 3, "best_auroc": sep, "best_separation": sep,
+                "n_pos": 5, "n_neg": 5, "top10": [],
+            },
+        }))
+
+
+def test_width_analysis_pareto_and_study(tmp_path):
+    pytest.importorskip("pandas")
+    from mimics import analysis
+
+    runs = tmp_path / "runs"
+    tracker = tmp_path / "tracker"
+    # Width 64: two runs, one dominated. Width 128: one run with a score.
+    _fake_run(runs, "r1", d_sae=64, l0=10, nmse=0.30, tracker=tracker)
+    _fake_run(runs, "r2", d_sae=64, l0=10, nmse=0.50, tracker=tracker)
+    _fake_run(runs, "r3", d_sae=128, l0=20, nmse=0.20, tracker=tracker,
+              shard="abc123", sep=0.91)
+
+    df = analysis.load_runs_df(runs, tracker_root=tracker, tags=("widths-test",))
+    assert len(df) == 3
+    df = analysis.mark_pareto(df)
+    by_id = df.set_index("run_id")["pareto"]
+    assert bool(by_id["r1"]) and not bool(by_id["r2"]) and bool(by_id["r3"])
+
+    df = analysis.join_scores(df, runs, "abc123")
+    study = analysis.width_study(df)
+    assert list(study["d_sae"]) == [64, 128]
+    w128 = study[study["d_sae"] == 128].iloc[0]
+    assert w128["best_separation"] == pytest.approx(0.91)
+    assert w128["n_pareto"] == 1
+
+    fig = analysis.plot_frontier(df, tmp_path / "figs" / "frontier.png")
+    assert fig.exists()
+
+
+class _FakeLinear:
+    def __init__(self, coef):
+        self.coef_ = np.asarray(coef)
+
+
+def test_checkpoint_discovery_pooling_and_render_plan(tmp_path):
+    import json
+    import pickle
+
+    sys.path.insert(0, str(
+        pathlib.Path(__file__).parent.parent / "contrib" / "trait_discovery" / "src"
+    ))
+    from mimics import checkpoints
+
+    runs = tmp_path / "runs"
+    shard = "deadbeef"
+
+    def write_ckpt(run_id, name, coef, val_acc, c):
+        art = runs / run_id / "inference" / shard
+        art.mkdir(parents=True, exist_ok=True)
+        with open(art / name, "wb") as fd:
+            fd.write(json.dumps({
+                "cls_type": "sparse-linear", "cls": {"C": c}, "val_acc": val_acc,
+            }).encode() + b"\n")
+            pickle.dump({"classifier": _FakeLinear(coef)}, fd)
+
+    # run A: features 0,1 strong; run B: features 2,3; run C: other task.
+    write_ckpt("runA", "cls_erato_vs_melpomene_mean_sparse-linear-c0.1.pkl",
+               [[3.0, 2.0, 0.0, 0.0]], 0.9, 0.1)
+    write_ckpt("runB", "cls_erato_vs_melpomene_mean_sparse-linear-c1.pkl",
+               [[0.0, 0.0, 2.5, 1.0]], 0.8, 1.0)
+    write_ckpt("runC", "cls_othertask_mean_sparse-linear-c1.pkl",
+               [[9.0, 9.0, 9.0, 9.0]], 0.99, 1.0)
+
+    rows = checkpoints.discover_checkpoints(checkpoints.DiscoverCheckpointsConfig(
+        run_root_dpath=runs, shard_id=shard, task_name="erato_vs_melpomene",
+    ))
+    assert {r["run_id"] for r in rows} == {"runA", "runB"}
+    assert all(r["d_sae"] == 4 for r in rows)
+
+    # C filter keeps only the matching head.
+    only_c01 = checkpoints.discover_checkpoints(checkpoints.DiscoverCheckpointsConfig(
+        run_root_dpath=runs, shard_id=shard, task_name="erato_vs_melpomene",
+        c_values=(0.1,),
+    ))
+    assert [r["run_id"] for r in only_c01] == ["runA"]
+
+    selected = checkpoints.select_checkpoints(rows, top_k=2)
+    pooled = checkpoints.pool_features(selected, per_ckpt=2)
+    assert set(pooled) == {0, 1, 2, 3}
+    assert pooled[0] == pytest.approx(3.0)
+    assert list(pooled)[0] == 0  # sorted by importance
+
+    labels = ["erato", "melpomene"] * 5
+    plan = checkpoints.build_render_plan(
+        labels, pooled,
+        groups={"erato": ["erato"], "melpomene": ["melpomene"]},
+        n_per_class=2,
+    )
+    assert len(plan) == 4
+    for row in plan:
+        assert labels[row["example_idx"]] == row["class"]
+        assert row["latents"] == list(pooled)
