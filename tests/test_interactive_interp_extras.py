@@ -157,3 +157,53 @@ def test_load_cls_features_shape(cls_shards):
     x = cls_training.load_cls_features(train_shards, 1)
     assert x.shape == (12, 128)
     assert np.isfinite(x).all()
+
+
+# ---------------------------------------------------------------------------
+# classification.transforms: shared object-centric crop geometry
+# ---------------------------------------------------------------------------
+
+
+def test_webapp_transform_geometry():
+    from PIL import Image
+
+    from contrib.interactive_interp.classification import transforms
+
+    for size in [(800, 600), (600, 800), (512, 512), (449, 2000)]:
+        out = transforms.for_webapp(Image.new("RGB", size))
+        assert out.size == (448, 448), (size, out.size)
+
+
+def test_figures_transform_matches_webapp():
+    """for_figures must be the webapp geometry as an array (the shared-crop
+    contract that keeps patch coordinates aligned across surfaces)."""
+    from PIL import Image
+
+    from contrib.interactive_interp.classification import transforms
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (600, 800, 3), dtype=np.uint8))
+    arr = transforms.for_figures(img)
+    assert arr.shape == (448, 448, 3)
+    np.testing.assert_array_equal(arr, np.asarray(transforms.for_webapp(img)))
+
+
+def test_resize_shortest_preserves_aspect():
+    from PIL import Image
+
+    from contrib.interactive_interp.classification import transforms
+
+    out = transforms.resize_shortest(Image.new("L", (1000, 500)))
+    assert out.size == (1024, 512)
+
+
+def test_classification_cli_help_lists_commands(capsys):
+    from saev_tpu.utils import cli as cli_mod
+
+    from contrib.interactive_interp.classification import __main__ as cls_main  # noqa: F401
+
+    with pytest.raises(SystemExit):
+        cli_mod.run(
+            {"train": cls_main.train, "flowers": lambda c: None}, argv=["--help"]
+        )
+    assert "train" in capsys.readouterr().out
