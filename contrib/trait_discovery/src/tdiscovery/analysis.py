@@ -273,6 +273,125 @@ def _probe_metric_fpaths(run_dir: pathlib.Path) -> list[pathlib.Path]:
     )
 
 
+def _make_baseline_ce_cache():
+    cache: dict[str, np.ndarray] = {}
+
+    def cached(shards_dir: pathlib.Path) -> np.ndarray:
+        key = shards_dir.name
+        if key not in cache:
+            cache[key] = baseline_ce(shards_dir)
+        return cache[key]
+
+    return cached
+
+
+def _probe_split_map(
+    run: "saev_tpu.disk.Run", fpaths: list[pathlib.Path],
+    shards_root: pathlib.Path,
+) -> dict[str, tuple[pathlib.Path, str]] | None:
+    """{'train'/'val': (metrics_fpath, shard_id)}, or None when the run does
+    not have exactly one probe-metrics artifact per split."""
+    split_map: dict[str, tuple[pathlib.Path, str]] = {}
+    for fpath in fpaths:
+        shard_id = fpath.parent.name
+        shards_dir = shards_root / shard_id
+        if not shards_dir.exists():
+            logger.info("Skipping %s: shards %s missing.", run.run_id, shard_id)
+            continue
+        split = probe_split_label(shards_dir)
+        if split is None:
+            continue
+        if split in split_map:
+            logger.info("Skipping %s: duplicate %s probes.", run.run_id, split)
+            return None
+        split_map[split] = (fpath, shard_id)
+    if {"train", "val"} - set(split_map):
+        logger.info(
+            "Skipping %s: need train+val probes, have %s.",
+            run.run_id,
+            sorted(split_map),
+        )
+        return None
+    return split_map
+
+
+def _downstream_cols(
+    run: "saev_tpu.disk.Run",
+    split_map: dict[str, tuple[pathlib.Path, str]],
+    shards_root: pathlib.Path,
+    cached_baseline,
+) -> dict[str, object]:
+    """The shared downstream-quality columns of one probe-results row: pick
+    the best latent per class by TRAIN probe loss, probe CE / probe R on both
+    splits, reconstruction NMSE from metrics.json, AP/precision/recall/F1/
+    coverage, and purity@16."""
+    train_fpath, train_shard = split_map["train"]
+    val_fpath, val_shard = split_map["val"]
+
+    with np.load(train_fpath) as fd:
+        train_loss = fd["loss"]
+        w = fd["weights"]
+    with np.load(val_fpath) as fd:
+        val_loss = fd["loss"]
+    assert train_loss.ndim == 2 and train_loss.shape == val_loss.shape
+
+    n_latents, n_classes = train_loss.shape
+    best_i = np.argmin(train_loss, axis=0)
+    cols = np.arange(n_classes)
+    train_ce = float(train_loss[best_i, cols].mean())
+    val_ce = float(val_loss[best_i, cols].mean())
+    train_base = float(cached_baseline(shards_root / train_shard).mean())
+    val_base = float(cached_baseline(shards_root / val_shard).mean())
+
+    def nmse(shard_id: str) -> float:
+        fpath = run.inference / shard_id / "metrics.json"
+        if fpath.is_file():
+            return float(json.loads(fpath.read_text())["normalized_mse"])
+        return 1.0
+
+    mean_ap = mean_prec = mean_recall = mean_f1 = purity = 0.0
+    cov = {f"cov_at_{tau}".replace(".", "_"): 0.0 for tau in TAUS}
+    ap_fpath = run.inference / val_shard / (
+        f"probe1d_metrics__train-{train_shard}.npz"
+    )
+    if ap_fpath.is_file():
+        with np.load(ap_fpath) as fd:
+            ap_c = fd["ap"]
+            mean_prec = float(fd["precision"].mean())
+            mean_recall = float(fd["recall"].mean())
+            mean_f1 = float(fd["f1"].mean())
+            top_labels = fd["top_labels"] if "top_labels" in fd else None
+        mean_ap = float(ap_c.mean())
+        cov = {
+            f"cov_at_{tau}".replace(".", "_"): float((ap_c > tau).mean())
+            for tau in TAUS
+        }
+        if top_labels is not None and top_labels.shape[1] >= PURITY_K:
+            _, count = mode(top_labels[best_i, :PURITY_K], axis=1)
+            purity = float((count / PURITY_K).mean())
+
+    return {
+        "train_nmse": nmse(train_shard),
+        "val_nmse": nmse(val_shard),
+        "frac_w_neg": float((w < 0).mean()),
+        "frac_best_w_neg": float((w[best_i, cols] < 0).mean()),
+        "train_probe_shards": train_shard,
+        "train_probe_ce": train_ce,
+        "train_baseline_ce": train_base,
+        "train_probe_r": 1 - train_ce / train_base,
+        "val_probe_shards": val_shard,
+        "val_probe_ce": val_ce,
+        "val_baseline_ce": val_base,
+        "val_probe_r": 1 - val_ce / val_base,
+        "val_mean_ap": mean_ap,
+        "val_mean_prec": mean_prec,
+        "val_mean_recall": mean_recall,
+        "val_mean_f1": mean_f1,
+        f"val_mean_purity_{PURITY_K}": purity,
+        **cov,
+    }
+
+
 def load_probe_results_df(
     runs_root: pathlib.Path,
     shards_root: pathlib.Path,
@@ -295,13 +414,7 @@ def load_probe_results_df(
     runs_root = pathlib.Path(runs_root)
     shards_root = pathlib.Path(shards_root)
     rows = []
-    base_ce_cache: dict[str, np.ndarray] = {}
-
-    def cached_baseline(shards_dir: pathlib.Path) -> np.ndarray:
-        key = shards_dir.name
-        if key not in base_ce_cache:
-            base_ce_cache[key] = baseline_ce(shards_dir)
-        return base_ce_cache[key]
+    cached_baseline = _make_baseline_ce_cache()
 
     for run_dir in sorted(p for p in runs_root.iterdir() if p.is_dir()):
         fpaths = _probe_metric_fpaths(run_dir)
@@ -313,76 +426,11 @@ def load_probe_results_df(
             logger.info("Skipping %s: %s", run_dir.name, err)
             continue
 
-        split_map: dict[str, tuple[pathlib.Path, str]] = {}
-        ok = True
-        for fpath in fpaths:
-            shard_id = fpath.parent.name
-            shards_dir = shards_root / shard_id
-            if not shards_dir.exists():
-                logger.info("Skipping %s: shards %s missing.", run.run_id, shard_id)
-                continue
-            split = probe_split_label(shards_dir)
-            if split is None:
-                continue
-            if split in split_map:
-                logger.info("Skipping %s: duplicate %s probes.", run.run_id, split)
-                ok = False
-                break
-            split_map[split] = (fpath, shard_id)
-        if not ok or {"train", "val"} - set(split_map):
-            logger.info(
-                "Skipping %s: need train+val probes, have %s.",
-                run.run_id,
-                sorted(split_map),
-            )
+        split_map = _probe_split_map(run, fpaths, shards_root)
+        if split_map is None:
             continue
 
-        train_fpath, train_shard = split_map["train"]
-        val_fpath, val_shard = split_map["val"]
-
-        with np.load(train_fpath) as fd:
-            train_loss = fd["loss"]
-            w = fd["weights"]
-        with np.load(val_fpath) as fd:
-            val_loss = fd["loss"]
-        assert train_loss.ndim == 2 and train_loss.shape == val_loss.shape
-
-        n_latents, n_classes = train_loss.shape
-        best_i = np.argmin(train_loss, axis=0)
-        cols = np.arange(n_classes)
-        train_ce = float(train_loss[best_i, cols].mean())
-        val_ce = float(val_loss[best_i, cols].mean())
-        train_base = float(cached_baseline(shards_root / train_shard).mean())
-        val_base = float(cached_baseline(shards_root / val_shard).mean())
-
-        def nmse(shard_id: str) -> float:
-            fpath = run.inference / shard_id / "metrics.json"
-            if fpath.is_file():
-                return float(json.loads(fpath.read_text())["normalized_mse"])
-            return 1.0
-
         record = run_record(run, tracker_root)
-
-        mean_ap = mean_prec = mean_recall = mean_f1 = purity = 0.0
-        cov = {f"cov_at_{tau}".replace(".", "_"): 0.0 for tau in TAUS}
-        ap_fpath = run.inference / val_shard / (
-            f"probe1d_metrics__train-{train_shard}.npz"
-        )
-        if ap_fpath.is_file():
-            with np.load(ap_fpath) as fd:
-                ap_c = fd["ap"]
-                mean_prec = float(fd["precision"].mean())
-                mean_recall = float(fd["recall"].mean())
-                mean_f1 = float(fd["f1"].mean())
-                top_labels = fd["top_labels"] if "top_labels" in fd else None
-            mean_ap = float(ap_c.mean())
-            cov = {
-                f"cov_at_{tau}".replace(".", "_"): float((ap_c > tau).mean())
-                for tau in TAUS
-            }
-            if top_labels is not None and top_labels.shape[1] >= PURITY_K:
-                _, count = mode(top_labels[best_i, :PURITY_K], axis=1)
-                purity = float((count / PURITY_K).mean())
 
         rows.append({
             "run_id": run.run_id,
@@ -393,24 +441,7 @@ def load_probe_results_df(
             "sae_val_mse": record.get("summary/eval/mse"),
             "sae_val_l0": record.get("summary/eval/l0"),
             "sae_val_l1": record.get("summary/eval/l1"),
-            "train_nmse": nmse(train_shard),
-            "val_nmse": nmse(val_shard),
-            "frac_w_neg": float((w < 0).mean()),
-            "frac_best_w_neg": float((w[best_i, cols] < 0).mean()),
-            "train_probe_shards": train_shard,
-            "train_probe_ce": train_ce,
-            "train_baseline_ce": train_base,
-            "train_probe_r": 1 - train_ce / train_base,
-            "val_probe_shards": val_shard,
-            "val_probe_ce": val_ce,
-            "val_baseline_ce": val_base,
-            "val_probe_r": 1 - val_ce / val_base,
-            "val_mean_ap": mean_ap,
-            "val_mean_prec": mean_prec,
-            "val_mean_recall": mean_recall,
-            "val_mean_f1": mean_f1,
-            f"val_mean_purity_{PURITY_K}": purity,
-            **cov,
+            **_downstream_cols(run, split_map, shards_root, cached_baseline),
         })
 
     df = pd.DataFrame(rows)
@@ -418,3 +449,95 @@ def load_probe_results_df(
         validate_df(df)
     logger.info("Assembled probe-results df: %d runs.", len(df))
     return df
+
+
+# Reference method-name normalization (notebooks/baselines.py:276-289).
+_BASELINE_METHOD_NAMES = {"kmeans": "k-means", "pca": "pca", "semi-nmf": "semi-nmf"}
+
+
+def load_baseline_probe_results_df(
+    runs_root: pathlib.Path,
+    shards_root: pathlib.Path,
+    *,
+    validate: bool = True,
+):
+    """The probe-results frame for BASELINE dictionary runs (k-means / PCA /
+    semi-NMF; reference notebooks/baselines.py:139-328): the same downstream
+    probe columns as `load_probe_results_df`, plus the method identity and its
+    fit-side metrics — `fit_val_mse` (inertia for k-means, reconstruction MSE
+    otherwise) and `fit_val_l0` (1 for k-means's one-hot codes, else the
+    dictionary size k). Runs are recognized by their `checkpoint/baseline.pt`
+    header instead of a wandb config."""
+    import pandas as pd
+
+    runs_root = pathlib.Path(runs_root)
+    shards_root = pathlib.Path(shards_root)
+    rows = []
+    cached_baseline = _make_baseline_ce_cache()
+
+    for run_dir in sorted(p for p in runs_root.iterdir() if p.is_dir()):
+        fpaths = _probe_metric_fpaths(run_dir)
+        ckpt_fpath = run_dir / "checkpoint" / "baseline.pt"
+        if not fpaths or not ckpt_fpath.is_file():
+            continue
+        try:
+            run = saev_tpu.disk.Run(run_dir)
+        except (ValueError, FileNotFoundError) as err:
+            logger.info("Skipping %s: %s", run_dir.name, err)
+            continue
+
+        split_map = _probe_split_map(run, fpaths, shards_root)
+        if split_map is None:
+            continue
+
+        with open(ckpt_fpath, "rb") as fd:
+            header = json.loads(fd.readline())
+        raw_method = header.get("method", "?")
+        method = _BASELINE_METHOD_NAMES.get(raw_method)
+        if method is None:
+            logger.info("Skipping %s: unknown method %r.", run.run_id, raw_method)
+            continue
+        metrics = header.get("metrics", {})
+        if method == "k-means":
+            fit_val_mse = metrics.get("eval/inertia")
+            fit_val_l0 = 1.0
+        else:
+            fit_val_mse = metrics.get("eval/mse")
+            fit_val_l0 = float(header.get("k", 0))
+
+        try:
+            md = dataclasses.asdict(Metadata.load(run.train_shards))
+        except Exception:
+            md = {}
+        md = {k: (str(v) if isinstance(v, pathlib.Path) else v)
+              for k, v in md.items()}
+
+        rows.append({
+            "run_id": run.run_id,
+            "model": get_model_key(md) if md else "?",
+            "layer": int(split_layer_of(run)),
+            "method": method,
+            "fit_data": get_data_key(md) if md else None,
+            "fit_val_mse": fit_val_mse,
+            "fit_val_l0": fit_val_l0,
+            **_downstream_cols(run, split_map, shards_root, cached_baseline),
+        })
+
+    df = pd.DataFrame(rows)
+    if validate and len(df):
+        schema = dict(SCHEMA)
+        schema.pop("objective", None)
+        schema["method"] = ("str", None)
+        validate_df(df, schema=schema)
+    logger.info("Assembled baseline probe-results df: %d runs.", len(df))
+    return df
+
+
+def split_layer_of(run: "saev_tpu.disk.Run") -> int:
+    """The recorded layer of a run's train shards (single-layer dumps), or 0.
+    Baseline runs carry no config.json, so the layer comes from metadata."""
+    try:
+        layers = Metadata.load(run.train_shards).layers
+        return int(layers[0]) if layers else 0
+    except Exception:
+        return 0

@@ -400,3 +400,89 @@ def test_analysis_on_real_pipeline(tmp_path):
     assert np.isfinite(row["val_probe_r"])
     assert 0 <= row["val_mean_ap"] <= 1
     assert row["val_nmse"] != 1.0  # metrics.json was actually read
+
+
+# ---------------------------------------------------------------------------
+# Baseline probe-results frame (reference notebooks/baselines.py:139-328)
+# ---------------------------------------------------------------------------
+
+
+def _make_baseline_run(runs_root, train_shards, val_shards, run_id, *,
+                       method="kmeans", k=N_LATENTS, inertia=12.5, mse=0.7,
+                       loss_seed=0):
+    """A baseline run: checkpoint/baseline.pt header + probe artifacts, no
+    config.json (baseline runs never have one)."""
+    from saev_tpu import disk
+
+    run = disk.Run.new(
+        run_id, train_shards_dir=train_shards, val_shards_dir=val_shards,
+        runs_root=runs_root,
+    )
+    metrics = (
+        {"eval/inertia": inertia} if method == "kmeans" else {"eval/mse": mse}
+    )
+    header = {"schema": 1, "method": method, "k": k, "metrics": metrics}
+    ckpt = run.run_dir / "checkpoint" / "baseline.pt"
+    ckpt.write_bytes((json.dumps(header) + "\n").encode() + b"\x00")
+
+    rng = np.random.default_rng(loss_seed)
+    train_loss = rng.uniform(0.1, 1.0, size=(N_LATENTS, N_CLASSES)).astype(np.float32)
+    val_loss = train_loss + 0.05
+    weights = rng.normal(size=(N_LATENTS, N_CLASSES)).astype(np.float32)
+    for shards_dir, loss in ((train_shards, train_loss), (val_shards, val_loss)):
+        art = run.inference / shards_dir.name
+        art.mkdir(parents=True, exist_ok=True)
+        np.savez(art / "probe1d_metrics.npz", loss=loss, weights=weights,
+                 biases=np.zeros_like(weights))
+        (art / "metrics.json").write_text(
+            json.dumps({"normalized_mse": 0.5, "n_tokens": 24})
+        )
+    return run
+
+
+def test_load_baseline_probe_results_df(tmp_path):
+    train_shards, _ = _write_shards(tmp_path, "train", seed=1)
+    val_shards, _ = _write_shards(tmp_path, "val", seed=2)
+    runs_root = helpers.tmp_runs_root(tmp_path)
+    _make_baseline_run(runs_root, train_shards, val_shards, "km1",
+                       method="kmeans", inertia=12.5)
+    _make_baseline_run(runs_root, train_shards, val_shards, "pca1",
+                       method="pca", k=6, mse=0.7, loss_seed=3)
+    # An SAE run (config.json, no baseline.pt) must NOT appear.
+    _make_run(runs_root, train_shards, val_shards, "sae1")
+
+    df = analysis.load_baseline_probe_results_df(
+        runs_root, train_shards.parent
+    )
+    assert sorted(df["run_id"]) == ["km1", "pca1"]
+    km = df[df["run_id"] == "km1"].iloc[0]
+    assert km["method"] == "k-means"
+    assert km["fit_val_mse"] == pytest.approx(12.5)
+    assert km["fit_val_l0"] == 1.0
+    pca = df[df["run_id"] == "pca1"].iloc[0]
+    assert pca["method"] == "pca"
+    assert pca["fit_val_mse"] == pytest.approx(0.7)
+    assert pca["fit_val_l0"] == 6.0
+    # Downstream columns share the SAE frame's semantics.
+    assert 0 <= km["val_probe_ce"]
+    assert km["train_probe_r"] == pytest.approx(
+        1 - km["train_probe_ce"] / km["train_baseline_ce"]
+    )
+    assert km["val_nmse"] == pytest.approx(0.5)
+
+
+def test_baseline_frame_feeds_comparison_table(tmp_path):
+    """The frame slots into figplots.comparison_table for the SAE-vs-baseline
+    tables (reference notebooks/baselines.py:336-433)."""
+    train_shards, _ = _write_shards(tmp_path, "train", seed=4)
+    val_shards, _ = _write_shards(tmp_path, "val", seed=5)
+    runs_root = helpers.tmp_runs_root(tmp_path)
+    _make_baseline_run(runs_root, train_shards, val_shards, "km1")
+    df = analysis.load_baseline_probe_results_df(runs_root, train_shards.parent)
+    table = figplots.comparison_table(
+        df, [("k-means", {"method": "k-means"}), ("semi-nmf", {"method": "semi-nmf"})]
+    )
+    assert list(table["method"]) == ["k-means", "semi-nmf"]
+    assert table.iloc[0]["run_id"] == "km1"
+    import pandas as pd
+    assert pd.isna(table.iloc[1]["run_id"])  # aligned null row for missing method
