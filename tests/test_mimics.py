@@ -356,3 +356,25 @@ def test_checkpoint_discovery_pooling_and_render_plan(tmp_path):
     for row in plan:
         assert labels[row["example_idx"]] == row["class"]
         assert row["latents"] == list(pooled)
+
+
+def test_launcher_lists_subcommands(capsys):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "mimics_launch",
+        pathlib.Path(__file__).parent.parent / "contrib" / "mimics" / "launch.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod._bind()
+    from saev_tpu.utils import cli as cli_mod
+
+    with pytest.raises(SystemExit):
+        cli_mod.run(
+            {"score": mod.score, "render": mod.render,
+             "consistency": mod.consistency, "viewer": mod.build_viewer},
+            argv=["--help"],
+        )
+    out = capsys.readouterr().out
+    assert "score" in out and "viewer" in out
