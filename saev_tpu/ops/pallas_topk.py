@@ -80,17 +80,29 @@ def exact_kth_value_pallas(h: jax.Array, k: int, interpret: bool = False) -> jax
     )(h)
 
 
+def _kernel_for(s: int):
+    """Production kernel pick: the two-phase 16-bit bisection when the row
+    counts fit int16 (S <= 32767; see `_kernel16` header), else the 32-pass
+    f32 kernel. `SAEV_KTH16=0` pins the 32-pass kernel for A/B timing."""
+    import os
+
+    if s <= 32767 and os.environ.get("SAEV_KTH16", "1") != "0":
+        return exact_kth_value_pallas16
+    return exact_kth_value_pallas
+
+
 def kth_value(h: jax.Array, k: int) -> jax.Array:
     """Exact k-th largest, dispatching to the Pallas kernel on TPU (padding the
     row count to a tile multiple) and lax.top_k elsewhere."""
     if jax.default_backend() != "tpu" or h.ndim != 2 or h.dtype != jnp.float32:
         return jax.lax.top_k(h, min(k, h.shape[-1]))[0][..., -1:]
     b = h.shape[0]
+    kernel = _kernel_for(h.shape[1])
     pad = (-b) % TILE_ROWS
     if pad:
         h_padded = jnp.pad(h, ((0, pad), (0, 0)))
-        return exact_kth_value_pallas(h_padded, k)[:b]
-    return exact_kth_value_pallas(h, k)
+        return kernel(h_padded, k)[:b]
+    return kernel(h, k)
 
 
 # Order-preserving key of float32 -inf: bits(-inf)=0xFF800000 is negative, so
