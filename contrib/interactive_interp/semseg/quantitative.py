@@ -84,11 +84,32 @@ class Report:
         changed = sum(r.n_other_changed for r in self.class_results)
         return changed / total if total else 0.0
 
+    @property
+    def target_change_std(self) -> float:
+        """Std of the per-class target-change fraction — separates a method
+        that disrupts every class a little from one that nukes a few
+        (reference quantitative.py:110-125)."""
+        per_class = np.array([
+            r.n_changed_patches / r.n_orig_patches if r.n_orig_patches else 0.0
+            for r in self.class_results
+        ])
+        return float(np.std(per_class))
+
+    @property
+    def other_change_std(self) -> float:
+        per_class = np.array([
+            r.n_other_changed / r.n_other_patches if r.n_other_patches else 0.0
+            for r in self.class_results
+        ])
+        return float(np.std(per_class))
+
     def to_csv_row(self) -> dict[str, float | str]:
         return {
             "method": self.method,
             "target_change": self.mean_target_change,
             "other_change": self.mean_other_change,
+            "target_std": self.target_change_std,
+            "other_std": self.other_change_std,
             "scale": self.intervention_scale,
         }
 
@@ -265,7 +286,11 @@ def worker_fn(cfg: Config) -> list[Report]:
     fpath.parent.mkdir(parents=True, exist_ok=True)
     with open(fpath, "w", newline="") as fd:
         writer = csv.DictWriter(
-            fd, fieldnames=["method", "target_change", "other_change", "scale"]
+            fd,
+            fieldnames=[
+                "method", "target_change", "other_change",
+                "target_std", "other_std", "scale",
+            ],
         )
         writer.writeheader()
         for report in reports:

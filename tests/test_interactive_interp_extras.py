@@ -207,3 +207,18 @@ def test_classification_cli_help_lists_commands(capsys):
             {"train": cls_main.train, "flowers": lambda c: None}, argv=["--help"]
         )
     assert "train" in capsys.readouterr().out
+
+
+def test_report_std_fields():
+    """Per-class change stds (reference quantitative.py:110-136)."""
+    res = [
+        quantitative.ClassResults(1, 10, 10, 100, 0),   # 100% target change
+        quantitative.ClassResults(2, 10, 0, 100, 50),   # 0% target change
+    ]
+    rep = quantitative.Report(method="sae", class_results=res,
+                              intervention_scale=-1.0)
+    assert rep.mean_target_change == 0.5
+    assert rep.target_change_std == 0.5   # std of [1.0, 0.0]
+    assert rep.other_change_std == 0.25   # std of [0.0, 0.5]
+    row = rep.to_csv_row()
+    assert row["target_std"] == 0.5 and row["other_std"] == 0.25
