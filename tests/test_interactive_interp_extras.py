@@ -67,7 +67,9 @@ def test_quantitative_interventions(seg_setup, tmp_path):
         assert 0.0 <= r.mean_other_change <= 1.0
         assert r.class_results, "non-background classes must be represented"
     csv_text = (tmp_path / "results.csv").read_text()
-    assert csv_text.startswith("method,target_change,other_change,scale")
+    assert csv_text.startswith(
+        "method,target_change,other_change,target_std,other_std,scale"
+    )
     assert len(csv_text.strip().splitlines()) == 4
 
 
