@@ -81,12 +81,13 @@ def exact_kth_value_pallas(h: jax.Array, k: int, interpret: bool = False) -> jax
 
 
 def _kernel_for(s: int):
-    """Production kernel pick: the two-phase 16-bit bisection when the row
-    counts fit int16 (S <= 32767; see `_kernel16` header), else the 32-pass
-    f32 kernel. `SAEV_KTH16=0` pins the 32-pass kernel for A/B timing."""
+    """Production kernel pick: `SAEV_KTH16=1` selects the two-phase 16-bit
+    bisection when the row counts fit int16 (S <= 32767; see `_kernel16`
+    header). Off by default until its Mosaic lowering is timed on-chip —
+    flip the default once `scripts/microbench_kth.py --p16` confirms a win."""
     import os
 
-    if s <= 32767 and os.environ.get("SAEV_KTH16", "1") != "0":
+    if s <= 32767 and os.environ.get("SAEV_KTH16", "0") == "1":
         return exact_kth_value_pallas16
     return exact_kth_value_pallas
 
