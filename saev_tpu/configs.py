@@ -7,6 +7,7 @@ and seeds auto-increment per expanded config. Semantics mirror the reference's
 """
 
 import dataclasses
+import enum
 import itertools
 import logging
 import pathlib
@@ -190,6 +191,12 @@ def _convert_value(value: object, field_type: object, *, strict: bool = True) ->
     origin = tp.get_origin(field_type)
     args = tp.get_args(field_type)
 
+    if (
+        origin in (tp.Union, types.UnionType)
+        and isinstance(value, dict)
+        and (variant := _union_variant(args, value)) is not None
+    ):
+        return dict_to_dataclass(value, variant)
     if origin is tuple and args:
         return tuple(value) if isinstance(value, list) else value
     if origin is list and args and dataclasses.is_dataclass(args[0]):
@@ -201,9 +208,38 @@ def _convert_value(value: object, field_type: object, *, strict: bool = True) ->
     )
     if path_like:
         return pathlib.Path(value) if value is not None else value
+    if (
+        isinstance(field_type, type)
+        and issubclass(field_type, enum.Enum)
+        and not isinstance(value, field_type)
+    ):
+        # Sweep files carry enums as their VALUE strings (e.g. "max" for
+        # PatchAgg.MAX), falling back to the member name.
+        try:
+            return field_type(value)
+        except ValueError:
+            return field_type[str(value).upper()]
     if strict and isinstance(field_type, type) and not isinstance(value, field_type):
         raise TypeError(f"Expected {field_type.__name__}, got {type(value).__name__}")
     return value
+
+
+def _union_variant(args: tuple, value: dict) -> type | None:
+    """The dataclass member of a union whose `key` literal default matches
+    value["key"] — how sweep dicts pick an activation/sparsity/aux/head
+    variant (e.g. {"key": "relu", ...} selects Relu inside ActivationConfig).
+    None when the dict carries no key or nothing matches (the caller then
+    merges into the current variant, the pre-existing behavior)."""
+    key = value.get("key")
+    if key is None:
+        return None
+    for arg in args:
+        if not dataclasses.is_dataclass(arg):
+            continue
+        field = arg.__dataclass_fields__.get("key")
+        if field is not None and field.default == key:
+            return arg
+    return None
 
 
 def _resolve_field_type(cls: type, name: str) -> object:
@@ -230,6 +266,14 @@ def _recursive_dataclass_update(obj, updates: dict[str, object], base_cfg, d: in
         field_type = _resolve_field_type(type(obj), key)
 
         if dataclasses.is_dataclass(attr) and isinstance(value, dict):
+            origin = tp.get_origin(field_type)
+            if origin in (tp.Union, types.UnionType):
+                variant = _union_variant(tp.get_args(field_type), value)
+                if variant is not None and type(attr) is not variant:
+                    # The sweep switches the union variant: build it fresh
+                    # from the dict instead of merging into the old variant.
+                    result[key] = dict_to_dataclass(value, variant)
+                    continue
             nested_updates = _recursive_dataclass_update(attr, value, base_cfg, d)
             if hasattr(attr, "seed") and "seed" not in nested_updates:
                 base_seed = getattr(base_cfg, "seed", 0) if base_cfg else 0
