@@ -343,3 +343,47 @@ def test_push_stages_and_manifests(tmp_path, monkeypatch):
     )
     readme = (tmp_path / "staging" / "README.md").read_text()
     assert "| aaa | 13 | 16.0 | 0.5000 |" in readme
+
+
+def test_formatted_segfolder_feeds_extraction(tmp_path):
+    """The format_fishvista segfolder output must stream through the REAL
+    extraction pipeline: ImgSegFolder dataset -> fake-clip ViT -> shards with
+    per-patch labels.bin — data prep wired to the pipeline, not just files."""
+    from saev_tpu.data import datasets, extract, fake_vit
+
+    fv = _load("format_fishvista")
+    _fake_fishvista(tmp_path / "fv", SPECIES)
+    _fishbase_csv(tmp_path / "traits.csv", fv)
+    seg_root = tmp_path / "seg"
+    assert fv.segfolder(fv.Config(
+        fv_root=tmp_path / "fv", dump_to=seg_root,
+        fishbase_csv=tmp_path / "traits.csv", n_threads=2,
+    )) == 0
+
+    # Splits are round-robin; find one with a kept image.
+    data_cfg = None
+    for split in ("training", "validation", "test"):
+        cand = datasets.ImgSegFolder(root=seg_root, split=split)
+        if cand.n_examples:
+            data_cfg = cand
+            break
+    assert data_cfg is not None, "no split kept any image"
+
+    ds = datasets.get_dataset(data_cfg)
+    sample = ds[0]
+    assert "patch_labels" not in sample  # raw dataset: labels come via extract
+
+    shards_root = tmp_path / "saev" / "shards"
+    shards_root.mkdir(parents=True)
+    shards_dir = extract.worker_fn(
+        family="fake-clip", ckpt=fake_vit.CKPT,
+        content_tokens_per_example=fake_vit.N_PATCHES,
+        cls_token=True, d_model=fake_vit.D_MODEL, layers=[0],
+        data=data_cfg, batch_size=2, n_workers=0,
+        max_tokens_per_shard=4096, shards_root=shards_root, device="cpu",
+    )
+    assert (shards_dir / "labels.bin").exists()
+    md_n = len(ds)
+    labels = np.memmap(shards_dir / "labels.bin", mode="r", dtype=np.uint8,
+                       shape=(md_n, fake_vit.N_PATCHES))
+    assert labels.shape[0] == data_cfg.n_examples
