@@ -176,11 +176,16 @@ def kth_value_masked(h: jax.Array, mask: jax.Array, k: int) -> jax.Array:
         masked = jnp.where(mask[None, :], h, jnp.array(-jnp.inf, h.dtype))
         return jax.lax.top_k(masked, min(k, h.shape[-1]))[0][..., -1:]
     b = h.shape[0]
+    kernel = (
+        exact_kth_value_masked_pallas16
+        if _kernel_for(h.shape[1]) is exact_kth_value_pallas16
+        else exact_kth_value_masked_pallas
+    )
     pad = (-b) % TILE_ROWS
     if pad:
         h = jnp.pad(h, ((0, pad), (0, 0)))
-        return exact_kth_value_masked_pallas(h, mask[None, :], k)[: b]
-    return exact_kth_value_masked_pallas(h, mask[None, :], k)
+        return kernel(h, mask[None, :], k)[: b]
+    return kernel(h, mask[None, :], k)
 
 
 # ---------------------------------------------------------------------------
@@ -278,3 +283,81 @@ def exact_kth_value_pallas16(
         out_specs=pl.BlockSpec((TILE_ROWS, 1), lambda i: (i, 0)),
         interpret=interpret,
     )(h)
+
+
+def _kernel16_masked(k: int, x_ref, mask_ref, out_ref):
+    """Masked variant of `_kernel16`: masked-out columns take the
+    `_KEY_NEG_INF` order key before the two-phase bisection, making the
+    result bit-identical to `_kernel_masked` (and to kth over
+    where(mask, x, -inf))."""
+    x = x_ref[:]
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    neg = (u >> 31) == 1
+    key = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
+    key = jnp.where(mask_ref[:] != 0, key, jnp.uint32(_KEY_NEG_INF))
+
+    hi = (key >> 16).astype(jnp.uint16)
+    k16 = jnp.int16(k)
+
+    def hi_step(i, cur):
+        bit = (jnp.uint16(1) << (jnp.uint16(15) - jnp.uint16(i))).astype(jnp.uint16)
+        cand = cur | bit
+        count = jnp.sum(
+            (hi >= cand).astype(jnp.int16), axis=1, keepdims=True, dtype=jnp.int16
+        )
+        return jnp.where(count >= k16, cand, cur)
+
+    h_star = jax.lax.fori_loop(
+        0, 16, hi_step, jnp.zeros((x.shape[0], 1), jnp.uint16), unroll=16
+    )
+    c_above = jnp.sum(
+        (hi > h_star).astype(jnp.int16), axis=1, keepdims=True, dtype=jnp.int16
+    )
+    lo = jnp.where(
+        hi == h_star, (key & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.uint16(0)
+    )
+
+    def lo_step(i, cur):
+        bit = (jnp.uint16(1) << (jnp.uint16(15) - jnp.uint16(i))).astype(jnp.uint16)
+        cand = cur | bit
+        count = jnp.sum(
+            (lo >= cand).astype(jnp.int16), axis=1, keepdims=True, dtype=jnp.int16
+        )
+        return jnp.where(c_above + count >= k16, cand, cur)
+
+    l_star = jax.lax.fori_loop(
+        0, 16, lo_step, jnp.zeros((x.shape[0], 1), jnp.uint16), unroll=16
+    )
+    cur = (h_star.astype(jnp.uint32) << 16) | l_star.astype(jnp.uint32)
+    was_nonneg = (cur >> 31) == 1
+    bits = jnp.where(was_nonneg, cur & jnp.uint32(0x7FFFFFFF), ~cur)
+    out_ref[:] = jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def exact_kth_value_masked_pallas16(
+    h: jax.Array, mask: jax.Array, k: int, interpret: bool = False
+) -> jax.Array:
+    """Two-phase 16-bit variant of `exact_kth_value_masked_pallas`;
+    bit-identical output (see `_kernel16_masked`)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, s = h.shape
+    assert h.dtype == jnp.float32
+    assert mask.shape == (1, s), mask.shape
+    assert b % TILE_ROWS == 0, f"batch {b} must be a multiple of {TILE_ROWS}"
+    assert s <= 32767, f"S={s} overflows the int16 row counts"
+    k = min(k, s)
+
+    return pl.pallas_call(
+        functools.partial(_kernel16_masked, k),
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        grid=(b // TILE_ROWS,),
+        in_specs=[
+            pl.BlockSpec((TILE_ROWS, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_ROWS, 1), lambda i: (i, 0)),
+        interpret=interpret,
+    )(h, mask.astype(jnp.int32))
