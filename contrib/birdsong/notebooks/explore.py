@@ -72,3 +72,47 @@ print(f"wrote galleries under {RUN}/inference/{md.hash}/clips/")
 # ## Browse
 # `python contrib/birdsong/scripts/make_html.py --run <RUN> --shards <SHARDS>`
 # builds the clickable HTML browser over these galleries.
+
+# %% [markdown]
+# ## Sweep analysis: L0/NMSE pareto per layer
+# The reference's 001_explore sweep cells (:353-530): one panel per recorded
+# layer, the pareto frontier of the Bird-MAE SAE sweep, plus the frontier
+# run ids — the checkpoints worth rendering clips for. Uses the offline
+# tracker written by training (`BIRDSONG_TRACKER`, default `.wandb/saev`).
+
+# %%
+import collections  # noqa: E402
+
+from saev_tpu.interactive import metrics as explorer  # noqa: E402
+
+TRACKER = pathlib.Path(os.environ.get("BIRDSONG_TRACKER", ".wandb/saev"))
+
+if TRACKER.is_dir():
+    sweep_runs = explorer.load_runs_local(TRACKER)
+    by_layer = collections.defaultdict(list)
+    for r in sweep_runs:
+        layer = ((r.get("config", {}).get("val_data") or {}).get("layer"))
+        l0 = explorer.last_value(r.get("history", []), "loss/l0")
+        nmse = explorer.last_value(
+            r.get("history", []), "metrics/normalized_mse"
+        )
+        if layer is not None and l0 is not None and nmse is not None:
+            by_layer[int(layer)].append((float(l0), float(nmse), r.get("id")))
+
+    pareto_ckpts = {}
+    for layer, rows in sorted(by_layer.items()):
+        rows.sort()
+        frontier, best = [], float("inf")
+        for l0, nmse, rid in rows:
+            if nmse < best:
+                best = nmse
+                frontier.append((l0, nmse, rid))
+        pareto_ckpts[layer] = [rid for _, _, rid in frontier]
+        print(f"layer {layer}: {len(rows)} runs, frontier:")
+        for l0, nmse, rid in frontier:
+            print(f"  {rid}: L0={l0:8.1f} NMSE={nmse:.4f}")
+    print("\nrender clips for:", " ".join(
+        rid for ids in pareto_ckpts.values() for rid in ids
+    ))
+else:
+    print(f"(no tracker at {TRACKER}; skipping sweep analysis)")
