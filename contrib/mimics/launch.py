@@ -69,6 +69,13 @@ def build_viewer(cfg) -> None:
     viewer_mod.build(cfg)
 
 
+def build_scores_viewer(cfg) -> None:
+    """Cross-run mimic-scores browser (no rendered strips needed)."""
+    import viewer as viewer_mod
+
+    viewer_mod.build_scores(cfg)
+
+
 def _bind():
     from mimics import consistency as consistency_mod
     from mimics import render as render_mod
@@ -79,6 +86,7 @@ def _bind():
     render.__annotations__["cfg"] = render_mod.Config
     consistency.__annotations__["cfg"] = consistency_mod.Config
     build_viewer.__annotations__["cfg"] = viewer_mod.Config
+    build_scores_viewer.__annotations__["cfg"] = viewer_mod.ScoresConfig
 
 
 if __name__ == "__main__":
@@ -88,4 +96,5 @@ if __name__ == "__main__":
         "render": render,
         "consistency": consistency,
         "viewer": build_viewer,
+        "scores": build_scores_viewer,
     })

@@ -197,4 +197,93 @@ if __name__ == "__main__":
     from saev_tpu.utils import cli as cli_mod
 
     logging.basicConfig(level=logging.INFO)
-    cli_mod.run({"build": build})
+    cli_mod.run({"build": build, "scores": build_scores})
+
+
+# ---------------------------------------------------------------------------
+# Scores browser (mirror of reference exps/002-wider-saes/viewer.py: browse
+# mimic_scores.json ACROSS runs — per-task tables of best separation and the
+# top-10 features per run, no rendered strips required)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ScoresConfig:
+    runs: tuple[pathlib.Path, ...] = ()
+    shards: pathlib.Path = pathlib.Path("./shards/abcdef01")
+    task_contains: str = ""
+    out: pathlib.Path = pathlib.Path("./mimics_scores.html")
+
+
+def load_scores_payload(cfg: ScoresConfig) -> dict:
+    import saev_tpu.disk
+
+    by_task: dict[str, list[dict]] = {}
+    for run_dir in cfg.runs:
+        run = saev_tpu.disk.Run(run_dir)
+        fpath = run.inference / pathlib.Path(cfg.shards).name / "mimic_scores.json"
+        if not fpath.exists():
+            logger.warning("No mimic_scores.json under %s; skipping.", fpath.parent)
+            continue
+        d_sae = (run.config.get("sae") or {}).get("d_sae") if (
+            run.run_dir / "checkpoint" / "config.json"
+        ).exists() else None
+        for task, result in json.loads(fpath.read_text()).items():
+            if cfg.task_contains and cfg.task_contains not in task:
+                continue
+            by_task.setdefault(task, []).append({
+                "run_id": run.run_id,
+                "d_sae": d_sae,
+                "best_latent": result["best_latent"],
+                "best_separation": result["best_separation"],
+                "n_pos": result["n_pos"],
+                "n_neg": result["n_neg"],
+                "top10": result["top10"],
+            })
+    assert by_task, "No mimic_scores.json found for the given runs."
+    for rows in by_task.values():
+        rows.sort(key=lambda r: -r["best_separation"])
+    return {"tasks": by_task}
+
+
+_SCORES_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>mimic scores</title><style>
+body{font-family:system-ui;margin:1.5rem;background:#fafafa}
+h2{margin:1.2em 0 .3em}table{border-collapse:collapse;background:#fff}
+td,th{border:1px solid #ddd;padding:.25rem .6rem;font-size:.85rem}
+th{background:#f0f0f0;cursor:default}.top10{color:#666;font-size:.75rem}
+</style></head><body>
+<h1>Mimic-pair scores across runs</h1>
+<div id="root"></div>
+<script>
+const payload = /*__PAYLOAD__*/;
+const root = document.getElementById("root");
+for (const [task, rows] of Object.entries(payload.tasks)) {
+  const h = document.createElement("h2"); h.textContent = task;
+  root.appendChild(h);
+  const info = document.createElement("div");
+  info.textContent = `${rows[0].n_pos} erato / ${rows[0].n_neg} melpomene`;
+  info.className = "top10"; root.appendChild(info);
+  const t = document.createElement("table");
+  t.innerHTML = "<tr><th>run</th><th>d_sae</th><th>best sep</th>" +
+                "<th>best latent</th><th>top-10 (latent:auroc)</th></tr>";
+  for (const r of rows) {
+    const tr = document.createElement("tr");
+    const tops = r.top10.map(f => `${f.latent}:${f.auroc.toFixed(3)}`).join(" ");
+    tr.innerHTML = `<td>${r.run_id}</td><td>${r.d_sae ?? "?"}</td>` +
+      `<td>${r.best_separation.toFixed(3)}</td><td>${r.best_latent}</td>` +
+      `<td class="top10">${tops}</td>`;
+    t.appendChild(tr);
+  }
+  root.appendChild(t);
+}
+</script></body></html>
+"""
+
+
+def build_scores(cfg: ScoresConfig) -> pathlib.Path:
+    payload = load_scores_payload(cfg)
+    out = pathlib.Path(cfg.out)
+    out.write_text(_SCORES_HTML.replace("/*__PAYLOAD__*/", json.dumps(payload)))
+    logger.info("Wrote %s (%d tasks).", out, len(payload["tasks"]))
+    return out

@@ -378,3 +378,56 @@ def test_launcher_lists_subcommands(capsys):
         )
     out = capsys.readouterr().out
     assert "score" in out and "viewer" in out
+
+
+def test_scores_viewer_builds(tmp_path):
+    """The cross-run scores browser renders per-task tables from
+    mimic_scores.json (mirror of reference exps/002-wider-saes/viewer.py)."""
+    import importlib.util
+    import json as json_mod
+
+    import saev_tpu.disk
+
+    spec = importlib.util.spec_from_file_location(
+        "mimics_viewer",
+        pathlib.Path(__file__).parent.parent / "contrib" / "mimics" / "scripts" / "viewer.py",
+    )
+    viewer = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(viewer)
+
+    shards_dir = helpers.write_shards(tmp_path, n_examples=2)
+    shards_name = shards_dir.name
+    runs_root = helpers.tmp_runs_root(tmp_path)
+    runs = []
+    for rid, d_sae, sep in [("ra", 1024, 0.9), ("rb", 4096, 0.95)]:
+        run = saev_tpu.disk.Run.new(
+            rid, train_shards_dir=shards_dir, val_shards_dir=shards_dir,
+            runs_root=runs_root,
+        )
+        (run.run_dir / "checkpoint" / "config.json").write_text(
+            json_mod.dumps({"sae": {"d_sae": d_sae}})
+        )
+        art = run.inference / shards_name
+        art.mkdir(parents=True)
+        (art / "mimic_scores.json").write_text(json_mod.dumps({
+            "notabilis_dorsal_vs_plesseni_dorsal": {
+                "best_latent": 7, "best_auroc": sep, "best_separation": sep,
+                "n_pos": 10, "n_neg": 12,
+                "top10": [{"latent": 7, "auroc": sep}],
+            },
+        }))
+        runs.append(run.run_dir)
+
+    out = tmp_path / "scores.html"
+    viewer.build_scores(viewer.ScoresConfig(
+        runs=tuple(runs), shards=shards_dir, out=out,
+    ))
+    html = out.read_text()
+    assert "notabilis_dorsal_vs_plesseni_dorsal" in html
+    payload = json_mod.loads(
+        html.split("const payload = ")[1].split(";\n")[0]
+    )
+    rows = payload["tasks"]["notabilis_dorsal_vs_plesseni_dorsal"]
+    # Sorted by separation descending: the wider SAE wins here.
+    assert [r["run_id"] for r in rows] == ["rb", "ra"]
+    assert rows[0]["d_sae"] == 4096
