@@ -166,6 +166,31 @@ def load(ckpt_path: pathlib.Path) -> dict:
         return {"w": fd["w"], "b": fd["b"]}
 
 
+def load_latest(root: pathlib.Path) -> dict:
+    """Load the newest probe checkpoint under `root` — largest `_step<N>`
+    suffix on the checkpoint dir name, falling back to directory mtime
+    (reference semseg/training.py:199-237 load_latest)."""
+    import re
+
+    root = pathlib.Path(root)
+    candidates = sorted(p.parent for p in root.rglob("probes.npz"))
+    if not candidates:
+        raise FileNotFoundError(f"No probe checkpoints under {root}")
+
+    def step_of(dpath: pathlib.Path) -> int:
+        match = re.search(r"_step(\d+)$", dpath.name)
+        return int(match.group(1)) if match else -1
+
+    steps = [step_of(d) for d in candidates]
+    if max(steps) >= 0:
+        best = candidates[int(np.argmax(steps))]
+    else:
+        best = max(candidates, key=lambda d: d.stat().st_mtime)
+        logger.warning("No _step suffixes under %s; using newest: %s", root, best)
+    logger.info("Loading probe checkpoint %s.", best)
+    return load(best)
+
+
 def predict(params: dict, acts: np.ndarray, probe_i: int = 0) -> np.ndarray:
     """Per-token class predictions for one probe."""
     logits = acts @ np.asarray(params["w"][probe_i]) + np.asarray(params["b"][probe_i])

@@ -224,3 +224,16 @@ def test_report_std_fields():
     assert rep.other_change_std == 0.25   # std of [0.0, 0.5]
     row = rep.to_csv_row()
     assert row["target_std"] == 0.5 and row["other_std"] == 0.25
+
+
+def test_load_latest_prefers_step_suffix(tmp_path):
+    from contrib.interactive_interp.semseg import training as semseg_training
+
+    for name, w in [("probe_step5", 5.0), ("probe_step20", 20.0), ("other", -1.0)]:
+        d = tmp_path / name
+        d.mkdir()
+        np.savez(d / "probes.npz", w=np.full((1, 2, 3), w), b=np.zeros((1, 3)))
+    params = semseg_training.load_latest(tmp_path)
+    assert params["w"][0, 0, 0] == 20.0
+    with pytest.raises(FileNotFoundError):
+        semseg_training.load_latest(tmp_path / "empty")
