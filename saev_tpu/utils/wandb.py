@@ -41,6 +41,10 @@ class _LocalRun:
         self._metrics_fd.write(
             json.dumps({"step": step, **_jsonable(metrics)}) + "\n"
         )
+        # wandb semantics: run.summary defaults to the LAST logged value per
+        # key — the analysis layer reads eval metrics from summary.json
+        # (tdiscovery.analysis.tracker_record), so mirror that here.
+        self.summary.update(_jsonable(metrics))
 
     def finish(self):
         with open(self.dir / "summary.json", "w") as fd:

@@ -1,0 +1,105 @@
+"""End-to-end study test: the 003_auxk protocol on the REAL pipeline.
+
+Train a miniature AuxK-vs-NoAux sweep through framework.train.worker_fn (fake
+shards, tiny shapes), then drive the analysis layer over the ACTUAL run dirs
+and tracker files it wrote — `audit_analysis.load_audit_frames` →
+`ablations.completeness` / `dead_units` / `variant_effect` — and assert the
+tables contain the trained runs. This pins the training→tracker→analysis
+wiring the notebooks rely on (the reference's equivalent chain runs through
+the wandb API)."""
+
+import dataclasses
+import pathlib
+import sys
+
+import pytest
+
+REPO = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(
+    0, str(REPO / "contrib" / "trait_discovery" / "src")
+)
+
+from conftest import _Helpers as helpers  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def trained_study(tmp_path_factory):
+    import os
+
+    tmp_path = tmp_path_factory.mktemp("study")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)  # the offline tracker writes to ./.wandb
+    try:
+        from saev_tpu.data import ShuffledConfig
+        from saev_tpu.framework import train as ftrain
+        from saev_tpu.nn import modeling
+
+        shards_dir = helpers.write_shards(tmp_path, n_examples=24, layers=(0,))
+        runs_root = helpers.tmp_runs_root(tmp_path)
+        data = ShuffledConfig(
+            shards=shards_dir, layer=0, batch_size=32, min_buffer_fill=0.1
+        )
+        base = ftrain.Config(
+            train_data=data, val_data=dataclasses.replace(data),
+            n_train=160, n_val=64, runs_root=runs_root, device="cpu",
+            log_every=2, track=False,
+        )
+        cfgs = []
+        for aux in (modeling.AuxK(), modeling.NoAux()):
+            for lr in (1e-3, 4e-4):
+                sae = modeling.SparseAutoencoderConfig(
+                    d_model=128, d_sae=32,
+                    activation=modeling.TopK(top_k=4, aux=aux),
+                )
+                cfgs.append(dataclasses.replace(base, sae=sae, lr=lr))
+        run_ids = ftrain.worker_fn(cfgs)
+        assert len(run_ids) == 4
+        return tmp_path, runs_root, run_ids
+    finally:
+        os.chdir(cwd)
+
+
+def test_tracker_summary_carries_eval_metrics(trained_study):
+    """The wiring this file exists for: eval metrics land in summary.json."""
+    import json
+
+    tmp_path, _, run_ids = trained_study
+    for rid in run_ids:
+        summary_fpath = tmp_path / ".wandb" / "saev" / rid / "summary.json"
+        assert summary_fpath.exists(), f"no tracker summary for {rid}"
+        summary = json.loads(summary_fpath.read_text())
+        assert "eval/l0" in summary, sorted(summary)[:10]
+        assert "eval/normalized_mse" in summary
+        assert 0 < summary["eval/l0"] <= 4.0  # TopK(4)
+
+
+def test_audit_frames_from_real_runs(trained_study):
+    from tdiscovery import ablations, audit_analysis
+
+    tmp_path, runs_root, run_ids = trained_study
+    run_dirs = [runs_root / rid for rid in run_ids]
+    sae_df, _ = audit_analysis.load_audit_frames(
+        run_dirs, tracker_root=tmp_path / ".wandb"
+    )
+    assert sorted(sae_df["run_id"]) == sorted(run_ids)
+    assert "summary/eval/l0" in sae_df.columns
+    assert sae_df["config/sae/d_sae"].eq(32).all()
+    aux_keys = set(sae_df["config/sae/activation/aux/key"])
+    assert aux_keys == {"auxk", "no-aux"}
+
+    # The ablations battery runs on the real frame and keeps both variants.
+    comp = ablations.completeness(sae_df, expected=2)
+    assert len(comp) == 2 and all(r["done"] for r in comp)
+
+    dead = ablations.dead_units(sae_df, pareto_only=False)
+    assert len(dead) == 2
+    for row in dead:
+        assert 0.0 <= row["eval_mean"] <= 100.0
+
+    effects = ablations.variant_effect(
+        sae_df[sae_df["summary/eval/normalized_mse"].notna()],
+        baseline="no-aux",
+    )
+    assert effects and effects[0]["variant"] == "auxk"
+    assert effects[0]["n_pairs"] == 1

@@ -246,7 +246,9 @@ def test_parallel_run_replays_queued_metrics(tmp_path):
         assert [l["loss"] for l in lines] == [i * 10 + s for s in range(3)]
         assert [l["step"] for l in lines] == [0, 1, 2]
         summary = json.loads((d / "summary.json").read_text())
-        assert summary == {"final": 7}
+        # wandb semantics: summary = explicit set_summary keys PLUS the last
+        # logged value per metric key.
+        assert summary == {"final": 7, "loss": float(i * 10 + 2)}
 
 
 def test_jsonable_handles_arrays():
