@@ -1,8 +1,10 @@
 """Example sweep file (reference sweep format: a Python file exporting
-make_cfgs() -> list[dict]; reference configs.py:17-39, tests/sweeps/).
+make_cfgs() -> list[dict]; reference configs.py:16-39, tests/sweeps/).
 
-List-valued leaves cartesian-product via configs.expand; CLI overrides beat
-sweep values; seeds auto-increment per expanded config.
+`make_cfgs` returns the FINAL list of config dicts — one per run. For grids,
+call `saev_tpu.configs.expand` (cartesian product over list-valued leaves)
+inside make_cfgs, as below; CLI overrides beat sweep values and seeds
+auto-increment per config.
 
     python launch.py train --sweep sweeps/example.py \
         --train-data.shards $SAEV_SCRATCH/saev/shards/<hash> ...
@@ -10,15 +12,15 @@ sweep values; seeds auto-increment per expanded config.
 
 
 def make_cfgs() -> list[dict]:
-    return [
-        {
-            "lr": [1e-4, 4e-4, 1e-3],
-            "sae": {
-                "activation": {
-                    "key": "top-k",
-                    "top_k": [16, 32, 64],
-                },
+    from saev_tpu.configs import expand
+
+    return list(expand({
+        "lr": [1e-4, 4e-4, 1e-3],
+        "sae": {
+            "activation": {
+                "key": "top-k",
+                "top_k": [16, 32, 64],
             },
-            "objective": {"n_prefixes": 10},
-        }
-    ]
+        },
+        "objective": {"n_prefixes": 10},
+    }))

@@ -95,3 +95,68 @@ def test_launch_pipeline(tmp_path):
     metrics = json.loads((art / "metrics.json").read_text())
     assert metrics["n_tokens"] == 32 * 16
     assert (art / "token_acts.npz").exists()
+
+
+def test_launch_train_with_sweep_file(tmp_path):
+    """`launch.py train --sweep <file>` expands a make_cfgs() grid through the
+    real subprocess CLI (reference guide.md sweep flow) — two aux variants,
+    two run dirs, distinct seeds."""
+    shards_root = tmp_path / "saev" / "shards"
+    shards_root.mkdir(parents=True)
+    runs_root = tmp_path / "saev" / "runs"
+    runs_root.mkdir(parents=True)
+
+    from conftest import FAKE_CKPT
+
+    _run(
+        [
+            "shards", "data:fake-img", "--data.n-examples", "16",
+            "--family", "fake-clip", "--ckpt", FAKE_CKPT,
+            "--d-model", "128", "--content-tokens-per-example", "16",
+            "--cls-token", "--layers", "0",
+            "--batch-size", "8", "--n-workers", "2",
+            "--max-tokens-per-shard", "512",
+            "--shards-root", str(shards_root), "--device", "cpu",
+        ],
+        cwd=tmp_path,
+    )
+    (shards_dir,) = [p for p in shards_root.iterdir() if p.is_dir()]
+
+    sweep_fpath = tmp_path / "sweep.py"
+    sweep_fpath.write_text(
+        "def make_cfgs():\n"
+        "    return [\n"
+        "        {'sae': {'activation':\n"
+        "            {'key': 'top-k', 'top_k': 4, 'aux': {'key': aux}}}}\n"
+        "        for aux in ('auxk', 'no-aux')\n"
+        "    ]\n"
+    )
+
+    _run(
+        [
+            "train", "--sweep", str(sweep_fpath),
+            "--train-data.shards", str(shards_dir), "--train-data.layer", "0",
+            "--train-data.batch-size", "32", "--train-data.n-threads", "1",
+            "--train-data.buffer-size", "4",
+            "--val-data.shards", str(shards_dir), "--val-data.layer", "0",
+            "--val-data.batch-size", "32", "--val-data.n-threads", "1",
+            "--val-data.buffer-size", "4",
+            "--n-train", "128", "--n-val", "32",
+            "--sae.d-model", "128", "--sae.d-sae", "32",
+            "--lr", "1e-3", "--no-track",
+            "--runs-root", str(runs_root), "--device", "cpu",
+        ],
+        cwd=tmp_path,
+    )
+    run_dirs = sorted(p for p in runs_root.iterdir() if p.is_dir())
+    assert len(run_dirs) == 2
+
+    import json
+
+    aux_keys, seeds = set(), set()
+    for run_dir in run_dirs:
+        cfg = json.loads((run_dir / "checkpoint" / "config.json").read_text())
+        aux_keys.add(cfg["sae"]["activation"]["aux"]["key"])
+        seeds.add(cfg["seed"])
+    assert aux_keys == {"auxk", "no-aux"}
+    assert len(seeds) == 2  # auto-incremented per expanded config
