@@ -104,3 +104,15 @@ def test_variant_effect_sign_and_pairs():
     assert row["n_pairs"] == 2  # two (data, layer) cells
     # AuxK is 0.05 better (lower NMSE) everywhere.
     assert row["mean_diff"] == pytest.approx(-0.05)
+
+
+def test_variant_effect_custom_column():
+    """The engine generalizes to other variant columns (the 002_optim use)."""
+    df = make_frame().rename(
+        columns={"config/sae/activation/aux/key": "config/optim"}
+    ).replace({"config/optim": {"auxk": "muon", "no-aux": "adam"}})
+    rows = ablations.variant_effect(df, variant_col="config/optim",
+                                    baseline="adam")
+    (row,) = rows
+    assert row["variant"] == "muon"
+    assert row["mean_diff"] == pytest.approx(-0.05)
