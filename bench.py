@@ -145,17 +145,20 @@ def select_kth_kernel(n_iters: int = 12) -> dict:
     def chain(kernel):
         c = jnp.float32(0)
 
+        # h passed as an argument, NOT closed over: jit closures over ~1 GB
+        # device arrays ship the array in the compile request (NOTES.md
+        # dev-tunnel gotchas).
         @jax.jit
-        def step(c):
+        def step(c, h):
             out = kernel(h * (1 + 1e-12 * c), 32)
             return out.ravel()[0]
 
         for _ in range(3):
-            c = step(c)
+            c = step(c, h)
         jax.block_until_ready(c)
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            c = step(c)
+            c = step(c, h)
         jax.block_until_ready(c)
         return (time.perf_counter() - t0) / n_iters * 1e3
 
