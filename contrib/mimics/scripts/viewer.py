@@ -193,11 +193,6 @@ document.getElementById("next").addEventListener("click", () => { featIdx++; ren
 """
 
 
-if __name__ == "__main__":
-    from saev_tpu.utils import cli as cli_mod
-
-    logging.basicConfig(level=logging.INFO)
-    cli_mod.run({"build": build, "scores": build_scores})
 
 
 # ---------------------------------------------------------------------------
@@ -287,3 +282,10 @@ def build_scores(cfg: ScoresConfig) -> pathlib.Path:
     out.write_text(_SCORES_HTML.replace("/*__PAYLOAD__*/", json.dumps(payload)))
     logger.info("Wrote %s (%d tasks).", out, len(payload["tasks"]))
     return out
+
+
+if __name__ == "__main__":
+    from saev_tpu.utils import cli as cli_mod
+
+    logging.basicConfig(level=logging.INFO)
+    cli_mod.run({"build": build, "scores": build_scores})

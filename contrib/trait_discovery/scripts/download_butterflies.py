@@ -125,10 +125,29 @@ def materialize(cfg: Config, rows) -> dict[str, int]:
         except Exception as err:
             logger.warning("Failed to process %s: %s", stem, err)
 
-    with open(cfg.out / "labels.csv", "w", newline="") as fd:
+    # Merge with any existing labels.csv (fetching split=train then
+    # split=validation must not clobber the first split's rows; this run's
+    # values win for re-fetched stems).
+    labels_fpath = cfg.out / "labels.csv"
+    merged: dict[str, list[str]] = {}
+    if labels_fpath.exists():
+        with open(labels_fpath, newline="") as fd:
+            reader = csv.reader(fd)
+            old_header = next(reader, None)
+            if old_header == header:
+                for row in reader:
+                    merged[row[0]] = row
+            else:
+                logger.warning(
+                    "labels.csv header changed (%s -> %s); rewriting.",
+                    old_header, header,
+                )
+    for row in label_rows:
+        merged[row[0]] = row
+    with open(labels_fpath, "w", newline="") as fd:
         writer = csv.writer(fd)
         writer.writerow(header)
-        writer.writerows(label_rows)
+        writer.writerows(merged.values())
     logger.info(
         "Wrote %d labels, %d images (%d skipped, %d duplicate stems).",
         len(label_rows), n_written, n_skipped, len(rows) - len(label_rows),

@@ -130,12 +130,15 @@ def _seg_rows(fv_root: pathlib.Path) -> list[dict[str, str]]:
             for required in ("filename", "family", "standardized_species"):
                 assert required in cols, f"FishVista CSV missing '{required}'"
             for row in reader:
-                words = row["standardized_species"].split(" ")
+                words = row["standardized_species"].split()
                 rows.append({
                     "stem": pathlib.Path(row["filename"]).stem,
                     "family": row["family"],
                     "genus": words[0].lower() if words else "",
-                    "species": words[-1].lower() if words else "",
+                    # The species EPITHET is the second word; trinomials'
+                    # subspecies suffix must not enter the FishBase join key
+                    # (scrape_fishbase keys on parts[1] too).
+                    "species": words[1].lower() if len(words) > 1 else "",
                 })
     return rows
 

@@ -69,15 +69,27 @@ def ckpt_fpath(runs_root: pathlib.Path, run_id: str) -> pathlib.Path:
 
 
 def _eval_summary(cfg: Config, run_id: str) -> dict:
-    """eval metrics from the offline tracker, else the run's metrics.json."""
+    """eval metrics from the offline tracker, else the run's metrics.json.
+
+    The tracker's summary.json carries FLAT wandb-style keys ("eval/l0",
+    "eval/mse" — utils/wandb._LocalRun); nested {"eval": {...}} is accepted
+    as a fallback shape."""
     if cfg.tracker_root is not None:
         for project_dir in sorted(p for p in cfg.tracker_root.glob("*") if p.is_dir()):
             fpath = project_dir / run_id / "summary.json"
             if fpath.exists():
                 try:
-                    return json.loads(fpath.read_text()).get("eval", {})
+                    summary = json.loads(fpath.read_text())
                 except json.JSONDecodeError:
-                    pass
+                    continue
+                flat = {
+                    key.removeprefix("eval/"): value
+                    for key, value in summary.items()
+                    if key.startswith("eval/")
+                }
+                nested = summary.get("eval", {})
+                if flat or nested:
+                    return {**nested, **flat}
     fpath = cfg.runs_root / run_id / "metrics.json"
     if fpath.exists():
         try:

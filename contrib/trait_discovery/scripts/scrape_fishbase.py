@@ -225,7 +225,13 @@ def scrape(cfg: Config) -> int:
     """Fetch + parse every unscraped species, appending rows as they land."""
     species = load_species(cfg.fishvista)
     done = load_existing(cfg.out)
-    todo = [(f, g, e) for f, g, e in species if (g, e) not in done]
+    # The output CSV stores lowercase genus/species; species from FishVista
+    # carry capitalized genus — compare case-insensitively or resume
+    # re-scrapes everything.
+    todo = [
+        (f, g, e) for f, g, e in species
+        if (g.lower(), e.lower()) not in done
+    ]
     logger.info("%d species total, %d already scraped, %d to go.",
                 len(species), len(done), len(todo))
 

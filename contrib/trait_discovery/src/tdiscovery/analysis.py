@@ -430,7 +430,13 @@ def load_probe_results_df(
         if split_map is None:
             continue
 
-        record = run_record(run, tracker_root)
+        try:
+            record = run_record(run, tracker_root)
+        except FileNotFoundError as err:
+            # Baseline runs (checkpoint/baseline.pt, no config.json) share the
+            # runs root; they belong to load_baseline_probe_results_df.
+            logger.info("Skipping %s: %s", run.run_id, err)
+            continue
 
         rows.append({
             "run_id": run.run_id,

@@ -140,14 +140,15 @@ def parse_species(label: str) -> dict[str, str]:
 
 def load_trait_table(fpath: pathlib.Path) -> dict[tuple[str, str], dict[str, str]]:
     """CSV with columns genus,species,<trait...> → {(genus, species): traits}.
-    The hermetic stand-in for the reference's FishBase snapshot."""
+    Keys are lowercased — the scraper writes lowercase and FishVista labels
+    carry capitalized genus, so case must not decide a join."""
     import csv
 
     table: dict[tuple[str, str], dict[str, str]] = {}
     with open(fpath, newline="") as fd:
         for row in csv.DictReader(fd):
-            genus = row.pop("genus").strip()
-            species = row.pop("species").strip()
+            genus = row.pop("genus").strip().lower()
+            species = row.pop("species").strip().lower()
             table[(genus, species)] = {k: v.strip() for k, v in row.items()}
     return table
 
@@ -161,10 +162,15 @@ def example_traits(
     """Per-example trait index into `vocab` (-1 = unknown species or value),
     the left-join of 004_fishbase.py:660-675 without polars categoricals."""
     index = {v: i for i, v in enumerate(vocab)}
+    # Case-insensitive join: parse_species keeps FishVista's capitalized
+    # genus, the trait table is lowercased (load_trait_table).
+    table = {
+        (g.lower(), s.lower()): traits for (g, s), traits in trait_table.items()
+    }
     out = np.full(len(species_labels), -1, dtype=np.int32)
     for i, label in enumerate(species_labels):
         parts = parse_species(label)
-        traits = trait_table.get((parts["genus"], parts["species"]))
+        traits = table.get((parts["genus"].lower(), parts["species"].lower()))
         if traits is not None:
             out[i] = index.get(traits.get(trait, ""), -1)
     return out

@@ -163,12 +163,32 @@ def worker_fn(cfg: Config) -> dict[str, object]:
     return results
 
 
-def cli(cfg: Config) -> None:
+def cli(cfg: Config, sweep: pathlib.Path | None = None) -> None:
+    """Run AP evaluation; with --sweep, expand a sweep file of config dicts
+    (reference probe1d_metrics sweeps)."""
+    import saev_tpu.configs
+
     logging.basicConfig(
         level=logging.DEBUG if cfg.debug else logging.INFO,
         format="[%(asctime)s] [%(levelname)s] [%(name)s] %(message)s",
     )
-    worker_fn(cfg)
+    if sweep is None:
+        worker_fn(cfg)
+        return
+    sweep_dcts = saev_tpu.configs.load_sweep(sweep)
+    if not sweep_dcts:
+        # Never silently fall back to the bare CLI config (train/inference
+        # exit the same way on an unusable sweep file).
+        logger.error("No valid sweeps found in '%s'.", sweep)
+        raise SystemExit(1)
+    cfgs, errs = saev_tpu.configs.load_cfgs(
+        cfg, default=Config(), sweep_dcts=sweep_dcts
+    )
+    for err in errs:
+        logger.warning("Error in config: %s", err)
+    for i, c in enumerate(cfgs, start=1):
+        logger.info("Running metrics config %d/%d.", i, len(cfgs))
+        worker_fn(c)
 
 
 if __name__ == "__main__":

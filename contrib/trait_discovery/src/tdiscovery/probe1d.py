@@ -776,6 +776,28 @@ def worker_fn(cfg: Config) -> int:
     return 0
 
 
-def cli(cfg: Config) -> None:
+def cli(cfg: Config, sweep: pathlib.Path | None = None) -> None:
+    """Run the probe pipeline; with --sweep, expand a sweep file of config
+    dicts (one worker per expanded config, reference launch.py probe1d
+    sweeps, e.g. sweeps/004_fishbase/probe1d.py)."""
+    import saev_tpu.configs
+
     logging.basicConfig(level=logging.INFO)
-    raise SystemExit(worker_fn(cfg))
+    if sweep is None:
+        raise SystemExit(worker_fn(cfg))
+    sweep_dcts = saev_tpu.configs.load_sweep(sweep)
+    if not sweep_dcts:
+        # Never silently fall back to the bare CLI config (train/inference
+        # exit the same way on an unusable sweep file).
+        logger.error("No valid sweeps found in '%s'.", sweep)
+        raise SystemExit(1)
+    cfgs, errs = saev_tpu.configs.load_cfgs(
+        cfg, default=Config(), sweep_dcts=sweep_dcts
+    )
+    for err in errs:
+        logger.warning("Error in config: %s", err)
+    rc = 0
+    for i, c in enumerate(cfgs, start=1):
+        logger.info("Running probe1d config %d/%d.", i, len(cfgs))
+        rc = max(rc, worker_fn(c))
+    raise SystemExit(rc)

@@ -88,12 +88,6 @@ def main():
         print(f"raw {passes:2d}x compare+count, int32:      {chain_time(ct_step):7.2f} ms")
 
 
-if __name__ == "__main__":
-    import sys as _sys
-    if "--p16" in _sys.argv:
-        bench_pallas16()
-        raise SystemExit(0)
-    main()
 
 
 def bench_pallas16():
@@ -121,3 +115,10 @@ def bench_pallas16():
     b = np.asarray(pallas_topk.exact_kth_value_pallas16(xf, 32))
     assert np.array_equal(a.view(np.uint32), b.view(np.uint32)), "PARITY FAIL"
     print("on-chip bit parity ok")
+
+
+if __name__ == "__main__":
+    if "--p16" in sys.argv:
+        bench_pallas16()
+        raise SystemExit(0)
+    main()

@@ -387,3 +387,97 @@ def test_formatted_segfolder_feeds_extraction(tmp_path):
     labels = np.memmap(shards_dir / "labels.bin", mode="r", dtype=np.uint8,
                        shape=(md_n, fake_vit.N_PATCHES))
     assert labels.shape[0] == data_cfg.n_examples
+
+
+# ---------------------------------------------------------------------------
+# Review-fix regressions (round-4 code review findings)
+# ---------------------------------------------------------------------------
+
+
+def test_trait_join_is_case_insensitive(tmp_path):
+    """The scraper writes lowercase keys; FishVista labels carry capitalized
+    genus — the join must not miss on case (review finding)."""
+    from tdiscovery import fishbase
+
+    csv_fpath = tmp_path / "traits.csv"
+    csv_fpath.write_text(
+        "genus,species,habitat\nthunnus,albacares,pelagic-oceanic\n"
+    )
+    table = fishbase.load_trait_table(csv_fpath)
+    idx = fishbase.example_traits(
+        ["Scombridae_Thunnus_albacares"], table, "habitat"
+    )
+    assert idx[0] == fishbase.HABITATS.index("pelagic-oceanic")
+
+
+def test_scrape_resume_is_case_insensitive(tmp_path):
+    sf = _load("scrape_fishbase")
+    with open(tmp_path / "segmentation_train.csv", "w", newline="") as fd:
+        writer = csv.writer(fd)
+        writer.writerow(["filename", "family", "standardized_species"])
+        writer.writerow(["a.jpg", "Scombridae", "Thunnus albacares"])
+    out = tmp_path / "out.csv"
+    out.write_text("family,genus,species\nScombridae,thunnus,albacares\n")
+    species = sf.load_species(tmp_path)
+    done = sf.load_existing(out)
+    todo = [
+        (f, g, e) for f, g, e in species if (g.lower(), e.lower()) not in done
+    ]
+    assert todo == []  # already scraped -> nothing to re-fetch
+
+
+def test_fishvista_species_epithet_is_second_word(tmp_path):
+    """Trinomial names must key on the epithet (second word), matching the
+    scraper's key (review finding)."""
+    fv = _load("format_fishvista")
+    _fake_fishvista(tmp_path / "fv", [("a.jpg", "Genus species subsp")])
+    rows = fv._seg_rows(tmp_path / "fv")
+    assert rows[0]["species"] == "species"
+
+
+def test_butterflies_labels_merge_across_splits(tmp_path):
+    from PIL import Image
+
+    bfly = _load("download_butterflies")
+
+    def rows(stems, ssp):
+        return [{
+            "stem": s, "subspecies": ssp, "view": "dorsal",
+            "image": Image.new("RGB", (4, 4)), "mask": Image.new("L", (4, 4)),
+        } for s in stems]
+
+    bfly.materialize(
+        bfly.Config(out=tmp_path / "o", target_split="training"),
+        rows(["t1", "t2"], "lativitta"),
+    )
+    bfly.materialize(
+        bfly.Config(out=tmp_path / "o", target_split="validation"),
+        rows(["v1"], "malleti"),
+    )
+    with open(tmp_path / "o" / "labels.csv", newline="") as fd:
+        got = {r["stem"]: r for r in csv.DictReader(fd)}
+    assert set(got) == {"t1", "t2", "v1"}  # training rows survived
+    assert got["v1"]["subspecies_view"] == "malleti_dorsal"
+
+
+def test_push_reads_flat_tracker_summary(tmp_path):
+    pd3 = _load("push_dinov3")
+    tracker = tmp_path / ".wandb" / "saev" / "abc"
+    tracker.mkdir(parents=True)
+    (tracker / "summary.json").write_text(
+        json.dumps({"eval/l0": 32.0, "eval/mse": 0.5, "loss/mse": 0.6})
+    )
+    cfg = pd3.Config(runs_root=tmp_path / "runs",
+                     tracker_root=tmp_path / ".wandb")
+    summary = pd3._eval_summary(cfg, "abc")
+    assert summary == {"l0": 32.0, "mse": 0.5}
+
+
+def test_probe1d_cli_rejects_empty_sweep(tmp_path):
+    from tdiscovery import probe1d
+
+    bad = tmp_path / "broken.py"
+    bad.write_text("this is not python (")
+    with pytest.raises(SystemExit) as exc:
+        probe1d.cli(probe1d.Config(), sweep=bad)
+    assert exc.value.code == 1

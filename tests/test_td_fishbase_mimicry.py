@@ -84,8 +84,9 @@ def test_load_trait_table(tmp_path):
         "Thunnus,albacares,pelagic-oceanic,oceanodromous\n"
     )
     table = fishbase.load_trait_table(csv)
-    assert table[("Thunnus", "albacares")]["habitat"] == "pelagic-oceanic"
-    assert table[("Thunnus", "albacares")]["migration"] == "oceanodromous"
+    # Keys are lowercased for the case-insensitive join.
+    assert table[("thunnus", "albacares")]["habitat"] == "pelagic-oceanic"
+    assert table[("thunnus", "albacares")]["migration"] == "oceanodromous"
 
 
 def _planted_setup(rng, *, plant_latent=7, plant_part=3, plant_habitat=1):
