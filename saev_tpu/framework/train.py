@@ -93,6 +93,13 @@ class Config:
     peaks at ~8 GB of HLO temps, so width 1 is the safe default on 16 GB
     chips; raise it for small SAEs. Composes with sweep_parallel: the width
     then bounds PER-DEVICE memory and must divide n_sae / sweep_parallel."""
+    feature_parallel: int = 1
+    """Shard the latent dimension (d_sae) over this many devices (the
+    `feature` mesh axis) — tensor parallelism for dictionaries too wide for
+    one chip's HBM. The step runs pure-XLA under GSPMD (Pallas kernels have
+    no partitioning rules), so expect lower single-chip throughput; use only
+    when d_sae forces it. Composes with data/sweep axes; d_sae must divide
+    it. 1 = no latent sharding."""
     matmul_precision: tp.Literal["highest", "high", "default"] = "default"
     """Train-step matmul precision: default = bf16 inputs with f32 accumulation
     (the TPU-native choice, 1.43x over bf16x3 end to end), high = bf16x3
@@ -503,6 +510,7 @@ def make_train_step(
     mesh=None,
     aux_enabled: bool = True,
     aux_subspace_cap: int | None = None,
+    feature_parallel: int = 1,
 ):
     """Build the jitted train step for one cohort.
 
@@ -538,6 +546,15 @@ def make_train_step(
 
     assert sweep_vmap_width >= 1, f"sweep_vmap_width must be >= 1, got {sweep_vmap_width}"
     precision = modeling.PRECISIONS[matmul_precision]
+    if feature_parallel > 1:
+        # See allow_fused below: the latent-sharded step must be pure XLA.
+        from ..ops import topk as _topk
+
+        _topk.FORCE_LAX = True
+        logger.info(
+            "feature_parallel=%d: Pallas kernels disabled for this process "
+            "(pure-XLA step so GSPMD can shard d_sae).", feature_parallel,
+        )
 
     def loss_one(
         params, sae_state, obj_state, x, prefixes, coeff, alpha, momentum, any_dead
@@ -549,6 +566,10 @@ def make_train_step(
             precision=precision,
             any_dead=any_dead,
             aux_subspace_cap=aux_subspace_cap,
+            # Pallas custom-call kernels have no GSPMD partitioning rules; a
+            # feature-sharded step must stay pure-XLA so the partitioner can
+            # slice the latent dimension instead of replicating it.
+            allow_fused=feature_parallel == 1,
         )
         return loss, out, s1, s2
 
@@ -751,16 +772,21 @@ class _CohortRuntime(tp.NamedTuple):
             self.pending.append((global_step, stats))
 
 
-def _device_mesh(batch_size: int, sweep: int = 1):
+def _device_mesh(batch_size: int, sweep: int = 1, feature: int = 1):
     """All devices whose data extent divides the batch size, with the requested
-    sweep-axis extent."""
+    sweep- and feature-axis extents."""
     devices = jax.devices()
     n = len(devices)
-    assert n % sweep == 0, f"{n} devices not divisible by sweep_parallel={sweep}"
-    n_data = n // sweep
+    assert n % (sweep * feature) == 0, (
+        f"{n} devices not divisible by sweep_parallel={sweep} x "
+        f"feature_parallel={feature}"
+    )
+    n_data = n // (sweep * feature)
     while n_data > 1 and batch_size % n_data != 0:
         n_data -= 1
-    return parallel.make_mesh(n_devices=n_data * sweep, sweep=sweep)
+    return parallel.make_mesh(
+        n_devices=n_data * sweep * feature, sweep=sweep, feature=feature
+    )
 
 
 def train(
@@ -786,7 +812,9 @@ def train(
     limited = scheduling.BatchLimiter(dataloader, cfg.n_train)
     n_steps = len(limited)
 
-    mesh = _device_mesh(cfg.train_data.batch_size, cfg.sweep_parallel)
+    mesh = _device_mesh(
+        cfg.train_data.batch_size, cfg.sweep_parallel, cfg.feature_parallel
+    )
     logger.info("Mesh: %d device(s) over '%s'.", mesh.devices.size, parallel.DATA_AXIS)
 
     cohorts = make_cohorts(cfgs)
@@ -795,17 +823,24 @@ def train(
         params, sae_state, obj_state = make_saes(
             cohort.cfgs, limited, seed=cfg.seed + ci
         )
-        # Sweep axis shards over the `sweep` mesh axis (replicates at extent 1).
-        params = parallel.shard_sweep(mesh, params)
-        sae_state = parallel.shard_sweep(mesh, sae_state)
-        obj_state = parallel.shard_sweep(mesh, obj_state)
         c0 = cohort.cfgs[0]
+        # Sweep axis shards over `sweep`; with feature_parallel the latent
+        # (d_sae) dims additionally shard over `feature` (both replicate at
+        # extent 1 — shard_features degenerates to shard_sweep).
+        place = (
+            (lambda t: parallel.shard_features(mesh, t, c0.sae.d_sae))
+            if cfg.feature_parallel > 1
+            else (lambda t: parallel.shard_sweep(mesh, t))
+        )
+        params = place(params)
+        sae_state = place(sae_state)
+        obj_state = place(obj_state)
         opt_init = _adam_init if c0.optim == "adam" else _muon_init
         ts = SweepState(
             params=params,
             sae_state=sae_state,
             obj_state=obj_state,
-            opt_state=parallel.shard_sweep(mesh, opt_init(params)),
+            opt_state=place(opt_init(params)),
             step=jnp.zeros((), jnp.int32),
         )
         hp = {
@@ -835,6 +870,7 @@ def train(
         step_kwargs = dict(
             sweep_vmap_width=eff_width,
             sweep_parallel=c0.sweep_parallel, mesh=mesh,
+            feature_parallel=cfg.feature_parallel,
         )
         # Steps [0, aux_from_step) cannot produce a dead latent: within
         # 0-based step i the counters reach at most (i+1)*bsz, and dead
@@ -1232,6 +1268,7 @@ def worker_fn(cfgs: list[Config]) -> list[str]:
 
 CANNOT_PARALLELIZE = set([
     "sweep_parallel",
+    "feature_parallel",
     "train_data",
     "val_data",
     "n_train",

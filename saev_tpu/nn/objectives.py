@@ -264,6 +264,7 @@ def matryoshka_loss(
     precision=None,
     any_dead: Array | None = None,
     aux_subspace_cap: int | None = None,
+    allow_fused: bool = True,
 ) -> tuple[MatryoshkaLoss, modeling.Output, modeling.State, ObjectiveState]:
     """One objective forward (reference MatryoshkaObjective.forward,
     objectives.py:101-156). Pure: returns updated SAE state (BatchTopK threshold)
@@ -317,6 +318,7 @@ def matryoshka_loss(
     # reconstruction (stop-gradient), which is all the train step consumes.
     use_fused = (
         FUSED_ENABLED
+        and allow_fused
         and training
         and prefixes is not None
         and prefixes.shape[0] > 1

@@ -25,16 +25,25 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+# Trace-time switch: True forces the pure-XLA lax.top_k path everywhere.
+# Set by make_train_step under feature parallelism — Pallas custom calls have
+# no GSPMD partitioning rules, so a latent-sharded step must stay XLA-only
+# (same module-global pattern as nn.objectives.FUSED_ENABLED).
+FORCE_LAX = False
+
+
 def exact_kth_value(h: Array, k: int) -> Array:
     """Exact k-th largest along the last axis, (B, ..., 1).
 
     On TPU with a 2-D f32 input this dispatches to the Pallas bitwise-bisection
     kernel (ops/pallas_topk.py): one HBM pass, ~12x faster than lax.top_k's row
-    sort and bit-identical. Other backends/shapes use lax.top_k.
+    sort and bit-identical. Other backends/shapes (or FORCE_LAX) use lax.top_k.
     """
     from . import pallas_topk
 
     k = min(k, h.shape[-1])
+    if FORCE_LAX:
+        return jax.lax.top_k(h, k)[0][..., -1:]
     return pallas_topk.kth_value(h, k)
 
 
@@ -50,6 +59,9 @@ def exact_kth_value_masked(h: Array, mask: Array, k: int) -> Array:
     from . import pallas_topk
 
     k = min(k, h.shape[-1])
+    if FORCE_LAX:
+        masked = jnp.where(mask[None, :], h, jnp.array(-jnp.inf, h.dtype))
+        return jax.lax.top_k(masked, k)[0][..., -1:]
     return pallas_topk.kth_value_masked(h, mask, k)
 
 

@@ -2,7 +2,7 @@
 SURVEY.md §2.8; this subsystem is the distributed feature added in the TPU
 rebuild).
 
-Two mesh axes:
+Three mesh axes:
 
 - `data`: pure data parallelism. The token batch shards along axis 0; SAE
   params/optimizer state replicate, and XLA inserts the gradient all-reduce
@@ -14,6 +14,10 @@ Two mesh axes:
   the batch broadcasts. This scales the reference's signature same-batch
   multi-SAE training (reference train.py:339-343 loops in Python on one GPU)
   to pods.
+- `feature`: tensor parallelism over the latent dimension (d_sae) for
+  dictionaries too wide for one chip's HBM (`shard_features` slices every
+  d_sae-sized dim of params/optimizer/counters; GSPMD partitions the pure-XLA
+  step and inserts the cross-shard collectives, incl. the global top-k).
 
 Multi-host: call `init_distributed()` before any JAX op on each host of a pod
 slice; `jax.devices()` then spans the slice and the same mesh code works.
@@ -30,6 +34,7 @@ logger = logging.getLogger("parallel")
 
 DATA_AXIS = "data"
 SWEEP_AXIS = "sweep"
+FEATURE_AXIS = "feature"
 
 
 def init_distributed(
@@ -65,20 +70,27 @@ def init_distributed(
 
 
 def make_mesh(
-    n_devices: int | None = None, devices=None, *, sweep: int = 1
+    n_devices: int | None = None, devices=None, *, sweep: int = 1,
+    feature: int = 1,
 ) -> Mesh:
-    """A ("data", "sweep") mesh over the first n local (or all global) devices.
+    """A ("data", "sweep", "feature") mesh over the first n local (or all
+    global) devices.
 
-    sweep=1 (default) degenerates to pure data parallelism.
+    sweep=1 and feature=1 (defaults) degenerate to pure data parallelism.
+    The `feature` axis shards the SAE latent dimension (d_sae) for very wide
+    dictionaries — tensor parallelism over the one big axis SAEs have
+    (SURVEY.md §2.8's suggested TPU-native extension).
     """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    assert n % sweep == 0, f"{n} devices not divisible by sweep={sweep}"
-    grid = np.asarray(devices).reshape(n // sweep, sweep)
-    return Mesh(grid, (DATA_AXIS, SWEEP_AXIS))
+    assert n % (sweep * feature) == 0, (
+        f"{n} devices not divisible by sweep={sweep} x feature={feature}"
+    )
+    grid = np.asarray(devices).reshape(n // (sweep * feature), sweep, feature)
+    return Mesh(grid, (DATA_AXIS, SWEEP_AXIS, FEATURE_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -130,6 +142,38 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree onto every device of the mesh."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_features(mesh: Mesh, tree, d_sae: int):
+    """Place a stacked-SAE pytree with the latent dimension sharded over
+    `feature` (and the leading sweep axis over `sweep`, as `shard_sweep`).
+
+    Structural rule: every dim of size `d_sae` (beyond the leading stacked
+    axis) is a latent dim — W_enc (n, d_model, d_sae), W_dec (n, d_sae,
+    d_model), b_enc / toks_since_active (n, d_sae), and the optimizer moments
+    mirroring them. Leaves with no latent dim fall back to the shard_sweep
+    placement. Tiny-test caveat: keep d_model != d_sae or d_model dims would
+    shard too."""
+    n_feature = mesh.shape[FEATURE_AXIS]
+    n_sweep = mesh.shape[SWEEP_AXIS]
+    if n_feature == 1:
+        return shard_sweep(mesh, tree)
+
+    def place(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return jax.device_put(x, replicated(mesh))
+        spec = [None] * x.ndim
+        if n_sweep > 1 and x.shape[0] % n_sweep == 0:
+            spec[0] = SWEEP_AXIS
+        for i in range(1, x.ndim):
+            if x.shape[i] == d_sae and x.shape[i] % n_feature == 0:
+                spec[i] = FEATURE_AXIS
+                break  # one latent dim per leaf
+        while spec and spec[-1] is None:
+            spec.pop()
+        return jax.device_put(x, NamedSharding(mesh, PartitionSpec(*spec)))
+
+    return jax.tree.map(place, tree)
 
 
 def prefetch_to_device(iterator, mesh: Mesh, *, depth: int = 2, key: str = "act"):

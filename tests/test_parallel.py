@@ -199,3 +199,126 @@ def test_batch_topk_global_semantics_under_dp():
     assert t8 == pytest.approx(t1, rel=1e-6)
     # Sanity: the mask is batch-global (concentrated rows dominate the budget).
     assert (f1[:4] != 0).sum() > (f1[4:] != 0).sum()
+
+
+def test_feature_parallel_equals_single_device():
+    """Latent-sharded (feature axis) training must reproduce the single-device
+    trajectory — GSPMD slices d_sae, the numbers don't change."""
+    from saev_tpu.framework import train as T
+    from saev_tpu.nn import modeling, objectives
+
+    n_sae, d_model, d_sae, batch = 2, 16, 64, 32
+    sae_cfg = modeling.SparseAutoencoderConfig(
+        d_model=d_model, d_sae=d_sae, activation=modeling.TopK(top_k=4)
+    )
+    obj_cfg = objectives.Matryoshka(n_prefixes=2)
+
+    def build(mesh):
+        keys = jax.random.split(jax.random.key(0), n_sae)
+        inits = [modeling.init(sae_cfg, k) for k in keys]
+        stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+        params = parallel.shard_features(mesh, stack([p for p, _ in inits]), d_sae)
+        return T.SweepState(
+            params=params,
+            sae_state=parallel.shard_features(
+                mesh, stack([s for _, s in inits]), d_sae
+            ),
+            obj_state=parallel.shard_features(
+                mesh, stack([objectives.init_state(sae_cfg)] * n_sae), d_sae
+            ),
+            opt_state=parallel.shard_features(mesh, T._adam_init(params), d_sae),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    hp = {
+        "lr": jnp.asarray([1e-3, 3e-3], jnp.float32),
+        "n_lr_warmup": jnp.full((n_sae,), 2.0, jnp.float32),
+        "grad_clip": jnp.ones((n_sae,), jnp.float32),
+        "sparsity_coeff": jnp.zeros(n_sae, jnp.float32),
+        "aux_alpha": jnp.full((n_sae,), 1 / 32, jnp.float32),
+        "momentum": jnp.zeros(n_sae, jnp.float32),
+    }
+    step_fn = T.make_train_step(
+        sae_cfg, obj_cfg, n_steps=10, matmul_precision="highest",
+        sweep_vmap_width=n_sae, feature_parallel=4,
+    )
+    rng = np.random.default_rng(0)
+    x_np = rng.normal(size=(batch, d_model)).astype(np.float32)
+    prefixes = jnp.asarray(np.stack(
+        [objectives.sample_prefixes(d_sae, 2, rng=rng) for _ in range(n_sae)]
+    ))
+
+    results = {}
+    for name, mesh in [
+        ("single", parallel.make_mesh(n_devices=1)),
+        ("data2_feat4", parallel.make_mesh(n_devices=8, feature=4)),
+    ]:
+        ts = build(mesh)
+        x = parallel.shard_batch(mesh, x_np)
+        for _ in range(3):
+            ts, stats = step_fn(ts, x, prefixes, hp)
+        results[name] = (
+            np.asarray(stats["loss"]),
+            np.asarray(jax.device_get(ts.params["W_dec"])),
+        )
+    np.testing.assert_allclose(
+        results["data2_feat4"][0], results["single"][0], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        results["data2_feat4"][1], results["single"][1], rtol=1e-4, atol=5e-5
+    )
+
+
+def test_shard_features_placement():
+    mesh = parallel.make_mesh(n_devices=8, sweep=2, feature=2)
+    d_sae = 32
+    tree = {
+        "W_enc": jnp.zeros((4, 16, d_sae)),
+        "W_dec": jnp.zeros((4, d_sae, 16)),
+        "b_enc": jnp.zeros((4, d_sae)),
+        "b_dec": jnp.zeros((4, 16)),
+        "scalar": jnp.zeros(()),
+    }
+    placed = parallel.shard_features(mesh, tree, d_sae)
+    P = jax.sharding.PartitionSpec
+    sw, ft = parallel.SWEEP_AXIS, parallel.FEATURE_AXIS
+    assert placed["W_enc"].sharding.spec == P(sw, None, ft)
+    assert placed["W_dec"].sharding.spec == P(sw, ft)  # trailing None trimmed
+    assert placed["b_enc"].sharding.spec == P(sw, ft)
+    assert placed["b_dec"].sharding.spec == P(sw)
+    assert placed["scalar"].sharding.spec == P()
+
+
+def test_train_with_feature_parallel(tmp_path):
+    """End-to-end train() with feature_parallel=2 over the virtual mesh."""
+    from saev_tpu.data import ShuffledConfig, fake_vit
+    from saev_tpu.framework import train as train_mod
+    from saev_tpu.nn import modeling, objectives
+    from saev_tpu.ops import topk as ops_topk
+
+    shards_dir = helpers.write_shards(tmp_path, n_examples=16, layers=(0,))
+    runs_root = helpers.tmp_runs_root(tmp_path)
+    data_cfg = ShuffledConfig(
+        shards=shards_dir, layer=0, batch_size=32, n_threads=2, seed=7
+    )
+    base = train_mod.Config(
+        train_data=data_cfg, val_data=data_cfg, n_train=128, n_val=64,
+        sae=modeling.SparseAutoencoderConfig(
+            d_model=fake_vit.D_MODEL, d_sae=32, activation=modeling.TopK(top_k=4)
+        ),
+        objective=objectives.Matryoshka(n_prefixes=2),
+        lr=1e-3, n_lr_warmup=2, log_every=2, track=False,
+        runs_root=runs_root, device="cpu", seed=1, feature_parallel=2,
+        sweep_vmap_width=2,
+    )
+    cfgs = [base, dataclasses.replace(base, lr=3e-3, seed=2)]
+    try:
+        runtimes, run, steps = train_mod.train(cfgs)
+    finally:
+        ops_topk.FORCE_LAX = False  # module-global set by make_train_step
+    run.finish()
+    assert steps > 0
+    w = runtimes[0].ts.params["W_dec"]
+    # The latent dim actually sharded over the feature axis.
+    assert w.sharding.spec[1] == parallel.FEATURE_AXIS
+    assert np.isfinite(np.asarray(jax.device_get(w))).all()
