@@ -21,6 +21,8 @@ Key invariants shared with the reference:
 """
 
 import dataclasses
+import datetime
+import json
 import logging
 import pathlib
 import typing as tp
@@ -29,6 +31,47 @@ import numpy as np
 import scipy.sparse
 
 logger = logging.getLogger("probe1d")
+
+# Structured telemetry channel (reference probe1d.py:795-817 emits one JSON
+# "probe_iteration" event per LM iteration on a stats logger; notebooks/logs.py
+# parses them). Enable with `logging.getLogger("probe1d.stats").setLevel(DEBUG)`
+# plus a handler; tdiscovery.logparse reads the stream back.
+stats_log = logging.getLogger("probe1d.stats")
+
+
+def _rss_gb() -> float | None:
+    try:
+        import psutil
+
+        return psutil.Process().memory_info().rss / 2**30
+    except Exception:  # pragma: no cover - psutil always present in CI
+        return None
+
+
+def _device_peak_gb() -> float | None:
+    """Peak device allocation in GiB, when the backend exposes memory_stats
+    (TPU/GPU; CPU returns None)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "peak_bytes_in_use" in stats:
+            return stats["peak_bytes_in_use"] / 2**30
+    except Exception:
+        pass
+    return None
+
+
+def _emit_event(name: str, **fields) -> None:
+    event = {
+        "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        "event": name,
+        **fields,
+    }
+    rss = _rss_gb()
+    if rss is not None:
+        event["rss_gb"] = rss
+    stats_log.debug(json.dumps(event))
 
 
 def sigmoid(z):
@@ -489,6 +532,7 @@ class Sparse1DProbe:
             )
 
             db, dw, pred, lam, clipped = lm_step(g0, g1, h0, h1, h2, lam)
+            fallback = jnp.isnan(pred) & ~empty
             b = jnp.where(empty, base_slab, b - db)
             w = jnp.where(empty, 0.0, w - dw)
             pred = jnp.where(empty, 0.0, pred)
@@ -500,10 +544,23 @@ class Sparse1DProbe:
             qx_safe = jnp.maximum(qx, 1e-12)
             grad_abs = jnp.maximum(jnp.abs(g0), jnp.abs(g1 / qx_safe))
             step_abs = jnp.maximum(jnp.abs(db), jnp.abs(qx * dw))
-            return (b, w, lam, prev_pred, prev_loss, prev_clipped), (
-                jnp.max(grad_abs),
-                jnp.max(step_abs),
-            )
+            # Per-iteration telemetry aggregates (reference probe1d.py:795-816
+            # logs grad_max/step_max/lambda_mean/loss_mean/loss_max/rho/
+            # success_frac/fallback/step_clipped/pred_mean per iteration).
+            aux = {
+                "grad_max": jnp.max(grad_abs),
+                "step_max": jnp.max(step_abs),
+                "lambda_mean": jnp.mean(lam),
+                "loss_mean": jnp.mean(loss_curr),
+                "loss_max": jnp.max(loss_curr),
+                "rho_mean": jnp.mean(rho),
+                "rho_min": jnp.min(rho),
+                "pred_mean": jnp.nanmean(jnp.where(empty, jnp.nan, pred)),
+                "success_frac": 1.0 - jnp.mean(fallback.astype(jnp.float32)),
+                "fallback": jnp.sum(fallback.astype(jnp.int32)),
+                "step_clipped": jnp.sum((clipped & ~fallback).astype(jnp.int32)),
+            }
+            return (b, w, lam, prev_pred, prev_loss, prev_clipped), aux
 
         iteration_j = jax.jit(iteration)
 
@@ -532,11 +589,23 @@ class Sparse1DProbe:
                 jnp.zeros((L, c_b), dtype=bool),
             )
             n_iter = hp.max_iter
+            emit = stats_log.isEnabledFor(logging.DEBUG)
             for it in range(hp.max_iter):
-                carry, (grad_norm, step_norm) = iteration_j(
+                carry, aux = iteration_j(
                     carry, y_slab, pi_mean, base_slab, empty_j, n_zeros_j
                 )
-                gn, sn = float(grad_norm), float(step_norm)
+                gn, sn = float(aux["grad_max"]), float(aux["step_max"])
+                if emit:
+                    fields = {
+                        k: (int(v) if k in ("fallback", "step_clipped") else float(v))
+                        for k, v in aux.items()
+                    }
+                    peak = _device_peak_gb()
+                    if peak is not None:
+                        fields["device_peak_gb"] = peak
+                    _emit_event(
+                        "probe_iteration", slab=[c0, c1], iter=it, **fields
+                    )
                 # Reference probe1d.py:821-823: all(grad <= tol) terminates (the
                 # second grad<tol & step<tol clause is implied).
                 if gn <= hp.tol or (gn < hp.tol and sn < hp.tol):
@@ -731,7 +800,9 @@ def worker_fn(cfg: Config) -> int:
 
     def load_split(shards: pathlib.Path):
         art = run.inference / shards.name
+        _emit_event("load_csr_start", split=shards.name, fpath=str(art / "token_acts.npz"))
         acts = scipy.sparse.load_npz(art / "token_acts.npz").tocsr()
+        _emit_event("load_csr_end", split=shards.name, nnz=int(acts.nnz))
         md = Metadata.load(shards)
         labels = np.memmap(
             shards / "labels.bin", mode="r", dtype=np.uint8,
