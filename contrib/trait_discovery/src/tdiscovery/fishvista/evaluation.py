@@ -214,6 +214,13 @@ def worker_fn(cfg: Config) -> utils.Result:
         n_train_patches=len(train_labels),
         n_test_patches=len(test_labels),
         seed=cfg.seed,
+        extra={
+            "vit_family": md.family,
+            "vit_ckpt": md.ckpt,
+            "layer": cfg.train_acts.layer,
+            "sae_ckpt": cfg.sae_ckpt,
+            "n_train": cfg.n_train,
+        },
     )
     stem = f"fishvista_{cfg.method}_{train_scores.shape[1]}"
     if cfg.output_format in ("json", "both"):

@@ -30,6 +30,9 @@ class Result:
     n_train_patches: int
     n_test_patches: int
     seed: int
+    extra: dict = dataclasses.field(default_factory=dict)
+    """Provenance for results analysis (reference results.py unnests an
+    `extra` column: vit_family/vit_ckpt/layer/sae_ckpt/n_train)."""
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
