@@ -58,6 +58,39 @@ def baseline_ce(shards_dir: pathlib.Path) -> np.ndarray:
     return np.nan_to_num(ce, nan=0.0, posinf=0.0)
 
 
+def _load_pt_array(fpath: pathlib.Path) -> np.ndarray:
+    """A 1-D float array from an inference .pt artifact (torch.save format —
+    torch is a codec here, matching framework.inference._torch_save)."""
+    import torch
+
+    return (
+        torch.load(fpath, weights_only=True, map_location="cpu").numpy().reshape(-1)
+    )
+
+
+def load_freqs(run: "saev_tpu.disk.Run", shards_name: str) -> np.ndarray:
+    """Per-latent firing frequency from a run's inference sparsity.pt
+    (reference notebooks/008_pe.py load_freqs :665-681)."""
+    return _load_pt_array(run.inference / shards_name / "sparsity.pt")
+
+
+def load_mean_values(run: "saev_tpu.disk.Run", shards_name: str) -> np.ndarray:
+    """Per-latent mean activation value from mean_values.pt (reference
+    notebooks/008_pe.py load_mean_values :682-699)."""
+    return _load_pt_array(run.inference / shards_name / "mean_values.pt")
+
+
+def purity_at(top_labels_dk: np.ndarray, best_i: np.ndarray, *, k: int) -> float:
+    """Mean purity of the best latents' top-k activating patch labels: for
+    each class's best latent, the modal-label fraction among its k strongest
+    patches (reference notebooks/008_pe.py get_mean_purity :461-471)."""
+    assert top_labels_dk.ndim == 2
+    assert top_labels_dk.shape[1] >= k, (top_labels_dk.shape, k)
+    labels_ck = top_labels_dk[best_i, :k]
+    _, counts = mode(labels_ck, axis=1)
+    return float((counts / k).mean())
+
+
 def probe_split_label(shards_dir: pathlib.Path) -> str | None:
     """"train"/"val" from the dataset config a shard dump embeds, or None."""
     try:

@@ -407,6 +407,80 @@ def fig_auc_over_yield(clf_df):
     return fig, agg
 
 
+def fig_pareto_frontiers(
+    sae_df,
+    *,
+    x_col: str = "summary/eval/l0",
+    y_col: str = "summary/eval/normalized_mse",
+    layer_col: str = "config/val_data/layer",
+    layers: list[int] | None = None,
+    filters: dict | None = None,
+):
+    """Per-layer L0/NMSE pareto frontiers on log-log axes (reference
+    005_bufferflies.py :388-459 / 007_cambridge_sae.py :406-543: filter to
+    one activation/data config, plot each layer's `is_pareto` runs as a
+    line). Returns (fig, {layer: [pareto run ids]})."""
+    plt = _plt()
+    df = sae_df
+    for col, want in (filters or {}).items():
+        if col in df.columns:
+            df = df[df[col] == want]
+    if layers is None:
+        layers = sorted(
+            int(v) for v in df[layer_col].dropna().unique()
+        ) if layer_col in df.columns else []
+
+    fig, ax = plt.subplots(figsize=(5, 4), dpi=150, layout="constrained")
+    markers = ("o", "^", "s", "x", "+", "d", "v")
+    pareto_ckpts: dict[int, list[str]] = {}
+    for i, layer in enumerate(layers):
+        group = df[(df[layer_col] == layer) & df["is_pareto"]]
+        group = group.dropna(subset=[x_col, y_col]).sort_values(x_col)
+        if not len(group):
+            continue
+        ax.plot(
+            group[x_col], group[y_col], alpha=0.6, marker=markers[i % len(markers)],
+            label=f"Layer {int(layer) + 1}",
+        )
+        pareto_ckpts[int(layer)] = list(group["run_id"])
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel("L$_0$ ($\\downarrow$)")
+    ax.set_ylabel("Normalized MSE ($\\downarrow$)")
+    if pareto_ckpts:
+        ax.legend(fontsize=8)
+    _style(ax, axis="both")
+    return fig, pareto_ckpts
+
+
+def fig_sparsity_accuracy(clf_df, *, x_col: str = "cls/n_nonzero",
+                          y_col: str = "cls/test_acc"):
+    """Classifier sparsity/accuracy tradeoff: features-used vs test accuracy
+    per head type (reference 005_bufferflies.py :477-557). Returns
+    (fig, per-type best table)."""
+    import pandas as pd
+
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(5, 4), dpi=150, layout="constrained")
+    sub = clf_df.dropna(subset=[c for c in (x_col, y_col) if c in clf_df.columns])
+    rows = []
+    for clf_type, grp in sub.groupby("cls/cls_type"):
+        ax.scatter(grp[x_col], grp[y_col], alpha=0.5, label=str(clf_type), s=14)
+        best = grp.loc[grp[y_col].idxmax()]
+        rows.append({
+            "clf_type": clf_type,
+            "best_acc": float(best[y_col]),
+            "n_nonzero": float(best[x_col]),
+        })
+    ax.set_xscale("log")
+    ax.set_xlabel("features used (n_nonzero)")
+    ax.set_ylabel("test accuracy")
+    if rows:
+        ax.legend(fontsize=8)
+    _style(ax, axis="both")
+    return fig, pd.DataFrame(rows)
+
+
 def run_battery(run_dirs: list[pathlib.Path], out: pathlib.Path,
                 tracker_root: pathlib.Path | None = None) -> dict:
     """Assemble frames, run every hypothesis, save figures + stats JSON.
