@@ -48,6 +48,25 @@ def resize_to_patch_grid(
     return img.resize((c * p, r * p), resample=resample)
 
 
+def aspect_ratios(n: int) -> list[float]:
+    """Sorted aspect ratios (w/h) achievable with an r*c == n patch grid —
+    the menu of shapes `resize_to_patch_grid` can snap an image to (reference
+    contrib/trait_discovery/notebooks/fishvista.py:145-166)."""
+    import fractions
+
+    if n <= 0:
+        raise ValueError("n must be a positive integer")
+    ratios = set()
+    r = 1
+    while r * r <= n:
+        if n % r == 0:
+            c = n // r
+            ratios.add(fractions.Fraction(c, r))
+            ratios.add(fractions.Fraction(r, c))
+        r += 1
+    return [float(x) for x in sorted(ratios, key=float)]
+
+
 class FlexResize:
     """Callable resizing a PIL image onto an exact n-patch grid."""
 
