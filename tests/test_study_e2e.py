@@ -103,3 +103,34 @@ def test_audit_frames_from_real_runs(trained_study):
     )
     assert effects and effects[0]["variant"] == "auxk"
     assert effects[0]["n_pairs"] == 1
+
+
+NOTEBOOKS = REPO / "contrib" / "trait_discovery" / "notebooks"
+
+
+@pytest.mark.parametrize("driver", ["005_butterflies.py", "007_cambridge_sae.py",
+                                    "009_pe_core.py"])
+def test_study_drivers_run_on_real_runs(trained_study, tmp_path, driver):
+    """The study driver notebooks execute end-to-end against runs the real
+    pipeline trained (no mocks): frames assemble, figures save."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    study_tmp, runs_root, run_ids = trained_study
+    out = tmp_path / "figs"
+    env = {
+        "TD_RUNS_ROOT": str(runs_root),
+        "TD_TRACKER": str(study_tmp / ".wandb"),
+        "TD_OUT": str(out),
+        "PATH": "/usr/bin:/bin",
+        "JAX_PLATFORMS": "cpu",
+        "HOME": os.environ.get("HOME", "/root"),
+    }
+    proc = subprocess.run(
+        [_sys.executable, str(NOTEBOOKS / driver)],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert f"{len(run_ids)} runs" in proc.stdout
+    assert list(out.glob("*.pdf")), "driver saved no figures"
