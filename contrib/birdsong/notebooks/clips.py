@@ -41,5 +41,5 @@ if __name__ == "__main__":
         raise SystemExit("No browsable runs found.")
 
     # %%
-    written = browse.build_browsers(ROOTS, OUT)
+    written = browse.build_browsers(ROOTS, OUT, runs=clip_runs)
     print(f"Wrote {len(written)} pages; open {OUT / 'index.html'}")

@@ -39,7 +39,11 @@ def discover_runs(
     roots: list[pathlib.Path] | tuple[pathlib.Path, ...],
 ) -> list[ClipRun]:
     """All runs under the given roots with clip galleries; first root wins on
-    duplicate run ids (reference clips.py make_ckpt_dropdown :40-56)."""
+    duplicate run ids (reference clips.py make_ckpt_dropdown :40-56).
+    Discovery pre-applies the disk.Run validity contract make_html later
+    requires, so a broken run layout is skipped, not crashed on."""
+    import saev_tpu.disk
+
     seen: dict[str, ClipRun] = {}
     for root in roots:
         root = pathlib.Path(root)
@@ -50,8 +54,14 @@ def discover_runs(
             if run_dir.name in seen:
                 continue
             shards = shards_with_clips(run_dir)
-            if shards:
-                seen[run_dir.name] = ClipRun(run_dir=run_dir, shards=shards)
+            if not shards:
+                continue
+            try:
+                saev_tpu.disk.Run(run_dir)
+            except (ValueError, FileNotFoundError) as err:
+                logger.info("Skipping %s: invalid run layout (%s).", run_dir, err)
+                continue
+            seen[run_dir.name] = ClipRun(run_dir=run_dir, shards=shards)
     return sorted(seen.values(), key=lambda c: c.run_dir.name)
 
 
@@ -72,16 +82,18 @@ def build_browsers(
     out_dir: pathlib.Path,
     *,
     embed: bool = True,
+    runs: list[ClipRun] | None = None,
 ) -> list[pathlib.Path]:
     """One self-contained clip-gallery HTML per (run, shards) plus an
-    index.html linking them all."""
+    index.html linking them all. Pass `runs` (from discover_runs) to skip a
+    second discovery walk."""
     import html as html_mod
 
     make_html = _make_html()
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     written, index_rows = [], []
-    for clip_run in discover_runs(roots):
+    for clip_run in discover_runs(roots) if runs is None else runs:
         for shards_name in clip_run.shards:
             out = out_dir / f"{clip_run.run_dir.name}__{shards_name}.html"
             cfg = make_html.Config(

@@ -41,6 +41,13 @@ if __name__ == "__main__":
     task = os.environ.get("TD_TASK") or df["task"].iloc[0]
     per_class = clsview.load_cls_results_df(run_dirs, per_class=True)
     per_class = per_class[per_class["task"] == task]
+    print(f"\nPer-class view for '{task}' ({len(per_class)} rows):")
+    print(
+        per_class[["run_id", "class_name", "ap", "top_latents"]]
+        .sort_values("ap", ascending=False)
+        .head(20)
+        .to_string(index=False)
+    )
 
     # %% [markdown]
     # ## Best run on the task: per-class AP + top latents + shared latents

@@ -45,5 +45,7 @@ if __name__ == "__main__":
     # ## Assemble the static browser site
 
     # %%
-    written = browse.build_browsers(ROOTS, OUT, n_features=N_FEATURES)
+    written = browse.build_browsers(
+        ROOTS, OUT, n_features=N_FEATURES, runs=galleries
+    )
     print(f"Wrote {len(written)} pages; open {OUT / 'index.html'}")

@@ -80,12 +80,31 @@ def load_mean_values(run: "saev_tpu.disk.Run", shards_name: str) -> np.ndarray:
     return _load_pt_array(run.inference / shards_name / "mean_values.pt")
 
 
-def purity_at(top_labels_dk: np.ndarray, best_i: np.ndarray, *, k: int) -> float:
+def purity_at(
+    top_labels_dk: np.ndarray,
+    best_i: np.ndarray,
+    *,
+    k: int,
+    nnz_per_latent: np.ndarray | None = None,
+) -> float:
     """Mean purity of the best latents' top-k activating patch labels: for
     each class's best latent, the modal-label fraction among its k strongest
-    patches (reference notebooks/008_pe.py get_mean_purity :461-471)."""
+    patches (reference notebooks/008_pe.py get_mean_purity :461-471).
+
+    A latent with fewer than k nonzero activations gets arbitrary zero-valued
+    tokens in its "top" (csr_topk contract) — typically consecutive
+    same-label patches — inflating purity to ~1.0, so when `nnz_per_latent`
+    is given, classes whose best latent fires < k times are excluded (NaN if
+    none remain). Pass it whenever the metrics artifact carries it
+    (tdiscovery.metrics writes `nnz_per_latent` since round 4)."""
     assert top_labels_dk.ndim == 2
     assert top_labels_dk.shape[1] >= k, (top_labels_dk.shape, k)
+    best_i = np.asarray(best_i)
+    if nnz_per_latent is not None:
+        valid = np.asarray(nnz_per_latent)[best_i] >= k
+        if not valid.any():
+            return float("nan")
+        best_i = best_i[valid]
     labels_ck = top_labels_dk[best_i, :k]
     _, counts = mode(labels_ck, axis=1)
     return float((counts / k).mean())
@@ -394,14 +413,17 @@ def _downstream_cols(
             mean_recall = float(fd["recall"].mean())
             mean_f1 = float(fd["f1"].mean())
             top_labels = fd["top_labels"] if "top_labels" in fd else None
+            nnz = fd["nnz_per_latent"] if "nnz_per_latent" in fd else None
         mean_ap = float(ap_c.mean())
         cov = {
             f"cov_at_{tau}".replace(".", "_"): float((ap_c > tau).mean())
             for tau in TAUS
         }
         if top_labels is not None and top_labels.shape[1] >= PURITY_K:
-            _, count = mode(top_labels[best_i, :PURITY_K], axis=1)
-            purity = float((count / PURITY_K).mean())
+            got = purity_at(
+                top_labels, best_i, k=PURITY_K, nnz_per_latent=nnz
+            )
+            purity = 0.0 if np.isnan(got) else got
 
     return {
         "train_nmse": nmse(train_shard),

@@ -423,8 +423,23 @@ def fig_pareto_frontiers(
     plt = _plt()
     df = sae_df
     for col, want in (filters or {}).items():
-        if col in df.columns:
-            df = df[df[col] == want]
+        if col not in df.columns:
+            # A missing filter column must empty the selection, not silently
+            # include every run in a figure labeled as filtered.
+            logger.warning(
+                "fig_pareto_frontiers: filter column %r absent; no runs match.",
+                col,
+            )
+            df = df.iloc[0:0]
+            break
+        df = df[df[col] == want]
+    have_metrics = {x_col, y_col, layer_col, "is_pareto"} <= set(df.columns)
+    if not have_metrics and len(df):
+        logger.warning(
+            "fig_pareto_frontiers: metric columns missing (no tracker?); "
+            "emitting an empty frontier plot."
+        )
+        df = df.iloc[0:0]
     if layers is None:
         layers = sorted(
             int(v) for v in df[layer_col].dropna().unique()

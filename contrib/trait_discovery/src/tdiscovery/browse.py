@@ -39,7 +39,13 @@ def shards_with_images(run_dir: pathlib.Path) -> tuple[str, ...]:
 def discover_runs(roots: list[pathlib.Path] | tuple[pathlib.Path, ...]) -> list[GalleryRun]:
     """All runs under the given roots with browsable galleries; first root
     wins on duplicate run ids (reference visuals.py make_ckpt_dropdown
-    :48-70 skips already-seen names)."""
+    :48-70 skips already-seen names).
+
+    Discovery applies the same validity contract the browser later requires
+    (`disk.Run` layout): a dir with images but a broken run layout is
+    skipped with a log line rather than crashing build_browsers mid-loop."""
+    import saev_tpu.disk
+
     seen: dict[str, GalleryRun] = {}
     for root in roots:
         root = pathlib.Path(root)
@@ -50,8 +56,14 @@ def discover_runs(roots: list[pathlib.Path] | tuple[pathlib.Path, ...]) -> list[
             if run_dir.name in seen:
                 continue
             shards = shards_with_images(run_dir)
-            if shards:
-                seen[run_dir.name] = GalleryRun(run_dir=run_dir, shards=shards)
+            if not shards:
+                continue
+            try:
+                saev_tpu.disk.Run(run_dir)
+            except (ValueError, FileNotFoundError) as err:
+                logger.info("Skipping %s: invalid run layout (%s).", run_dir, err)
+                continue
+            seen[run_dir.name] = GalleryRun(run_dir=run_dir, shards=shards)
     return sorted(seen.values(), key=lambda g: g.run_dir.name)
 
 
@@ -61,16 +73,18 @@ def build_browsers(
     *,
     n_features: int = 200,
     embed_images: bool = True,
+    runs: list[GalleryRun] | None = None,
 ) -> list[pathlib.Path]:
     """One self-contained feature-browser HTML per (run, shards) gallery,
-    plus an index.html linking them all."""
+    plus an index.html linking them all. Pass `runs` (from discover_runs) to
+    skip a second discovery walk over large runs trees."""
     import html as html_mod
 
     from saev_tpu.interactive import features
 
     out_dir = pathlib.Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    galleries = discover_runs(roots)
+    galleries = discover_runs(roots) if runs is None else runs
     written = []
     index_rows = []
     for gallery in galleries:

@@ -280,6 +280,23 @@ def extract_feature_ranking(clf) -> tuple[np.ndarray, np.ndarray]:
     return np.argsort(-importance, kind="stable"), importance
 
 
+def latent_class_matrix(clf, n_classes: int) -> np.ndarray:
+    """(n_classes, d_sae) signed coefficient matrix of a linear head, rows
+    aligned to the class-name index space: clf.coef_ rows follow
+    clf.classes_, which may cover only the classes PRESENT in the train
+    split (absent classes stay all-zero), and a binary fit has ONE row
+    scoring classes_[1] (expanded into -w/+w)."""
+    raw = np.asarray(clf.coef_)
+    fitted = np.asarray(clf.classes_, dtype=int)
+    if raw.shape[0] == 1 and len(fitted) == 2:
+        raw = np.vstack([-raw[0], raw[0]])
+    out = np.zeros((n_classes, raw.shape[1]), dtype=np.float64)
+    for row, cls_idx in zip(raw, fitted):
+        if 0 <= cls_idx < n_classes:
+            out[cls_idx] = row
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Audit stage: per-latent grounding AP against segmentation masks
 # ---------------------------------------------------------------------------
@@ -516,18 +533,17 @@ def eval_worker_fn(cfg: EvalConfig) -> dict[str, object]:
     ranked_i, _ = extract_feature_ranking(clf)
     top_per_class = [ranked_i[: cfg.top_features].tolist()] * n_classes
     if hasattr(clf, "coef_"):
-        # coef_ rows follow clf.classes_, which may cover only the classes
-        # PRESENT in the train split; align rows into the class_names index
-        # space (absent classes keep the global ranking fallback). A binary
-        # fit has ONE row scoring classes_[1].
-        raw = np.asarray(clf.coef_)
-        fitted = np.asarray(clf.classes_, dtype=int)
-        if raw.shape[0] == 1 and len(fitted) == 2:
-            raw = np.vstack([-raw[0], raw[0]])
-        for row, cls_idx in zip(raw, fitted):
-            if 0 <= cls_idx < n_classes:
+        # Absent classes keep the global-ranking fallback (their aligned row
+        # is all-zero, which carries no per-class signal).
+        aligned = latent_class_matrix(clf, n_classes)
+        # The binary expansion assigns rows to BOTH classes_[0] and
+        # classes_[1], so classes_ is exactly the covered set.
+        fitted = set(np.asarray(clf.classes_, dtype=int).tolist())
+        for cls_idx in range(n_classes):
+            if cls_idx in fitted:
                 top_per_class[cls_idx] = (
-                    np.argsort(-np.abs(row))[: cfg.top_features].tolist()
+                    np.argsort(-np.abs(aligned[cls_idx]))[: cfg.top_features]
+                    .tolist()
                 )
     results = {
         "accuracy": float((clf.predict(x) == y).mean()),

@@ -136,17 +136,11 @@ def top_latents_table(results: dict, *, k: int = 10):
 
 def latent_class_matrix(clf, n_classes: int) -> np.ndarray:
     """(n_classes, d_sae) signed coefficient matrix of a linear head, rows
-    aligned to the class-name index space (absent classes all-zero; a binary
-    fit expands its single row into ±w)."""
-    raw = np.asarray(clf.coef_)
-    fitted = np.asarray(clf.classes_, dtype=int)
-    if raw.shape[0] == 1 and len(fitted) == 2:
-        raw = np.vstack([-raw[0], raw[0]])
-    out = np.zeros((n_classes, raw.shape[1]), dtype=np.float64)
-    for row, cls_idx in zip(raw, fitted):
-        if 0 <= cls_idx < n_classes:
-            out[cls_idx] = row
-    return out
+    aligned to the class-name index space. Shared with eval_worker_fn — the
+    sklearn classes_-alignment rule lives once, in classification.py."""
+    from . import classification
+
+    return classification.latent_class_matrix(clf, n_classes)
 
 
 def shared_latents(results: dict, *, k: int = 10) -> dict[int, list[str]]:

@@ -188,7 +188,9 @@ def summarize(events: list[Event]) -> dict[str, object]:
         out["peak_device_gb"] = float(df["device_peak_gb"].max())
     loads = [e for e in events if isinstance(e, LoadCsr) and e.phase == "end"]
     if loads:
-        out["csr_loads"] = {e.split: e.nnz for e in loads}
+        # A list, not a dict: train and test splits may share a shards dir
+        # (same key), and each load is its own event.
+        out["csr_loads"] = [{"split": e.split, "nnz": e.nnz} for e in loads]
     return out
 
 

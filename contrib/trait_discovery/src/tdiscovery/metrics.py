@@ -158,6 +158,7 @@ def worker_fn(cfg: Config) -> dict[str, object]:
         recall=recall.astype(np.float32),
         f1=f1.astype(np.float32),
         top_labels=top_labels_dk,
+        nnz_per_latent=nnz_per_latent.astype(np.int64),
     )
     logger.info("mAP=%.4f; wrote %s", results["mean_ap"], out_fpath)
     return results

@@ -43,16 +43,18 @@ class CubAttribute:
 
 
 def load_cub_attributes(fpath: pathlib.Path | str) -> list[CubAttribute]:
-    """Parse CUB_200_2011 `attributes.txt` into typed attributes."""
+    """Parse CUB_200_2011 `attributes.txt` into typed attributes. `idx` is
+    the file's own attribute id (1-based in CUB; image_attribute_labels.txt
+    joins against it), NOT a line counter."""
     attributes = []
     with open(fpath) as fd:
-        for i, line in enumerate(fd):
+        for line in fd:
             line = line.strip()
             if not line:
                 continue
-            _, attr_raw = line.split(maxsplit=1)
+            raw_idx, attr_raw = line.split(maxsplit=1)
             name, value = attr_raw.split("::", maxsplit=1)
-            attributes.append(CubAttribute(i, name, value))
+            attributes.append(CubAttribute(int(raw_idx), name, value))
     return attributes
 
 

@@ -16,8 +16,12 @@ from conftest import _Helpers as helpers
 from tdiscovery import browse
 
 
-def _fake_gallery_run(root, rid, shards_names, with_images=True):
+def _fake_gallery_run(root, rid, shards_names, with_images=True, valid=True):
+    """root is a `.../saev/runs` runs root (the disk.Run path contract)."""
     run_dir = root / rid
+    if valid:
+        for sub in ("checkpoint", "links", "inference"):
+            (run_dir / sub).mkdir(parents=True, exist_ok=True)
     for shards_name in shards_names:
         art = run_dir / "inference" / shards_name
         art.mkdir(parents=True, exist_ok=True)
@@ -27,12 +31,15 @@ def _fake_gallery_run(root, rid, shards_names, with_images=True):
 
 
 def test_discover_runs_filters_and_dedupes(tmp_path):
-    root_a = tmp_path / "a"
-    root_b = tmp_path / "b"
+    root_a = tmp_path / "a" / "saev" / "runs"
+    root_b = tmp_path / "b" / "saev" / "runs"
     _fake_gallery_run(root_a, "run1", ["shardsA", "shardsB"])
     _fake_gallery_run(root_a, "run2", ["shardsA"], with_images=False)
     _fake_gallery_run(root_b, "run1", ["shardsC"])  # duplicate id: first root wins
     _fake_gallery_run(root_b, "run3", ["shardsA"])
+    # Images but a broken run layout (no checkpoint/links): skipped, the
+    # same contract build_browsers later requires.
+    _fake_gallery_run(root_b, "run4", ["shardsA"], valid=False)
     (root_a / "not_a_dir.txt").write_text("x")
 
     galleries = browse.discover_runs([root_a, root_b, tmp_path / "missing"])
@@ -44,9 +51,10 @@ def test_discover_runs_filters_and_dedupes(tmp_path):
 
 
 def test_shards_with_images_requires_images_dir(tmp_path):
-    run_dir = _fake_gallery_run(tmp_path, "r", ["s1"], with_images=False)
+    root = tmp_path / "saev" / "runs"
+    run_dir = _fake_gallery_run(root, "r", ["s1"], with_images=False)
     assert browse.shards_with_images(run_dir) == ()
-    assert browse.shards_with_images(tmp_path / "nope") == ()
+    assert browse.shards_with_images(root / "nope") == ()
 
 
 def test_build_browsers_end_to_end(tmp_path):

@@ -106,7 +106,10 @@ def test_load_cub_attributes(tmp_path):
     assert len(attrs) == 3
     assert attrs[0].name == "has_bill_shape"
     assert attrs[0].value == "curved_(up_or_down)"
-    assert attrs[2] == results.CubAttribute(2, "has_wing_color", "blue")
+    # idx is the file's own (1-based) attribute id, the join key of
+    # image_attribute_labels.txt — NOT a line counter.
+    assert attrs[0].idx == 1
+    assert attrs[2] == results.CubAttribute(3, "has_wing_color", "blue")
 
 
 def test_result_extra_round_trips(tmp_path):

@@ -91,6 +91,53 @@ def test_fig_sparsity_accuracy():
     plt.close(fig)
 
 
+def test_fig_pareto_frontiers_tolerates_missing_metric_columns():
+    """No tracker -> no summary columns; the figure must be empty, not a
+    KeyError (the drivers document TD_TRACKER as optional)."""
+    import pandas as pd
+
+    df = pd.DataFrame([{"run_id": "a", "is_pareto": False}])
+    fig, pareto_ckpts = audit_analysis.fig_pareto_frontiers(df)
+    assert pareto_ckpts == {}
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_fig_pareto_frontiers_missing_filter_column_empties_selection():
+    """A filter on an absent column must exclude everything (a figure labeled
+    'AuxK only' must not silently plot every run)."""
+    rows = [{
+        "run_id": "a", "summary/eval/l0": 8.0,
+        "summary/eval/normalized_mse": 0.5,
+        "config/val_data/layer": 0, "is_pareto": True,
+    }]
+    _, pareto_ckpts = audit_analysis.fig_pareto_frontiers(
+        _sae_df(rows), filters={"config/sae/activation/aux/key": "auxk"}
+    )
+    assert pareto_ckpts == {}
+
+
+def test_purity_at_masks_rare_latents():
+    """Latents firing fewer than k times carry arbitrary padding labels in
+    top_labels (csr_topk contract); they must not inflate purity."""
+    top_labels = np.array([
+        [7, 7, 7, 7],   # fires 100 times: trustworthy
+        [1, 1, 1, 1],   # fires twice: its "top 4" is mostly padding
+    ])
+    best_i = np.array([0, 1])
+    nnz = np.array([100, 2])
+    assert analysis.purity_at(
+        top_labels, best_i, k=4, nnz_per_latent=nnz
+    ) == pytest.approx(1.0)  # only latent 0 counted
+    # All rare -> NaN, never a fabricated 1.0.
+    assert np.isnan(
+        analysis.purity_at(top_labels, np.array([1]), k=4, nnz_per_latent=nnz)
+    )
+    # Without nnz the unmasked semantics stay (back-compat with old npz).
+    assert analysis.purity_at(top_labels, best_i, k=4) == pytest.approx(1.0)
+
+
 def test_purity_at():
     # 3 classes, 4 latents, top-4 labels per latent. best_i picks latents
     # (0, 2, 3): purities 1.0 (all 7s), 0.5 (two 1s of four), 0.75.
