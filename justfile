@@ -6,6 +6,14 @@ test:
     python -m pytest tests/ -q --junitxml=pytest.xml
     python scripts/regressions.py pytest.xml > REGRESSIONS.md
 
+# Same suite under the PEP 669 line-coverage collector; publishes coverage
+# into REGRESSIONS.md (scope: the whole framework + contrib + scripts).
+coverage:
+    python scripts/smallcov.py --out coverage.json \
+        --include saev_tpu contrib scripts launch.py \
+        -- -m pytest tests/ -q --junitxml=pytest.xml
+    python scripts/regressions.py pytest.xml coverage.json > REGRESSIONS.md
+
 # Regenerate the API reference and assemble the publishable docs/ tree.
 docs:
     python scripts/docs.py
