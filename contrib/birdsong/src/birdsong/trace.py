@@ -71,7 +71,10 @@ def channel_trace(acts_by_site: dict, channel: int) -> ChannelTrace:
     for site, acts in acts_by_site.items():
         b, L, t, d = acts.shape
         n_layers = L
-        flat = acts.reshape(b * t, L, d).transpose(1, 0, 2)  # (L, n, d)
+        # (B, L, T, D) -> (L, B*T, D): the layer axis must move OUT before
+        # flattening batch x tokens (a bare reshape(b*t, L, d) interleaves
+        # layers with tokens and mixes layers into every slice).
+        flat = acts.transpose(1, 0, 2, 3).reshape(L, b * t, d)
         chan = flat[:, :, channel]
         rest = np.delete(flat, channel, axis=2)
         chan_mean[site] = chan.mean(axis=1)

@@ -54,7 +54,7 @@ if __name__ == "__main__":
     for row in ckpt_rows:
         print(
             f"{row['run_id']} {row['cls_type']:>14} C={row['c_value']} "
-            f"n_features={row['n_features']} val_acc={row['val_acc']}"
+            f"n_features={row['n_features']} test_acc={row['test_acc']}"
         )
 
     # %% [markdown]

@@ -48,16 +48,20 @@ def _ckpt_rows(fpath: pathlib.Path, run_id: str, task_name: str) -> dict | None:
         return None
     clf = payload["classifier"]
     ranked_i, importance = cls_mod.extract_feature_ranking(clf)
-    cls_cfg = header.get("cls", {})
+    # The checkpoint writer's header schema (classification.train_worker_fn):
+    # {"cfg": asdict(TrainConfig), "test_acc", "n_classes", "class_names"} —
+    # the head config lives at cfg["cls"] ({"key", "C"/"max_depth", ...}).
+    cfg_hdr = header.get("cfg", {}) if isinstance(header.get("cfg"), dict) else {}
+    cls_cfg = cfg_hdr.get("cls", {}) if isinstance(cfg_hdr.get("cls"), dict) else {}
     return {
         "run_id": run_id,
         "task_name": task_name,
         "ckpt_fpath": str(fpath),
-        "cls_type": header.get("cls_type", type(clf).__name__),
-        "c_value": cls_cfg.get("C") if isinstance(cls_cfg, dict) else None,
+        "cls_type": cls_cfg.get("key", type(clf).__name__),
+        "c_value": cls_cfg.get("C"),
         "n_features": int((importance > 0).sum()),
         "d_sae": int(len(importance)),
-        "val_acc": header.get("val_acc"),
+        "test_acc": header.get("test_acc"),
         "ranked_i": ranked_i,
         "importance": importance,
     }
@@ -101,13 +105,13 @@ def select_checkpoints(
     n_features_range: tuple[int, int] | None = None,
     top_k: int | None = None,
 ) -> list[dict]:
-    """Filter by nonzero-feature count and keep the top_k by val accuracy
+    """Filter by nonzero-feature count and keep the top_k by test accuracy
     (exploration.py Step 1 sliders)."""
     out = rows
     if n_features_range is not None:
         lo, hi = n_features_range
         out = [r for r in out if lo <= r["n_features"] <= hi]
-    out = sorted(out, key=lambda r: -(r["val_acc"] or 0.0))
+    out = sorted(out, key=lambda r: -(r["test_acc"] or 0.0))
     return out[:top_k] if top_k else out
 
 

@@ -18,6 +18,7 @@ Usage:
 import csv
 import dataclasses
 import io
+import itertools
 import logging
 import pathlib
 import sys
@@ -89,12 +90,20 @@ def materialize(cfg: Config, rows) -> dict[str, int]:
     seen: set[str] = set()
     n_written = n_skipped = 0
 
-    rows = list(rows)
-    cols: set[str] = set(rows[0].keys()) if rows else set()
+    # Stream rows one at a time — list(rows) on an HF dataset decodes EVERY
+    # image+mask into memory at once; only the first row is needed to resolve
+    # the column names.
+    it = iter(rows)
+    try:
+        first = next(it)
+    except StopIteration:
+        first = None
+    cols: set[str] = set(first.keys()) if first is not None else set()
     image_col = find_column(cols, cfg.image_col, IMAGE_COL_ALIASES)
     mask_col = find_column(cols, cfg.mask_col, MASK_COL_ALIASES)
 
-    for i, row in enumerate(rows):
+    row_stream = [] if first is None else itertools.chain([first], it)
+    for i, row in enumerate(row_stream):
         if cfg.stem_col and cfg.stem_col in row:
             stem = pathlib.Path(str(row[cfg.stem_col])).stem
         else:

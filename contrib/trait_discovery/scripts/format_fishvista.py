@@ -184,9 +184,9 @@ def _manifest(fv_root: pathlib.Path, kind: str, split: str) -> list[dict[str, st
         return list(csv.DictReader(fd))
 
 
-def _cp_seg(cfg: Config, valid: set[str], fv_split: str, tgt_split: str,
-            start: int, end: int) -> None:
-    for row in _manifest(cfg.fv_root, "segmentation", fv_split)[start:end]:
+def _cp_seg(cfg: Config, valid: set[str], rows: list[dict[str, str]],
+            tgt_split: str) -> None:
+    for row in rows:
         fname = row["filename"]
         stem = pathlib.Path(fname).stem
         if stem not in valid:
@@ -218,10 +218,12 @@ def segfolder(cfg: Config) -> int:
     with concurrent.futures.ThreadPoolExecutor(cfg.n_threads) as pool:
         futs = []
         for fv_split, tgt_split in SEG_SPLITS.items():
-            n = len(_manifest(cfg.fv_root, "segmentation", fv_split))
+            # Parse the manifest ONCE per split and hand each job its row
+            # slice (re-parsing the whole CSV inside every job is O(n^2)).
+            rows = _manifest(cfg.fv_root, "segmentation", fv_split)
             futs += [
-                pool.submit(_cp_seg, cfg, valid, fv_split, tgt_split, s, e)
-                for s, e in helpers.batched_idx(n, cfg.job_size)
+                pool.submit(_cp_seg, cfg, valid, rows[s:e], tgt_split)
+                for s, e in helpers.batched_idx(len(rows), cfg.job_size)
             ]
         for fut in concurrent.futures.as_completed(futs):
             if err := fut.exception():
@@ -229,8 +231,8 @@ def segfolder(cfg: Config) -> int:
     return 0
 
 
-def _cp_img(cfg: Config, split: str, start: int, end: int) -> None:
-    for row in _manifest(cfg.fv_root, "classification", split)[start:end]:
+def _cp_img(cfg: Config, split: str, rows: list[dict[str, str]]) -> None:
+    for row in rows:
         src = cfg.fv_root / "Images" / row["filename"]
         if not src.exists():
             logger.warning("Missing image '%s'", src)
@@ -249,10 +251,10 @@ def imgfolder(cfg: Config) -> int:
         futs = []
         for split in IMG_SPLITS:
             (cfg.dump_to / split).mkdir(parents=True, exist_ok=True)
-            n = len(_manifest(cfg.fv_root, "classification", split))
+            rows = _manifest(cfg.fv_root, "classification", split)
             futs += [
-                pool.submit(_cp_img, cfg, split, s, e)
-                for s, e in helpers.batched_idx(n, cfg.job_size)
+                pool.submit(_cp_img, cfg, split, rows[s:e])
+                for s, e in helpers.batched_idx(len(rows), cfg.job_size)
             ]
         for fut in concurrent.futures.as_completed(futs):
             if err := fut.exception():

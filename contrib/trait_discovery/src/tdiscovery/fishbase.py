@@ -190,18 +190,27 @@ class PartTraitScores:
     targets: tuple[str, ...]
 
     def best_latents(self) -> set[int]:
-        """Union of the best |score| latent for every (part, target) cell —
-        the latents worth rendering visuals for (004_fishbase.py:884-890)."""
+        """Union of the best |score| latent for every SCORED (part, target)
+        cell — the latents worth rendering visuals for (004_fishbase.py:
+        884-890). Cells skipped by score_part_by_trait (no positive or no
+        negative patches) stay all-zero and must not nominate latent 0."""
+        out = set()
         flat = np.abs(self.scores).reshape(self.scores.shape[0], -1)
-        return set(np.argmax(flat, axis=0).tolist())
+        for j in range(flat.shape[1]):
+            if flat[:, j].max() > 0:
+                out.add(int(flat[:, j].argmax()))
+        return out
 
     def table(self) -> list[dict[str, object]]:
-        """One row per (part, target): the best latent and its |score|
-        (004_fishbase.py:893-935)."""
+        """One row per SCORED (part, target): the best latent and its |score|
+        (004_fishbase.py:893-935). Skipped cells (all-zero score column) are
+        omitted — argmax of zeros would fabricate latent 0."""
         rows = []
         for p, part in enumerate(self.parts):
             for t, target in enumerate(self.targets):
                 col = self.scores[:, p, t]
+                if np.abs(col).max() == 0:
+                    continue
                 best = int(np.abs(col).argmax())
                 rows.append({
                     "part": part,

@@ -545,15 +545,16 @@ def make_train_step(
     """
 
     assert sweep_vmap_width >= 1, f"sweep_vmap_width must be >= 1, got {sweep_vmap_width}"
+    assert sae_cfg.d_sae % feature_parallel == 0, (
+        f"d_sae={sae_cfg.d_sae} must divide over feature_parallel="
+        f"{feature_parallel}; otherwise GSPMD silently replicates the latent "
+        "dimension and the sharding saves no memory."
+    )
     precision = modeling.PRECISIONS[matmul_precision]
     if feature_parallel > 1:
-        # See allow_fused below: the latent-sharded step must be pure XLA.
-        from ..ops import topk as _topk
-
-        _topk.FORCE_LAX = True
         logger.info(
-            "feature_parallel=%d: Pallas kernels disabled for this process "
-            "(pure-XLA step so GSPMD can shard d_sae).", feature_parallel,
+            "feature_parallel=%d: Pallas kernels disabled inside this step "
+            "(pure-XLA trace so GSPMD can shard d_sae).", feature_parallel,
         )
 
     def loss_one(
@@ -665,7 +666,25 @@ def make_train_step(
         }
         return new_ts, stats
 
-    return jax.jit(step, donate_argnums=(0,))
+    jitted = jax.jit(step, donate_argnums=(0,))
+    if feature_parallel == 1:
+        return jitted
+
+    # FORCE_LAX is a trace-time switch; scope it to THIS step's calls (the
+    # trace happens inside the first call) instead of flipping the module
+    # global for the rest of the process — a later feature_parallel=1 step in
+    # the same process must keep its Pallas kth kernels.
+    from ..ops import topk as _topk
+
+    def scoped_step(ts, x, prefixes, hp):
+        prev = _topk.FORCE_LAX
+        _topk.FORCE_LAX = True
+        try:
+            return jitted(ts, x, prefixes, hp)
+        finally:
+            _topk.FORCE_LAX = prev
+
+    return scoped_step
 
 
 def make_metrics_fn(

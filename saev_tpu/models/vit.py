@@ -422,33 +422,22 @@ def _apply_block(spec: Spec, blk: dict, x: Array, sin, cos, compute_dtype):
     return x, sites
 
 
-def forward(
+def _embed_with_pos(
     spec: Spec,
     params: dict,
     tokens: Array,
-    layers: tuple[int, ...],
-    *,
     grid: tuple[int, int],
+    *,
     pos_override: Array | None = None,
     rope_sincos: tuple[Array, Array] | None = None,
     compute_dtype: tp.Any = jnp.float32,
-) -> tuple[Array, Array]:
-    """Run the ViT, tapping the residual stream after each layer in `layers`.
-
-    Args:
-        tokens: (B, N_patches, c*p*p) pre-patchified pixels.
-        layers: block indices to record (negative indices allowed).
-        grid: (grid_h, grid_w) patch grid — static per trace.
-        pos_override: optional (n_tokens, d_model) positional table overriding the
-            spec's default (used for learned-pos interpolation).
-
-    Returns:
-        (x_final, taps) — x_final (B, T, D) after final norm; taps
-        (B, len(layers), T, D) raw residual stream (pre-final-norm), CLS first.
-    """
-    layers = tuple(i % spec.n_layers for i in layers)
+) -> tuple[Array, Array | None, Array | None]:
+    """Shared forward preamble: patch embedding + positional encoding + rope
+    tables + pre-norm. Returns (x in compute_dtype, sin, cos); used by both
+    `forward` (residual taps) and `forward_sites` (full microscope) so the
+    two entry points cannot drift."""
     x = embed_tokens(spec, params, tokens)
-    b, t, d = x.shape
+    _, t, d = x.shape
     n_prefix = spec.n_prefix_tokens
     gh, gw = grid
 
@@ -477,7 +466,39 @@ def forward(
     if spec.pre_norm:
         x = _layer_norm(x, params["ln_pre"], spec.ln_eps)
 
-    x = x.astype(compute_dtype)
+    return x.astype(compute_dtype), sin, cos
+
+
+def forward(
+    spec: Spec,
+    params: dict,
+    tokens: Array,
+    layers: tuple[int, ...],
+    *,
+    grid: tuple[int, int],
+    pos_override: Array | None = None,
+    rope_sincos: tuple[Array, Array] | None = None,
+    compute_dtype: tp.Any = jnp.float32,
+) -> tuple[Array, Array]:
+    """Run the ViT, tapping the residual stream after each layer in `layers`.
+
+    Args:
+        tokens: (B, N_patches, c*p*p) pre-patchified pixels.
+        layers: block indices to record (negative indices allowed).
+        grid: (grid_h, grid_w) patch grid — static per trace.
+        pos_override: optional (n_tokens, d_model) positional table overriding the
+            spec's default (used for learned-pos interpolation).
+
+    Returns:
+        (x_final, taps) — x_final (B, T, D) after final norm; taps
+        (B, len(layers), T, D) raw residual stream (pre-final-norm), CLS first.
+    """
+    layers = tuple(i % spec.n_layers for i in layers)
+    x, sin, cos = _embed_with_pos(
+        spec, params, tokens, grid,
+        pos_override=pos_override, rope_sincos=rope_sincos,
+        compute_dtype=compute_dtype,
+    )
     taps = []
 
     for i, blk in enumerate(params["blocks"]):
@@ -521,26 +542,9 @@ def forward_sites(
     Returns {site: (B, n_layers, T, D) float32} for sites `SITE_NAMES`
     ("resid" is the residual stream after each block).
     """
-    x = embed_tokens(spec, params, tokens)
-    _, t, d = x.shape
-    gh, gw = grid
-    if spec.pos_kind == "learned" or (spec.pos_kind == "rope" and spec.rope_abs_pos):
-        x = x + params["pos"]
-    elif spec.pos_kind == "sincos2d":
-        pos = jnp.asarray(sincos_2d(d, gh, gw))
-        if spec.n_prefix_tokens:
-            pos = jnp.concatenate(
-                [jnp.zeros((spec.n_prefix_tokens, d), pos.dtype), pos], axis=0
-            )
-        x = x + pos
-    sin = cos = None
-    if spec.pos_kind == "rope":
-        sin_np, cos_np = rope_angles(spec, gh, gw)
-        sin, cos = jnp.asarray(sin_np), jnp.asarray(cos_np)
-    if spec.pre_norm:
-        x = _layer_norm(x, params["ln_pre"], spec.ln_eps)
-
-    x = x.astype(compute_dtype)
+    x, sin, cos = _embed_with_pos(
+        spec, params, tokens, grid, compute_dtype=compute_dtype
+    )
     recorded: dict[str, list] = {name: [] for name in SITE_NAMES}
     for blk in params["blocks"]:
         x, sites = _apply_block(spec, blk, x, sin, cos, compute_dtype)

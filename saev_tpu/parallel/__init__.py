@@ -158,6 +158,10 @@ def shard_features(mesh: Mesh, tree, d_sae: int):
     n_sweep = mesh.shape[SWEEP_AXIS]
     if n_feature == 1:
         return shard_sweep(mesh, tree)
+    assert d_sae % n_feature == 0, (
+        f"d_sae={d_sae} is not divisible by the feature axis ({n_feature}); "
+        "the latent dimension would silently replicate instead of sharding."
+    )
 
     def place(x):
         if not hasattr(x, "ndim") or x.ndim == 0:

@@ -521,7 +521,7 @@ _ROUTES: dict[str, dict[str, tuple[str, int]]] = {
         "get-preds": ("get_preds", 1),
         "get-modified": ("get_modified", 2),
         "get-sae-latents": ("get_sae_latents", 2),
-        "get-random-class-img": ("get_random_class_img", 1),
+        "get-random-class-img": ("get_random_class_img", 2),
     },
     "comparison": {
         "meta": ("meta", 0),

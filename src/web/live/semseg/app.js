@@ -65,6 +65,8 @@ async function setExample(i) {
   );
   document.getElementById("input-grid").replaceChildren(grid);
   document.getElementById("true-seg").src = img.seg_url;
+  document.getElementById("true-classes").textContent =
+    "classes: " + img.classes.join(", ");
   document.getElementById("pred-seg").src = preds.seg_url;
   document.getElementById("pred-classes").textContent =
     "classes: " + preds.classes.join(", ");

@@ -249,6 +249,26 @@ class TestChannelTrace:
         )
         assert healthy.dominance("resid").max() < 10
 
+    def test_channel_trace_layer_axis_exact(self):
+        """Per-layer stats must come from exactly that layer: plant a channel
+        whose value IS the layer index and assert the means recover it (a
+        reshape that interleaves layers with tokens fails this)."""
+        from birdsong import trace
+
+        b, L, t, d = 2, 3, 5, 8
+        rng = np.random.default_rng(0)
+        acts = rng.normal(size=(b, L, t, d)).astype(np.float32)
+        ch = 4
+        for layer in range(L):
+            acts[:, layer, :, ch] = 10.0 * (layer + 1)
+        tr = trace.channel_trace({"resid": acts}, ch)
+        np.testing.assert_allclose(
+            tr.chan_mean["resid"], [10.0, 20.0, 30.0], rtol=1e-6
+        )
+        np.testing.assert_allclose(tr.chan_std["resid"], 0.0, atol=1e-5)
+        # rest stats exclude the planted channel entirely.
+        assert np.abs(tr.rest_mean["resid"]).max() < 1.0
+
     def test_trace_report_artifacts(self, tmp_path):
         from birdsong import trace
 

@@ -310,12 +310,15 @@ def test_checkpoint_discovery_pooling_and_render_plan(tmp_path):
     runs = tmp_path / "runs"
     shard = "deadbeef"
 
-    def write_ckpt(run_id, name, coef, val_acc, c):
+    def write_ckpt(run_id, name, coef, test_acc, c):
         art = runs / run_id / "inference" / shard
         art.mkdir(parents=True, exist_ok=True)
         with open(art / name, "wb") as fd:
+            # The REAL writer schema (classification.train_worker_fn:249-254):
+            # header = {cfg: asdict(TrainConfig), test_acc, n_classes, ...}.
             fd.write(json.dumps({
-                "cls_type": "sparse-linear", "cls": {"C": c}, "val_acc": val_acc,
+                "cfg": {"cls": {"key": "sparse-linear", "C": c}},
+                "test_acc": test_acc, "n_classes": 2,
             }).encode() + b"\n")
             pickle.dump({"classifier": _FakeLinear(coef)}, fd)
 

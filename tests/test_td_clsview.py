@@ -131,6 +131,32 @@ def test_top_latents_table_and_shared(cls_run):
         assert isinstance(latent, int) and len(names) > 1
 
 
+def test_mimics_discovery_reads_real_checkpoint_headers(cls_run):
+    """mimics.checkpoints must parse the ACTUAL header schema the
+    classification writer emits (cfg/cls/key/C + test_acc) — a synthetic
+    header can't catch writer drift."""
+    sys.path.insert(
+        0, str(pathlib.Path(__file__).parent.parent / "contrib" / "mimics" / "src")
+    )
+    from mimics import checkpoints
+
+    run, shards_dir, runs_root = cls_run
+    rows = checkpoints.discover_checkpoints(checkpoints.DiscoverCheckpointsConfig(
+        run_root_dpath=runs_root, shard_id=shards_dir.name, task_name="parity",
+    ))
+    by_type = {r["cls_type"]: r for r in rows}
+    assert set(by_type) == {"sparse-linear", "decision-tree"}
+    lin = by_type["sparse-linear"]
+    assert lin["c_value"] == pytest.approx(1.0)
+    assert lin["test_acc"] is not None and 0.0 <= lin["test_acc"] <= 1.0
+    # The C filter works against the real header.
+    only = checkpoints.discover_checkpoints(checkpoints.DiscoverCheckpointsConfig(
+        run_root_dpath=runs_root, shard_id=shards_dir.name, task_name="parity",
+        c_values=(1.0,),
+    ))
+    assert [r["cls_type"] for r in only] == ["sparse-linear"]
+
+
 def test_latent_class_matrix_binary_expansion():
     class FakeClf:
         coef_ = np.array([[1.0, -2.0, 0.0]])

@@ -144,8 +144,20 @@ def test_classification_endpoints(seg_server):
 def test_classification_random_class_img(seg_server):
     preds = _call(seg_server, "classification", "get-img", [0])
     cls = preds["target"]
-    out = _call(seg_server, "classification", "get-random-class-img", [cls])
+    # The frontend sends [cls, seed] (examineClass bumps the seed per click);
+    # the route's arity must pass BOTH through or every click repeats seed=0.
+    out = _call(seg_server, "classification", "get-random-class-img", [cls, 0])
     assert out["target"] == cls and _is_png(out["orig_url"])
+    picks = {
+        _call(seg_server, "classification", "get-random-class-img", [cls, s])["index"]
+        for s in range(8)
+    }
+    pool = [
+        i for i in range(10)
+        if _call(seg_server, "classification", "get-img", [i])["target"] == cls
+    ]
+    if len(pool) > 1:
+        assert len(picks) > 1, "seed must vary the returned image"
 
 
 def test_comparison_endpoints(seg_server):
