@@ -201,6 +201,55 @@ def test_batch_topk_global_semantics_under_dp():
     assert (f1[:4] != 0).sum() > (f1[4:] != 0).sum()
 
 
+def test_feature_parallel_guards():
+    """Indivisible latent dims must fail loudly, not silently replicate; and
+    the feature-parallel step's FORCE_LAX switch must not leak process-wide."""
+    from saev_tpu.framework import train as T
+    from saev_tpu.nn import modeling, objectives
+    from saev_tpu.ops import topk as ops_topk
+
+    sae_cfg = modeling.SparseAutoencoderConfig(
+        d_model=16, d_sae=63, activation=modeling.TopK(top_k=4)
+    )
+    with pytest.raises(AssertionError, match="divide"):
+        T.make_train_step(
+            sae_cfg, objectives.Matryoshka(n_prefixes=2), n_steps=4,
+            feature_parallel=2,
+        )
+    mesh = parallel.make_mesh(n_devices=8, feature=2)
+    with pytest.raises(AssertionError, match="divisible"):
+        parallel.shard_features(mesh, {"w": jnp.zeros((1, 63))}, 63)
+
+    # A feature-parallel step run must restore FORCE_LAX afterwards.
+    sae_cfg = modeling.SparseAutoencoderConfig(
+        d_model=16, d_sae=64, activation=modeling.TopK(top_k=4)
+    )
+    obj_cfg = objectives.Matryoshka(n_prefixes=2)
+    step_fn = T.make_train_step(sae_cfg, obj_cfg, n_steps=4, feature_parallel=2)
+    assert ops_topk.FORCE_LAX is False
+    params, state = modeling.init(sae_cfg, jax.random.key(0))
+    stack = lambda tree: jax.tree.map(lambda x: x[None], tree)
+    ts = T.SweepState(
+        params=stack(params), sae_state=stack(state),
+        obj_state=stack(objectives.init_state(sae_cfg)),
+        opt_state=T._adam_init(stack(params)), step=jnp.zeros((), jnp.int32),
+    )
+    hp = {
+        "lr": jnp.asarray([1e-3], jnp.float32),
+        "n_lr_warmup": jnp.ones((1,), jnp.float32),
+        "grad_clip": jnp.ones((1,), jnp.float32),
+        "sparsity_coeff": jnp.zeros(1, jnp.float32),
+        "aux_alpha": jnp.full((1,), 1 / 32, jnp.float32),
+        "momentum": jnp.zeros(1, jnp.float32),
+    }
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 16)), jnp.float32)
+    prefixes = jnp.asarray(
+        np.stack([objectives.sample_prefixes(64, 2, rng=np.random.default_rng(0))])
+    )
+    ts, _ = step_fn(ts, x, prefixes, hp)
+    assert ops_topk.FORCE_LAX is False, "feature-parallel step leaked FORCE_LAX"
+
+
 def test_feature_parallel_equals_single_device():
     """Latent-sharded (feature axis) training must reproduce the single-device
     trajectory — GSPMD slices d_sae, the numbers don't change."""
