@@ -1,9 +1,11 @@
 """Learning-rate schedules and dataloader limiting.
 
-Mirror of reference `src/saev/utils/scheduling.py` (Warmup/WarmupCosine at :20/:43,
-BatchLimiter at :83). The stateful Scheduler classes are kept for host-side use and
-API parity; `warmup_cosine` is the same schedule as a pure jnp function of the step
-counter so per-SAE learning rates can be computed *inside* the jitted train step
+Mirror of reference `src/saev/utils/scheduling.py` (Warmup/WarmupCosine at
+:20/:43, BatchLimiter at :83), restructured around pure schedule functions:
+`_ramp`/`_cosine_decay` hold the math once, the stateful Scheduler classes
+(kept for host-side use and API parity) are thin counters over them, and
+`warmup_cosine` is the same schedule as a jnp function of the traced step
+counter so per-SAE learning rates are computed *inside* the jitted train step
 (vectorized over the sweep axis with per-SAE warmup/peak arrays).
 """
 
@@ -12,6 +14,22 @@ import math
 import typing as tp
 
 import jax.numpy as jnp
+
+
+def _ramp(t: float, lo: float, hi: float, n: int) -> float:
+    """Linear interpolation lo -> hi over n steps, clamped at hi."""
+    if t < n:
+        return lo + (hi - lo) * (t / n)
+    return hi
+
+
+def _cosine_decay(t: float, n_warmup: int, peak: float, n_steps: int,
+                  final: float) -> float:
+    """Half-cosine from peak at t=n_warmup down to final at t=n_steps."""
+    if t >= n_steps:
+        return final
+    progress = (t - n_warmup) / (n_steps - n_warmup)
+    return final + (peak - final) * (1 + math.cos(math.pi * progress)) / 2
 
 
 class Scheduler:
@@ -26,42 +44,33 @@ class Warmup(Scheduler):
     """Linearly increases from `init` to `final` over `n_steps` steps."""
 
     def __init__(self, init: float, final: float, n_steps: int):
-        self.init = init
-        self.final = final
-        self.n_steps = n_steps
-        self._step = 0
+        self.init, self.final, self.n_steps = init, final, n_steps
+        self._t = 0
 
     def step(self) -> float:
-        self._step += 1
-        if self._step < self.n_steps:
-            return self.init + (self.final - self.init) * (self._step / self.n_steps)
-        return self.final
+        self._t += 1
+        return _ramp(self._t, self.init, self.final, self.n_steps)
 
     def __repr__(self) -> str:
         return f"Warmup(init={self.init}, final={self.final}, n_steps={self.n_steps})"
 
 
 class WarmupCosine(Scheduler):
-    """Linear warmup from `init` to `peak` over `n_warmup` steps, then cosine decay
-    to `final` over the remaining `n_steps - n_warmup` steps."""
+    """Linear warmup from `init` to `peak` over `n_warmup` steps, then cosine
+    decay to `final` over the remaining `n_steps - n_warmup` steps."""
 
     def __init__(self, init: float, n_warmup: int, peak: float, n_steps: int, final: float):
-        self.init = init
-        self.peak = peak
-        self.final = final
-        self.n_warmup = n_warmup
-        self.n_steps = n_steps
-        self._step = 0
+        self.init, self.peak, self.final = init, peak, final
+        self.n_warmup, self.n_steps = n_warmup, n_steps
+        self._t = 0
 
     def step(self) -> float:
-        self._step += 1
-        if self._step < self.n_warmup:
-            return self.init + (self.peak - self.init) * (self._step / self.n_warmup)
-        elif self._step < self.n_steps:
-            progress = (self._step - self.n_warmup) / (self.n_steps - self.n_warmup)
-            cosine_factor = (1 + math.cos(math.pi * progress)) / 2
-            return self.final + (self.peak - self.final) * cosine_factor
-        return self.final
+        self._t += 1
+        if self._t < self.n_warmup:
+            return _ramp(self._t, self.init, self.peak, self.n_warmup)
+        return _cosine_decay(
+            self._t, self.n_warmup, self.peak, self.n_steps, self.final
+        )
 
     def __repr__(self) -> str:
         return (
@@ -83,8 +92,7 @@ def warmup_cosine(step, init, n_warmup, peak, n_steps, final):
     warm = init + (peak - init) * (step / jnp.maximum(n_warmup, 1.0))
     progress = (step - n_warmup) / jnp.maximum(n_steps - n_warmup, 1.0)
     cosine = final + (peak - final) * (1 + jnp.cos(jnp.pi * progress)) / 2
-    out = jnp.where(step < n_warmup, warm, jnp.where(step < n_steps, cosine, final))
-    return out
+    return jnp.where(step < n_warmup, warm, jnp.where(step < n_steps, cosine, final))
 
 
 @tp.runtime_checkable
@@ -132,22 +140,16 @@ class BatchLimiter:
 
 
 def _infer_batch_size(batch: tp.Any, fallback: int) -> int:
-    """Best-effort batch-size extraction (reference scheduling.py:125-152)."""
+    """Best-effort batch-size extraction (reference scheduling.py:125-152):
+    the leading length of a mapping's first value, or of the batch itself."""
+    probe = batch
+    if isinstance(batch, collections.abc.Mapping):
+        values = iter(batch.values())
+        probe = next(values, None)
+        if probe is None:
+            return fallback
     try:
-        if isinstance(batch, collections.abc.Mapping):
-            if len(batch) == 0:
-                return fallback
-            first_value = next(iter(batch.values()))
-            try:
-                n = len(first_value)
-                if isinstance(n, int) and n > 0:
-                    return n
-            except Exception:
-                pass
-        else:
-            n = len(batch)
-            if isinstance(n, int) and n > 0:
-                return n
+        n = len(probe)
     except Exception:
-        pass
-    return fallback
+        return fallback
+    return n if isinstance(n, int) and n > 0 else fallback
