@@ -130,6 +130,35 @@ def test_sparse_probe_matches_reference_optimizer():
 
 
 @pytest.mark.timeout(300)
+def test_tie_aware_ap_matches_reference():
+    """Our vectorized (reduceat + harmonic sums) tie-aware AP equals the
+    reference's own McSherry-Najork loop (classification.py:650-736) on
+    heavily-tied SAE-like scores — the audit protocol's headline metric."""
+    from tdiscovery import classification as ours
+
+    ref_cls = load_reference_tdiscovery("classification")
+    rng = np.random.default_rng(7)
+    # ~90% exact zeros + quantized positives: the tie regime of SAE codes.
+    acts = np.where(
+        rng.uniform(size=400) < 0.9,
+        0.0,
+        np.round(rng.uniform(size=400) * 8) / 8,
+    ).astype(np.float32)
+    labels = (rng.uniform(size=(400, 5)) < 0.25).astype(np.float32)
+    n_pos = labels.sum(axis=0)
+
+    got = ours.tie_aware_ap(acts, labels, n_pos)
+    want = ref_cls.compute_ap_for_latent(acts, labels, n_pos)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    # The batched (non-tie-aware) ranking AP agrees as well.
+    acts_nb = rng.normal(size=(400, 3)).astype(np.float32)
+    got_b = ours.ap_batched(acts_nb, labels, n_pos)
+    want_b = ref_cls.compute_ap_batched(acts_nb, labels, n_pos)
+    np.testing.assert_allclose(got_b, want_b, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.timeout(300)
 def test_dense_reference_probe_matches_reference():
     """Our dense audit probe reproduces the reference's Reference1DProbe
     coefficients on single-latent problems."""
