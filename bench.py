@@ -181,6 +181,40 @@ def select_kth_kernel(n_iters: int = 12) -> dict:
     }
 
 
+def _acquire_backend(timeout_s: float = 600.0):
+    """jax.devices() with a watchdog: the axon tunnel can hang indefinitely
+    when down, which would stall an unattended bench run forever. On timeout,
+    print a well-formed JSON line recording the failure and exit non-zero."""
+    import threading
+
+    result: dict = {}
+
+    def probe():
+        try:
+            import jax
+
+            result["devices"] = jax.devices()
+        except Exception as err:  # pragma: no cover - backend-specific
+            result["error"] = str(err)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive() or "error" in result:
+        why = result.get("error", f"backend init hung >{timeout_s:.0f}s")
+        print(
+            json.dumps({
+                "metric": "sae_train_patches_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "patches/s",
+                "vs_baseline": 0.0,
+                "kernel_parity": f"no-backend: {why[:120]}",
+                "sweep": {},
+            })
+        )
+        raise SystemExit(1)
+
+
 def main():
     argv = sys.argv[1:]
     n_sae = 1
@@ -189,6 +223,7 @@ def main():
     do_sweep = "--no-sweep" not in argv
     do_kernel_check = "--no-kernel-check" not in argv
 
+    _acquire_backend()
     import jax
 
     kernel_parity = "skipped"
