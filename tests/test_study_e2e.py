@@ -134,3 +134,29 @@ def test_study_drivers_run_on_real_runs(trained_study, tmp_path, driver):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert f"{len(run_ids)} runs" in proc.stdout
     assert list(out.glob("*.pdf")), "driver saved no figures"
+
+
+def test_auxk_ablation_driver_runs(trained_study, tmp_path):
+    """The 003_auxk ablation driver runs the full analysis battery on the
+    real AuxK-vs-NoAux study the fixture trained."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    study_tmp, runs_root, run_ids = trained_study
+    env = {
+        "AUXK_RUNS": str(runs_root),
+        "AUXK_TRACKER": str(study_tmp / ".wandb"),
+        "AUXK_EXPECTED": "2",
+        "PATH": "/usr/bin:/bin",
+        "JAX_PLATFORMS": "cpu",
+        "HOME": os.environ.get("HOME", "/root"),
+    }
+    proc = subprocess.run(
+        [_sys.executable, str(NOTEBOOKS / "003_auxk.py")],
+        capture_output=True, text=True, env=env, timeout=600,
+        cwd=tmp_path,  # the driver saves auxk_pareto_grid.png into CWD
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "auxk" in proc.stdout and "no-aux" in proc.stdout
+    assert (tmp_path / "auxk_pareto_grid.png").exists()
