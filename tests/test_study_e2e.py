@@ -184,3 +184,26 @@ def test_actfn_driver_runs(trained_study, tmp_path):
     assert f"{len(run_ids)} runs loaded" in proc.stdout
     assert "top-k(k=4)" in proc.stdout
     assert "frontier" in proc.stdout
+
+
+def test_ablations_driver_runs(trained_study, tmp_path):
+    """The 002_ablations variant driver groups the real study's runs by
+    optimizer and AuxK variant."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    study_tmp, _, run_ids = trained_study
+    env = {
+        "SAEV_TRACKER": str(study_tmp / ".wandb" / "saev"),
+        "PATH": "/usr/bin:/bin",
+        "JAX_PLATFORMS": "cpu",
+        "HOME": os.environ.get("HOME", "/root"),
+    }
+    proc = subprocess.run(
+        [_sys.executable, str(NOTEBOOKS / "002_ablations.py")],
+        capture_output=True, text=True, env=env, timeout=600, cwd=tmp_path,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert f"{len(run_ids)} runs loaded" in proc.stdout
+    assert "auxk" in proc.stdout and "no-aux" in proc.stdout
