@@ -87,10 +87,37 @@ class _RunData:
     dataset: tp.Any
     grid_hw: tuple[int, int]
     patch_size: int
+    shard_info: tp.Any = None  # cached ShardInfo (parsed once)
+    _memmaps: dict = dataclasses.field(default_factory=dict)
 
     @property
     def ctpe(self) -> int:
         return self.md.content_tokens_per_example
+
+
+# One _RunData per (run, shards, layer, scale): main() builds up to three
+# apps over the same pair, and each holds multi-GB CSR/CSC artifacts plus a
+# model instantiation — sharing removes a 3x memory and startup multiple.
+_RUN_DATA_CACHE: dict[tuple, _RunData] = {}
+
+
+def _check_inference_layer(art: pathlib.Path, layer: int) -> None:
+    """The SAE codes in token_acts.npz came from ONE layer (recorded in the
+    inference config); probes fit on a different --layer would silently mix
+    layers in the intervention algebra."""
+    cfg_fpath = art / "config.json"
+    if not cfg_fpath.exists():
+        return
+    try:
+        inf_layer = json.loads(cfg_fpath.read_text())["data"]["layer"]
+    except (json.JSONDecodeError, KeyError, TypeError):
+        return
+    if int(inf_layer) != int(layer):
+        raise ValueError(
+            f"--layer {layer} does not match the inference artifacts at "
+            f"{art} (computed with layer={inf_layer}); the SAE codes and the "
+            "probe activations must come from the same layer."
+        )
 
 
 def _load_run_data(
@@ -101,8 +128,20 @@ def _load_run_data(
     from .. import nn
     from ..data import datasets, models
 
+    key = (
+        pathlib.Path(run_dir).resolve(), pathlib.Path(shards_dir).resolve(),
+        int(layer), float(img_scale),
+    )
+    if key in _RUN_DATA_CACHE:
+        return _RUN_DATA_CACHE[key]
+
     run = disk.Run(run_dir)
     md = shards_mod.Metadata.load(shards_dir)
+    if layer not in md.layers:
+        raise ValueError(
+            f"--layer {layer} is not in the shards' recorded layers "
+            f"{list(md.layers)}."
+        )
     art = run.inference / md.hash
     acts_fpath = art / "token_acts.npz"
     if not acts_fpath.exists():
@@ -111,6 +150,7 @@ def _load_run_data(
             "(run, shards) pair first; the backend serves live probes over "
             "those artifacts."
         )
+    _check_inference_layer(art, layer)
     token_acts = scipy.sparse.load_npz(acts_fpath).tocsr()
     _, params, _ = nn.load(run.ckpt)
     w_dec = np.asarray(params["W_dec"], np.float32)
@@ -126,31 +166,37 @@ def _load_run_data(
     assert grid_hw[0] * grid_hw[1] == md.content_tokens_per_example, (
         grid_hw, md.content_tokens_per_example,
     )
-    return _RunData(
+    rd = _RunData(
         run=run, md=md, shards_dir=shards_dir, layer=layer,
         token_acts=token_acts, token_acts_csc=token_acts.tocsc(),
         w_dec=w_dec, dataset=dataset, grid_hw=grid_hw, patch_size=patch_size,
+        shard_info=shards_mod.ShardInfo.load(shards_dir),
     )
+    _RUN_DATA_CACHE[key] = rd
+    return rd
 
 
 def _raw_patch_acts(rd: _RunData, i: int) -> np.ndarray:
     """(tokens, d_model) raw ViT activations of example i from the shard
-    memmaps (one contiguous read; the probes' input space)."""
+    memmaps (one contiguous read; the probes' input space). ShardInfo and the
+    memmap handles are cached on the _RunData — this runs per request and
+    thousands of times in the startup fit loops."""
     md = rd.md
     layer_idx = md.layers.index(rd.layer)
     start = 1 if md.cls_token else 0
     n = 0
-    for shard in shards_mod.ShardInfo.load(rd.shards_dir):
+    for shard in rd.shard_info:
         if i < n + shard.n_examples:
-            mm = np.memmap(
-                rd.shards_dir / shard.name, mode="r", dtype=np.float32,
-                shape=md.shard_shape,
-            )
-            out = np.asarray(
+            mm = rd._memmaps.get(shard.name)
+            if mm is None:
+                mm = np.memmap(
+                    rd.shards_dir / shard.name, mode="r", dtype=np.float32,
+                    shape=md.shard_shape,
+                )
+                rd._memmaps[shard.name] = mm
+            return np.asarray(
                 mm[i - n, layer_idx, start : start + rd.ctpe], np.float32
             )
-            del mm
-            return out
         n += shard.n_examples
     raise IndexError(f"example {i} beyond {n} examples")
 
@@ -192,10 +238,16 @@ def _top_latents_for_patches(
 
 def _latent_examples(rd: _RunData, latent: int, n: int) -> list[dict]:
     """Top-activating examples of one latent with heatmap overlays (the
-    SaeLatent.examples payload, Semseg.elm highlightedExampleDecoder)."""
-    col = rd.token_acts_csc[:, int(latent)]
-    col = np.asarray(col.todense()).reshape(-1, rd.ctpe)  # (n_examples, tokens)
-    peak = col.max(axis=1)
+    SaeLatent.examples payload, Semseg.elm highlightedExampleDecoder).
+
+    Per-example peaks come from the CSC column's NONZEROS (scatter-max over
+    nnz entries) — densifying the full column is ~n_examples x ctpe floats
+    per latent, multi-GB transients at ImageNet scale."""
+    col = rd.token_acts_csc[:, int(latent)].tocoo()
+    n_examples = rd.md.n_examples
+    peak = np.zeros(n_examples, np.float32)
+    if col.nnz:
+        np.maximum.at(peak, col.row // rd.ctpe, col.data)
     order = np.argsort(-peak)[:n]
     out = []
     from PIL import Image
@@ -206,8 +258,10 @@ def _latent_examples(rd: _RunData, latent: int, n: int) -> list[dict]:
         img = rd.dataset[int(ex)]["data"]
         if not isinstance(img, Image.Image):
             img = Image.fromarray(np.asarray(img))
+        # Only the selected example's token vector is densified (ctpe floats).
+        tokens = _sae_rows(rd, int(ex))[:, int(latent)]
         highlighted = viz.add_highlights(
-            img.convert("RGB"), col[ex], rd.patch_size, upper=float(peak[ex])
+            img.convert("RGB"), tokens, rd.patch_size, upper=float(peak[ex])
         )
         out.append({
             "example": int(ex),
@@ -319,6 +373,19 @@ class SemsegApp:
         ]
 
 
+def _dataset_targets(dataset, n: int) -> np.ndarray:
+    """Per-example integer targets WITHOUT decoding images when the dataset
+    exposes them structurally (ImgFolderDataset.samples holds (fpath, target,
+    label)); falls back to per-sample reads otherwise."""
+    samples = getattr(dataset, "samples", None)
+    if samples is not None and len(samples) >= n:
+        try:
+            return np.array([int(samples[i][1]) for i in range(n)])
+        except (TypeError, ValueError, IndexError):
+            pass
+    return np.array([int(dataset[i].get("target", 0)) for i in range(n)])
+
+
 class ClassificationApp:
     """Image-classification probing demo (reference Classification.elm).
 
@@ -334,17 +401,20 @@ class ClassificationApp:
         layer: int = 0,
         img_scale: float = 1.0,
         max_fit_examples: int = 10_000,
+        seed: int = 0,
     ):
         from sklearn.linear_model import LogisticRegression
 
         self.rd = _load_run_data(run_dir, shards_dir, layer, img_scale)
         md = self.rd.md
+        self.targets = _dataset_targets(self.rd.dataset, md.n_examples)
+        # Sample the fit subset (ImgFolder datasets are ordered grouped by
+        # class — the first n examples can be single-class and crash fit()).
+        rng = np.random.default_rng(seed)
         n_fit = min(max_fit_examples, md.n_examples)
+        fit_examples = np.sort(rng.choice(md.n_examples, size=n_fit, replace=False))
         xs = np.stack([
-            _raw_patch_acts(self.rd, i).mean(axis=0) for i in range(n_fit)
-        ])
-        self.targets = np.array([
-            int(self.rd.dataset[i].get("target", 0)) for i in range(md.n_examples)
+            _raw_patch_acts(self.rd, int(i)).mean(axis=0) for i in fit_examples
         ])
         degenerate = len(np.unique(self.targets)) < 2
         if degenerate:
@@ -360,7 +430,7 @@ class ClassificationApp:
                 "targets and a random demo head (no class signal in this data)"
             )
             self.targets = np.arange(md.n_examples) % 2
-        ys = self.targets[:n_fit]
+        ys = self.targets[fit_examples]
         self.head = LogisticRegression(max_iter=500).fit(xs, ys)
         if degenerate or not np.any(self.head.coef_):
             rng = np.random.default_rng(0)
@@ -587,7 +657,9 @@ def make_server(
                 )
             if web_root is None:
                 return self._json(404, {"error": "static serving disabled"})
-            rel = self.path.strip("/") or "index.html"
+            # Cache-busting/query parameters must not 404 the asset.
+            path = self.path.split("?", 1)[0].split("#", 1)[0]
+            rel = path.strip("/") or "index.html"
             fpath = (web_root / rel).resolve()
             if fpath.is_dir():
                 fpath = fpath / "index.html"

@@ -4,7 +4,7 @@
 // sliders -> modified predictions (GotModifiedPredictions), and per-class
 // random examples (ExamineClass/GotClassExample). Backend:
 // saev_tpu/web/backend.py ClassificationApp.
-import { api, baseCss, el, latentRow, patchGrid, probBars } from "../lib.js";
+import { api, baseCss, el, latentRow, patchGrid, probBars, sequenced } from "../lib.js";
 
 const style = document.createElement("style");
 style.textContent = baseCss;
@@ -21,15 +21,20 @@ function showErr(err) {
   app.prepend(el("div", { class: "err" }, String(err)));
 }
 
+// Sequenced: only the latest drag's response lands (see semseg/app.js).
+const fetchModified = sequenced((mods) =>
+  api("classification", "get-modified", [state.i, mods]));
+
 async function refreshModified(mods) {
-  const out = await api("classification", "get-modified", [state.i, mods]);
+  const out = await fetchModified(mods);
+  if (out === null) return; // superseded by a newer drag
   document.getElementById("mod-preds").replaceChildren(
     probBars(out.probs, out.logits));
 }
 
 function onSlide(latent, value) {
-  if (value === 0) delete state.sliders[latent];
-  else state.sliders[latent] = value;
+  // Touched sliders stay in the set even at 0: v=0 means ablation.
+  state.sliders[latent] = value;
   refreshModified(state.sliders).catch(showErr);
 }
 

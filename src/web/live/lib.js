@@ -15,6 +15,18 @@ export async function api(app, endpoint, args) {
   return body.data[0];
 }
 
+// Wrap an async fetcher so only the LATEST call's result lands: slider drags
+// fire many concurrent POSTs over separate connections, and a slow earlier
+// response must not overwrite a newer one (returns null for superseded calls).
+export function sequenced(fn) {
+  let seq = 0;
+  return async (...args) => {
+    const mine = ++seq;
+    const out = await fn(...args);
+    return mine === seq ? out : null;
+  };
+}
+
 export function el(tag, attrs = {}, ...children) {
   const node = document.createElement(tag);
   for (const [k, v] of Object.entries(attrs)) {

@@ -3,7 +3,7 @@
 // patch selection (ToggleSelectedPatch) -> SAE latents (GotSaeLatents) with
 // top-example galleries + highlight toggles, sliders (SetSlider) -> modified
 // predictions (GotModPreds). Backend: saev_tpu/web/backend.py SemsegApp.
-import { api, baseCss, el, latentRow, patchGrid } from "../lib.js";
+import { api, baseCss, el, latentRow, patchGrid, sequenced } from "../lib.js";
 
 const style = document.createElement("style");
 style.textContent = baseCss;
@@ -16,16 +16,23 @@ function panel(title, ...children) {
   return el("div", { class: "panel" }, el("h2", {}, title), ...children);
 }
 
+// Sequenced: only the latest drag's response lands (out-of-order responses
+// from concurrent POSTs must not leave a stale prediction on screen).
+const fetchModified = sequenced((mods) =>
+  api("semseg", "get-mod-preds", [state.i, mods]));
+
 async function refreshModified(mods) {
-  const out = await api("semseg", "get-mod-preds", [state.i, mods]);
+  const out = await fetchModified(mods);
+  if (out === null) return; // superseded by a newer drag
   document.getElementById("mod-seg").src = out.seg_url;
   document.getElementById("mod-classes").textContent =
     "classes: " + out.classes.join(", ");
 }
 
 function onSlide(latent, value) {
-  if (value === 0) delete state.sliders[latent];
-  else state.sliders[latent] = value;
+  // A touched slider stays in the intervention set even at 0: the backend
+  // semantics are "set latent to value v", so v=0 is ablation, not reset.
+  state.sliders[latent] = value;
   refreshModified(state.sliders).catch(showErr);
 }
 

@@ -217,6 +217,11 @@ def test_live_apps_served(tmp_path):
             assert resp.status == 200 and body, page
             if page.endswith(".html"):
                 assert "app.js" in body
+        # Query strings (cache-busting) must not 404 the asset.
+        with urllib.request.urlopen(
+            f"http://{host}:{port}/live/lib.js?v=2", timeout=30
+        ) as resp:
+            assert resp.status == 200 and resp.read()
         # Path traversal is rejected.
         with pytest.raises(urllib.error.HTTPError) as exc_info:
             urllib.request.urlopen(
@@ -225,6 +230,44 @@ def test_live_apps_served(tmp_path):
         assert exc_info.value.code == 404
     finally:
         server.shutdown()
+
+
+def test_layer_mismatch_rejected(tmp_path):
+    """The backend refuses a --layer that differs from the layer the
+    inference artifacts were computed with (probes and SAE codes must share
+    a layer for the intervention algebra to mean anything)."""
+    from saev_tpu.web import backend
+
+    run, shards_dir = _build_run(tmp_path, seg=True, name="mismatchrun")
+    backend._RUN_DATA_CACHE.clear()
+    with pytest.raises(ValueError, match="not in the shards' recorded"):
+        backend._load_run_data(run.run_dir, shards_dir, 3, 1.0)
+    # Forge an inference config claiming a different layer.
+    import json as json_mod
+
+    from saev_tpu.data import Metadata
+
+    md = Metadata.load(shards_dir)
+    cfg_fpath = run.inference / md.hash / "config.json"
+    payload = json_mod.loads(cfg_fpath.read_text())
+    payload["data"]["layer"] = 7
+    cfg_fpath.write_text(json_mod.dumps(payload))
+    backend._RUN_DATA_CACHE.clear()
+    with pytest.raises(ValueError, match="layer=7"):
+        backend._load_run_data(run.run_dir, shards_dir, 0, 1.0)
+
+
+def test_run_data_cached_across_apps(tmp_path):
+    """The three apps over one (run, shards) pair share one _RunData (the
+    CSR/CSC artifacts and the model are multi-GB at production scale)."""
+    from saev_tpu.web import backend
+
+    run, shards_dir = _build_run(tmp_path, seg=True, name="cachedrun")
+    backend._RUN_DATA_CACHE.clear()
+    a = backend._load_run_data(run.run_dir, shards_dir, 0, 1.0)
+    b = backend._load_run_data(run.run_dir, shards_dir, 0, 1.0)
+    assert a is b
+    assert len(backend._RUN_DATA_CACHE) == 1
 
 
 def test_live_js_calls_match_backend_routes():
