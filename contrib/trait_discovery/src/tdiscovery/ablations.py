@@ -34,11 +34,39 @@ GROUP_COLS = (VARIANT_COL, "data_key", "config/val_data/layer")
 
 
 def _grouped(df, cols):
+    if not len(df):
+        # An empty sweep (no runs loaded) yields zero groups, not a
+        # misleading missing-columns assertion (load_audit_frames returns a
+        # column-less frame when nothing loads).
+        return []
     present = [c for c in cols if c in df.columns]
     assert len(present) == len(cols), (
         f"Frame is missing group columns {sorted(set(cols) - set(present))}"
     )
     return df.groupby(list(cols), dropna=False)
+
+
+def _variant_pareto(df, *, variant_col: str = VARIANT_COL,
+                    match_cols=("data_key", "config/val_data/layer")):
+    """Rows on their OWN variant's L0/NMSE front within each (data, layer)
+    panel. The frame's global `is_pareto` pools variants per activation key
+    (audit_analysis.PARETO_GROUP_COLS), so a dominated variant would vanish
+    from exactly the variant comparison this module makes; per-variant fronts
+    keep both sides comparable."""
+    if not len(df):
+        return df
+    keep = np.zeros(len(df), dtype=bool)
+    cols = [c for c in (*match_cols, variant_col) if c in df.columns]
+    for _, grp in df.groupby(cols, dropna=False):
+        grp = grp[grp[X_COL].notna() & grp[Y_COL].notna()]
+        if not len(grp):
+            continue
+        grp = grp.sort_values(X_COL)
+        mask = td_runs.pareto_front(
+            grp[X_COL].to_numpy(dtype=float), grp[Y_COL].to_numpy(dtype=float)
+        )
+        keep[df.index.get_indexer(grp.index[mask])] = True
+    return df[keep]
 
 
 def completeness(df, *, group_cols=GROUP_COLS, expected: int):
@@ -59,8 +87,9 @@ def completeness(df, *, group_cols=GROUP_COLS, expected: int):
 def dead_units(df, *, group_cols=GROUP_COLS, pareto_only: bool = True):
     """Mean/std dead-latent percentage per group — train-end (`loss/n_dead`)
     and eval (`eval/n_dead`), both normalized by d_sae (reference
-    003:680-725). AuxK's entire job is driving these numbers down."""
-    sub = df[df["is_pareto"]] if pareto_only and "is_pareto" in df.columns else df
+    003:680-725). AuxK's entire job is driving these numbers down.
+    `pareto_only` keeps each VARIANT's own front (see _variant_pareto)."""
+    sub = _variant_pareto(df) if pareto_only else df
     rows = []
     for keys, grp in _grouped(sub, group_cols):
         keys = keys if isinstance(keys, tuple) else (keys,)
@@ -81,8 +110,9 @@ def dead_units(df, *, group_cols=GROUP_COLS, pareto_only: bool = True):
 def best_by(df, metric: str, *, group_cols=GROUP_COLS, pareto_only: bool = True,
             display=("run_id", X_COL, Y_COL)):
     """The winning run per group by `metric` (reference 003:729-775 "Probe
-    Results": best train_probe_r per (data, layer, aux))."""
-    sub = df[df["is_pareto"]] if pareto_only and "is_pareto" in df.columns else df
+    Results": best train_probe_r per (data, layer, aux)). `pareto_only`
+    keeps each VARIANT's own front (see _variant_pareto)."""
+    sub = _variant_pareto(df) if pareto_only else df
     sub = sub[sub[metric].notna()]
     rows = []
     for keys, grp in _grouped(sub, group_cols):
@@ -101,7 +131,8 @@ def source_vs_downstream(df, *, layer: int,
     """One layer's runs with source-reconstruction and downstream columns side
     by side, sorted by L0 (reference 003:408-437 "Layer 24 NMSE"). The
     question: does better source NMSE buy better downstream probes?"""
-    sub = df[df["config/val_data/layer"].astype(int) == layer]
+    layers = df["config/val_data/layer"]
+    sub = df[layers.notna() & (layers.astype(float) == float(layer))]
     sub = sub[sub[Y_COL].notna()]
     cols = ["run_id", "data_key", VARIANT_COL, X_COL, Y_COL]
     cols += [c for c in downstream_cols if c in sub.columns]
@@ -133,23 +164,39 @@ def fig_variant_grid(df, *, variant_col: str = VARIANT_COL,
         figsize=(2.6 * max(len(col_vals), 1), 2.2 * max(len(row_vals), 1)),
         dpi=150, sharex=True, sharey=True, layout="constrained", squeeze=False,
     )
+    # Fixed variant -> (marker, color) across ALL panels: per-panel enumerate
+    # would recolor a variant wherever another is absent, and the legend
+    # would mislabel. pareto_only=True keeps each variant's OWN front (the
+    # global is_pareto pools variants and would erase a dominated variant
+    # entirely); False plots every run.
     markers = ["o", "^", "s", "d", "v"]
+    variants = sorted(sub[variant_col].dropna().unique(), key=str)
+    style = {
+        v: {"marker": markers[m % len(markers)], "color": f"C{m % 10}"}
+        for m, v in enumerate(variants)
+    }
     pareto_ids: dict[tuple, list] = {}
+    handles: dict[str, object] = {}
     for i, rv in enumerate(row_vals):
         for j, cv in enumerate(col_vals):
             ax = axes[i][j]
             panel = sub[(sub[panel_rows] == rv) & (sub[panel_cols] == cv)]
-            for m, (variant, grp) in enumerate(panel.groupby(variant_col)):
-                if pareto_only and "is_pareto" in grp.columns:
-                    grp = grp[grp["is_pareto"]]
+            for variant, grp in panel.groupby(variant_col):
                 if not len(grp):
                     continue
                 grp = grp.sort_values(x)
                 xs = grp[x].to_numpy(dtype=float)
                 ys = grp[y].to_numpy(dtype=float)
-                mask = td_runs.pareto_front(xs, ys)
-                ax.plot(xs[mask], ys[mask], alpha=0.6, label=str(variant),
-                        marker=markers[m % len(markers)])
+                mask = (
+                    td_runs.pareto_front(xs, ys)
+                    if pareto_only
+                    else np.ones(len(xs), dtype=bool)
+                )
+                (line,) = ax.plot(
+                    xs[mask], ys[mask], alpha=0.6, label=str(variant),
+                    **style[variant],
+                )
+                handles.setdefault(str(variant), line)
                 pareto_ids.setdefault((rv, cv), []).extend(
                     grp["run_id"].to_numpy()[mask].tolist()
                 )
@@ -160,7 +207,9 @@ def fig_variant_grid(df, *, variant_col: str = VARIANT_COL,
                 ax.set_xlabel("L$_0$ ($\\downarrow$)", fontsize=7)
             if j == 0:
                 ax.set_ylabel("NMSE ($\\downarrow$)", fontsize=7)
-    axes[0][0].legend(fontsize=6)
+    if handles:
+        fig.legend(handles.values(), handles.keys(), fontsize=6,
+                   loc="outside upper right")
     return fig, pareto_ids
 
 

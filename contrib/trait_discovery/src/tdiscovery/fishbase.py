@@ -114,6 +114,57 @@ def activation_freq_ratio(
     return np.log((freq_pos + eps) / (freq_neg + eps))
 
 
+# Two-phase forms: prepare() does the target-independent work ONCE (ranking
+# / centering / thresholding the full (n_patches, d_sae) matrix), score_from()
+# is cheap per target — the (part x trait) sweeps call score_fn ~100+ times.
+
+
+def _prepare_pearson(acts: np.ndarray) -> dict:
+    xc = acts - acts.mean(axis=0)
+    return {"xc": xc, "x_std": np.sqrt((xc**2).sum(axis=0))}
+
+
+def _pearson_from(state: dict, labels: np.ndarray) -> np.ndarray:
+    y = np.asarray(labels, dtype=np.float64)
+    yc = y - y.mean()
+    cov = state["xc"].T @ yc
+    y_std = np.sqrt((yc**2).sum())
+    return cov / (state["x_std"] * y_std + 1e-10)
+
+
+def _prepare_auc(acts: np.ndarray) -> dict:
+    import scipy.stats
+
+    return {"ranks": scipy.stats.rankdata(acts, axis=0)}
+
+
+def _auc_from(state: dict, labels: np.ndarray) -> np.ndarray:
+    labels = np.asarray(labels, dtype=bool)
+    n_pos = int(labels.sum())
+    n_neg = labels.size - n_pos
+    assert 0 < n_pos < labels.size, "labels must contain both classes"
+    mean_rank_pos = state["ranks"][labels].mean(axis=0)
+    return (mean_rank_pos - (n_pos + 1) / 2) / n_neg
+
+
+def _prepare_log_odds(acts: np.ndarray, threshold: float = 0.1) -> dict:
+    return {"active": acts > threshold}
+
+
+def _log_odds_from(state: dict, labels: np.ndarray) -> np.ndarray:
+    labels = np.asarray(labels, dtype=bool)
+    eps = 1e-8
+    freq_pos = state["active"][labels].mean(axis=0)
+    freq_neg = state["active"][~labels].mean(axis=0)
+    return np.log((freq_pos + eps) / (freq_neg + eps))
+
+
+PREPARED_SCORERS = {
+    "pearson": (_prepare_pearson, _pearson_from),
+    "auc": (_prepare_auc, _auc_from),
+    "log_odds": (_prepare_log_odds, _log_odds_from),
+}
+
 SCORERS = {
     "pearson": fast_pearson,
     "auc": fast_auc,
@@ -149,7 +200,11 @@ def load_trait_table(fpath: pathlib.Path) -> dict[tuple[str, str], dict[str, str
         for row in csv.DictReader(fd):
             genus = row.pop("genus").strip().lower()
             species = row.pop("species").strip().lower()
-            table[(genus, species)] = {k: v.strip() for k, v in row.items()}
+            # Values lowercased too: the HABITATS vocab is lowercase, and a CSV
+            # with "Demersal" must not silently map every row to unknown.
+            table[(genus, species)] = {
+                k: v.strip().lower() for k, v in row.items()
+            }
     return table
 
 
@@ -172,7 +227,7 @@ def example_traits(
         parts = parse_species(label)
         traits = table.get((parts["genus"].lower(), parts["species"].lower()))
         if traits is not None:
-            out[i] = index.get(traits.get(trait, ""), -1)
+            out[i] = index.get(traits.get(trait, "").lower(), -1)
     return out
 
 
@@ -241,7 +296,7 @@ def score_part_by_trait(
     """Score every latent against 'part P on a fish with trait value V' for
     all (P, V); patches from unknown-trait examples are excluded, matching
     the reference's has_habitat mask (004_fishbase.py:858-878)."""
-    score_fn = SCORERS[scorer]
+    prepare, score_from = PREPARED_SCORERS[scorer]
     trait_patches = np.repeat(trait_idx, tokens_per_example)
     assert trait_patches.shape[0] == token_acts.shape[0] == part_labels.shape[0]
     known = trait_patches >= 0
@@ -249,13 +304,14 @@ def score_part_by_trait(
     part_k, trait_k = part_labels[known], trait_patches[known]
 
     d_sae = acts.shape[1]
+    state = prepare(acts)  # target-independent work, once for all cells
     scores = np.zeros((d_sae, len(parts), len(vocab)))
     for p in range(len(parts)):
         for v in range(len(vocab)):
             target = _patch_targets(part_k, trait_k, p, np.array([v]))
             if target.sum() in (0, target.size):
                 continue
-            scores[:, p, v] = np.nan_to_num(score_fn(acts, target))
+            scores[:, p, v] = np.nan_to_num(score_from(state, target))
     return PartTraitScores(scores, tuple(parts), tuple(vocab))
 
 
@@ -273,9 +329,10 @@ def score_part_by_comparison(
     """Same sweep over the named habitat GROUPS (cruisers vs maneuverers,
     ...; reference 004_fishbase.py:775-846). Targets are 'part P on a fish
     in any habitat of group G'."""
-    score_fn = SCORERS[scorer]
+    prepare, score_from = PREPARED_SCORERS[scorer]
     index = {v: i for i, v in enumerate(vocab)}
     trait_patches = np.repeat(trait_idx, tokens_per_example)
+    assert trait_patches.shape[0] == token_acts.shape[0] == part_labels.shape[0]
     known = trait_patches >= 0
     acts = np.asarray(token_acts[known], dtype=np.float64)
     part_k, trait_k = part_labels[known], trait_patches[known]
@@ -287,13 +344,14 @@ def score_part_by_comparison(
             val_sets.append(np.array([index[v] for v in comp[name]]))
 
     d_sae = acts.shape[1]
+    state = prepare(acts)
     scores = np.zeros((d_sae, len(parts), len(names)))
     for p in range(len(parts)):
         for g, vals in enumerate(val_sets):
             target = _patch_targets(part_k, trait_k, p, vals)
             if target.sum() in (0, target.size):
                 continue
-            scores[:, p, g] = np.nan_to_num(score_fn(acts, target))
+            scores[:, p, g] = np.nan_to_num(score_from(state, target))
     return PartTraitScores(scores, tuple(parts), tuple(names))
 
 

@@ -137,6 +137,11 @@ def harvest_results(
     silently dropped — identical to the reference's error policy."""
     rows = []
     for ckpt_fpath in sorted(pathlib.Path(runs_root).glob("*/inference/*/cls_*.pkl")):
+        # run_id is derivable from the path alone; filter BEFORE unpickling
+        # the fitted classifier + prediction arrays.
+        run_id = run_id_from_ckpt_fpath(ckpt_fpath)
+        if run_to_layer is not None and run_id not in run_to_layer:
+            continue
         try:
             header, payload = cls_mod.load_classifier_checkpoint(ckpt_fpath)
         except Exception as err:
@@ -176,10 +181,6 @@ def harvest_results(
             continue
         class_to_i = {n: i for i, n in enumerate(class_names)}
 
-        run_id = run_id_from_ckpt_fpath(ckpt_fpath)
-        if run_to_layer is not None and run_id not in run_to_layer:
-            continue
-
         rows.append({
             "shard_id": ckpt_fpath.parent.name,
             "run_id": run_id,
@@ -213,8 +214,13 @@ def harvest_results(
 
 def difficulty_table(rows: list[dict[str, object]]) -> list[dict[str, object]]:
     """Per task: the best balanced accuracy over all (run, C) and its margin
-    over the majority class — the cross-pair difficulty ranking, hardest
-    first."""
+    over CHANCE — the cross-pair difficulty ranking, hardest first.
+
+    The baseline for balanced accuracy is 0.5 (a majority classifier's
+    balanced accuracy on a binary task), NOT the raw majority-class rate:
+    subtracting the raw rate mixes metrics and makes a discriminating head on
+    an imbalanced split look at-or-below baseline. The raw majority_acc stays
+    in the row as context for test_acc."""
     by_task: dict[str, list[dict[str, object]]] = {}
     for row in rows:
         by_task.setdefault(row["task"], []).append(row)
@@ -226,7 +232,7 @@ def difficulty_table(rows: list[dict[str, object]]) -> list[dict[str, object]]:
             "pretty": pretty_task_name(task),
             "best_balanced_acc": best["balanced_acc"],
             "majority_acc": best["majority_acc"],
-            "margin": best["balanced_acc"] - best["majority_acc"],
+            "margin": best["balanced_acc"] - 0.5,
             "best_C": best["C"],
             "best_n_nonzero": best["n_nonzero"],
             "n_checkpoints": len(members),
