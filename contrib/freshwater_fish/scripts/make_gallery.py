@@ -54,13 +54,20 @@ def png_to_jpeg_b64(fpath: pathlib.Path, quality: int) -> str:
 
 
 def load_species(cfg: Config) -> list[str] | None:
-    """Index-aligned species labels: sorted image stems in the dataset dir,
-    mapped through the stem->label CSV (reference load_species_labels :58-66)."""
+    """Index-aligned species labels mapped through the stem->label CSV
+    (reference load_species_labels :58-66).
+
+    Image order MUST be the extraction dataset's own walk
+    (datasets._walk_images: recursive, extension-filtered, filename-sorted) —
+    a bare iterdir over stems silently misaligns every caption after any
+    non-image file, subdirectory, or stem-vs-filename sort divergence."""
     if cfg.dataset is None:
         return None
+    from saev_tpu.data import datasets as ds_mod
+
     img_dir = cfg.dataset / "images" / cfg.split
     assert img_dir.is_dir(), f"No images directory at '{img_dir}'"
-    stems = sorted(p.stem for p in img_dir.iterdir() if p.is_file())
+    stems = [p.stem for p in ds_mod._walk_images(img_dir)]
 
     mapping: dict[str, str] = {}
     csv_fpath = cfg.stem_labels or (cfg.dataset / "labels.csv")

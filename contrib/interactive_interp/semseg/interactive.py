@@ -187,10 +187,6 @@ def worker_fn(cfg: Config) -> pathlib.Path:
     ds = IndexedDataset(
         IndexedConfig(shards=cfg.acts.shards, layer=cfg.acts.layer)
     )
-    labels_mmap = np.memmap(
-        pathlib.Path(cfg.acts.shards) / "labels.bin",
-        mode="r", dtype=np.uint8, shape=(md.n_examples, p),
-    )
     n_examples = min(cfg.n_examples, md.n_examples)
     examples = []
     for ex in range(n_examples):
@@ -202,7 +198,9 @@ def worker_fn(cfg: Config) -> pathlib.Path:
         examples.append({
             "logits": _round(acts @ w_head + b_head),  # (P, C)
             "fx": _round(f_x[:, candidates]),  # (P, n_cand)
-            "labels": labels_mmap[ex].tolist(),  # (P,)
+            # The dataset already attaches aligned per-token labels; a second
+            # hand-rolled labels.bin memmap would just duplicate the protocol.
+            "labels": np.asarray(batch["token_label"]).astype(int).tolist(),
         })
 
     names = {i: f"class {i}" for i in range(cfg.n_classes)}
@@ -487,7 +485,9 @@ function renderDropdowns() {
 const num = document.getElementById("exampleNum");
 num.max = D.examples.length; num.value = 1;
 num.addEventListener("change", () => {
-  exampleIdx = Math.min(Math.max(parseInt(num.value) - 1, 0), D.examples.length - 1);
+  const parsed = parseInt(num.value);
+  if (Number.isNaN(parsed)) { num.value = exampleIdx + 1; return; }
+  exampleIdx = Math.min(Math.max(parsed - 1, 0), D.examples.length - 1);
   render();
 });
 document.getElementById("randomBtn").addEventListener("click", () => {

@@ -4,15 +4,18 @@ Capability mirror of reference contrib/interactive_interp/semseg/quantitative.py
 (main :26, Report :83, eval_{rand_vec,rand_feat,auto_feat} :159-396,
 get_latent_lookup :399): for each segmentation class, pick its most-associated
 SAE latent (best F1 across activation thresholds), set that latent to a scaled
-value in every patch of the class, reconstruct activations through the SAE
-(x' = x - x_hat + decode(f')), re-run the linear segmentation probe, and count
-how many target-class patches change prediction vs how many OTHER patches
-change — the specificity measure of the latent's causal role. Controls:
-a random latent per class, and a random direction of matched magnitude.
+value, re-run the linear segmentation probe, and count how many target-class
+patches change prediction vs how many OTHER patches change — the specificity
+measure of the latent's causal role. Controls: a random latent per class, and
+a random direction of matched magnitude.
 
 TPU redesign: no forward hooks or live ViT — activations stream from labeled
-shards (ordered loader attaches token_labels) and the intervention is one
-jitted function of (acts, labels, latent_lookup, top_values).
+shards and the probe is per-patch linear, so interventions are evaluated ONE
+CLASS AT A TIME on every patch (see _count_fn: the reference's cross-patch
+specificity signal comes from hooking a mid-ViT layer; per-patch probes need
+the per-class form for other_change to mean anything), and the linearity
+collapses each class's modified logits to a rank-1 update — all three methods
+share one ordered pass with no per-class re-encode.
 """
 
 import csv
@@ -173,62 +176,70 @@ def get_latent_lookup(f1_cts: np.ndarray) -> np.ndarray:
     return best.astype(np.int64)
 
 
-def _intervene_fn(sae_cfg, params, state, probe_w, probe_b, scale):
+def _count_fn(sae_cfg, params, state, probe_w, probe_b, scale, n_classes):
+    """One jitted pass computing per-class intervention counts for all three
+    methods on one batch.
+
+    Design note (differs from the one-pass-per-patch form this module first
+    shipped): interventions are evaluated ONE CLASS AT A TIME — class c's
+    latent is set to `scale * top_value` on EVERY patch, and we count how many
+    class-c patches vs how many OTHER patches flip prediction. With a
+    per-patch linear probe, modifying only class-c patches could never change
+    any other patch (the reference's cross-patch effects come from hooking a
+    mid-ViT layer, quantitative.py:337-367), so the all-patch per-class form
+    is what makes other_change a real specificity measure here. Class masks
+    use the ORIGINAL PREDICTIONS, matching the reference's accounting
+    (compute_class_results, quantitative.py:592-630). The probe is linear, so
+    each class's modified logits are orig + (v_c - f_lc) * (W_dec[l_c] @ W_p)
+    — no re-encode per class."""
     import jax
     import jax.numpy as jnp
 
+    w_dec = np.asarray(params["W_dec"])
+
     @jax.jit
-    def run(x, labels, lookup, top_values, rand_dir):
+    def run(x, lookup, top_values, rand_dir):
         enc, _ = modeling.encode(sae_cfg, params, state, x, training=False)
-        f = enc.f_x
-        x_hat = modeling.decode(sae_cfg, params, f)[:, -1, :]
+        f = enc.f_x  # (B, S)
+        orig_logits = x @ probe_w + probe_b
+        orig_pred = jnp.argmax(orig_logits, axis=-1)  # (B,)
+        wdec_j = jnp.asarray(w_dec)
 
-        lat = lookup[labels]  # (B,), -1 for background
-        valid = lat >= 0
-        lat_safe = jnp.maximum(lat, 0)
-        value = scale * top_values[lat_safe]
-        f_mod = f.at[jnp.arange(f.shape[0]), lat_safe].set(
-            jnp.where(valid, value, f[jnp.arange(f.shape[0]), lat_safe])
-        )
-        x_hat_mod = modeling.decode(sae_cfg, params, f_mod)[:, -1, :]
-        if rand_dir is None:
-            x_mod = x - x_hat + x_hat_mod
-        else:
-            # Random-direction control: perturb by the same per-patch magnitude
-            # along a fixed random unit vector instead of the latent direction.
-            mag = jnp.linalg.norm(x_hat_mod - x_hat, axis=-1, keepdims=True)
-            x_mod = x + jnp.where(valid[:, None], mag * rand_dir[None, :], 0.0)
+        def one_class(c):
+            l = lookup[c]
+            valid = l >= 0
+            l_safe = jnp.maximum(l, 0)
+            value = scale * top_values[l_safe]
+            dscalar = value - f[:, l_safe]  # (B,) per-patch latent shift
+            coef = wdec_j[l_safe] @ probe_w  # (K,)
+            delta_lat = dscalar[:, None] * coef[None, :]
+            if rand_dir is None:
+                delta = delta_lat
+            else:
+                # Random-direction control: the same per-patch shift MAGNITUDE
+                # along a fixed random unit vector.
+                mag = jnp.abs(dscalar) * jnp.linalg.norm(wdec_j[l_safe])
+                delta = mag[:, None] * (rand_dir @ probe_w)[None, :]
+            mod_pred = jnp.argmax(orig_logits + delta, axis=-1)
+            mod_pred = jnp.where(valid, mod_pred, orig_pred)
+            orig_mask = orig_pred == c
+            changed = mod_pred != orig_pred
+            return (
+                jnp.sum(orig_mask),
+                jnp.sum(changed & orig_mask),
+                jnp.sum(~orig_mask),
+                jnp.sum(changed & ~orig_mask),
+            )
 
-        orig = jnp.argmax(x @ probe_w + probe_b, axis=-1)
-        mod = jnp.argmax(x_mod @ probe_w + probe_b, axis=-1)
-        return orig, mod
+        return jax.lax.map(one_class, jnp.arange(n_classes))
 
     return run
 
 
-def compute_class_results(
-    orig: np.ndarray, mod: np.ndarray, labels: np.ndarray, n_classes: int
-) -> list[ClassResults]:
-    out = []
-    changed = orig != mod
-    for c in range(1, n_classes):
-        is_c = labels == c
-        n_c = int(is_c.sum())
-        if n_c == 0:
-            continue
-        out.append(ClassResults(
-            class_id=c,
-            n_orig_patches=n_c,
-            n_changed_patches=int(changed[is_c].sum()),
-            n_other_patches=int((~is_c).sum()),
-            n_other_changed=int(changed[~is_c].sum()),
-        ))
-    return out
-
-
 def worker_fn(cfg: Config) -> list[Report]:
     """Run every configured intervention method and dump the summary CSV
-    (reference main :26-52)."""
+    (reference main :26-52). All methods share ONE ordered pass — the probe
+    logits and SAE codes per batch are method-independent."""
     sae_cfg, params, state = nn.load(cfg.sae_ckpt)
     probe = training.load(cfg.probe_ckpt)
     probe_w = np.asarray(probe["w"][cfg.probe_i])
@@ -245,36 +256,48 @@ def worker_fn(cfg: Config) -> list[Report]:
     rand_dir = rng.normal(size=(sae_cfg.d_model,)).astype(np.float32)
     rand_dir /= np.linalg.norm(rand_dir)
 
-    run = _intervene_fn(sae_cfg, params, state, probe_w, probe_b, cfg.scale)
+    run = _count_fn(
+        sae_cfg, params, state, probe_w, probe_b, cfg.scale, cfg.n_classes
+    )
     method_args: dict[str, tuple] = {
         "auto-feat": (auto_lookup, None),
         "rand-feat": (rand_lookup, None),
         "rand-vec": (auto_lookup, rand_dir),
     }
+    methods = [m for m in cfg.methods if m in method_args]
+    totals = {m: np.zeros((cfg.n_classes, 4), np.int64) for m in methods}
+
+    dl = OrderedDataLoader(cfg.acts)
+    try:
+        for batch in helpers.progress(dl, desc="interventions"):
+            for method in methods:
+                lookup, direction = method_args[method]
+                counts = run(
+                    batch["act"], lookup.astype(np.int32), top_values, direction
+                )
+                totals[method] += np.stack(
+                    [np.asarray(c, np.int64) for c in counts], axis=1
+                )
+    finally:
+        dl.shutdown()
 
     reports = []
-    for method in cfg.methods:
-        lookup, direction = method_args[method]
-        origs, mods, labs = [], [], []
-        dl = OrderedDataLoader(cfg.acts)
-        try:
-            for batch in helpers.progress(dl, desc=method):
-                labels = batch["token_labels"].astype(np.int32)
-                orig, mod = run(
-                    batch["act"], labels, lookup.astype(np.int32),
-                    top_values, direction,
-                )
-                origs.append(np.asarray(orig))
-                mods.append(np.asarray(mod))
-                labs.append(labels)
-        finally:
-            dl.shutdown()
+    for method in methods:
+        lookup = method_args[method][0]
+        class_results = [
+            ClassResults(
+                class_id=c,
+                n_orig_patches=int(totals[method][c, 0]),
+                n_changed_patches=int(totals[method][c, 1]),
+                n_other_patches=int(totals[method][c, 2]),
+                n_other_changed=int(totals[method][c, 3]),
+            )
+            for c in range(1, cfg.n_classes)
+            if lookup[c] >= 0 and totals[method][c, 0] > 0
+        ]
         reports.append(Report(
             method=method,
-            class_results=compute_class_results(
-                np.concatenate(origs), np.concatenate(mods),
-                np.concatenate(labs), cfg.n_classes,
-            ),
+            class_results=class_results,
             intervention_scale=cfg.scale,
         ))
         logger.info(

@@ -50,14 +50,20 @@ class Config:
     """Output HTML path (defaults to <first run inference dir>/features.html)."""
 
 
-def _img_src(fpath: pathlib.Path, embed: bool) -> str:
+def _img_src(fpath: pathlib.Path, embed: bool, base: pathlib.Path) -> str:
     if embed:
         data = base64.b64encode(fpath.read_bytes()).decode()
         return f"data:image/png;base64,{data}"
-    return str(fpath)
+    # Browsers resolve srcs against the HTML file's directory, not the CLI's
+    # cwd — paths must be relative to where the page lands.
+    import os
+
+    return os.path.relpath(fpath, base)
 
 
-def load_ckpt(run_dir: pathlib.Path, shards_name: str, cfg: Config) -> dict:
+def load_ckpt(
+    run_dir: pathlib.Path, shards_name: str, cfg: Config, base: pathlib.Path
+) -> dict:
     """One run's latents: [{f, lf, lv, imgs}] from var.parquet + images/."""
     import pandas as pd
 
@@ -97,7 +103,7 @@ def load_ckpt(run_dir: pathlib.Path, shards_name: str, cfg: Config) -> dict:
             "f": f,
             "lf": round(float(row["log10_freq"]), 4),
             "lv": round(float(row["log10_value"]), 4),
-            "imgs": [_img_src(p, cfg.embed_images) for p in imgs],
+            "imgs": [_img_src(p, cfg.embed_images, base) for p in imgs],
         })
     return {"id": run.run_id, "latents": latents}
 
@@ -229,7 +235,14 @@ def generate(cfg: Config) -> pathlib.Path:
 
     run_dirs = list(cfg.runs) or ([cfg.run] if cfg.run else [])
     assert run_dirs, "Pass at least one run via --runs or --run."
-    ckpts = [load_ckpt(pathlib.Path(r), cfg.shards.name, cfg) for r in run_dirs]
+    out = cfg.out
+    if out is None:
+        run = disk.Run(run_dirs[0])
+        out = run.inference / cfg.shards.name / "features.html"
+    ckpts = [
+        load_ckpt(pathlib.Path(r), cfg.shards.name, cfg, out.parent)
+        for r in run_dirs
+    ]
 
     payload = {"ckpts": ckpts}
     doc = f"""<!doctype html><meta charset="utf-8">
@@ -268,10 +281,6 @@ def generate(cfg: Config) -> pathlib.Path:
 <script>{_APP_JS}</script>
 """
 
-    out = cfg.out
-    if out is None:
-        run = disk.Run(run_dirs[0])
-        out = run.inference / cfg.shards.name / "features.html"
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(doc)
     n = sum(len(c["latents"]) for c in ckpts)

@@ -237,7 +237,11 @@ def _downsample(xs: list, n: int) -> list:
     if len(xs) <= n:
         return xs
     step = len(xs) / n
-    return [xs[int(i * step)] for i in range(n)]
+    out = [xs[int(i * step)] for i in range(n)]
+    # Always keep the FINAL point: the drill-down annotates "final <value>"
+    # from the last kept sample.
+    out[-1] = xs[-1]
+    return out
 
 
 def build_drilldowns(runs: list[dict], cfg: Config) -> dict[str, dict]:
@@ -288,7 +292,10 @@ _APP_JS = r"""
 const S = window.SAEV; // {rows, drill, xKey, yKey}
 const fmt = (v) => (v == null ? '—' : (typeof v === 'number' ? (Math.abs(v) >= 1e4 || (Math.abs(v) < 1e-3 && v !== 0) ? v.toExponential(2) : +v.toPrecision(5)) : String(v)));
 const $ = (id) => document.getElementById(id);
-const groupKey = (r) => `${r.model_key} / layer ${r.layer}`;
+// Pareto flags are computed per (model, layer, data) in Python; the JS
+// grouping must match or frontiers from different datasets zigzag into
+// one polyline.
+const groupKey = (r) => `${r.model_key} / layer ${r.layer} / ${r.data_key}`;
 
 // --- state ---
 const state = { pairs: {}, showRest: true, showIds: true, sortCol: null, sortAsc: true, textFilter: '', selected: null };

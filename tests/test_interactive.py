@@ -185,9 +185,14 @@ def test_features_keeps_top_by_sort_key(tmp_path, monkeypatch):
         run=run_dir, shards=tmp_path / "shards" / "shardhash",
         n_features=3, embed_images=False,
     )
-    ckpt = ifeatures.load_ckpt(run_dir, "shardhash", cfg)
+    ckpt = ifeatures.load_ckpt(run_dir, "shardhash", cfg, base=art)
     kept = sorted(n["f"] for n in ckpt["latents"])
     assert kept == [7, 8, 9], kept  # highest-frequency latents, not ids 0-2
+    # embed_images=False emits paths relative to the HTML's own directory
+    # (the browser resolves srcs against the page, not the CLI cwd).
+    for latent in ckpt["latents"]:
+        for src in latent["imgs"]:
+            assert src.startswith("images/"), src
 
 
 class _RecordedRun:

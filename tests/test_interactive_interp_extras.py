@@ -73,6 +73,54 @@ def test_quantitative_interventions(seg_setup, tmp_path):
     assert len(csv_text.strip().splitlines()) == 4
 
 
+def test_count_fn_shows_specificity():
+    """A latent aligned with one class's probe direction flips that class's
+    patches and leaves the others alone — the discrimination the per-class
+    intervention form exists to measure (a class-specific latent must yield
+    target_change >> other_change)."""
+    import jax.numpy as jnp
+
+    from saev_tpu.nn import modeling
+
+    d_model, d_sae, n_classes = 2, 2, 3
+    sae_cfg = modeling.SparseAutoencoderConfig(
+        d_model=d_model, d_sae=d_sae, activation=modeling.TopK(top_k=1)
+    )
+    params = {
+        "W_enc": jnp.eye(d_model, d_sae, dtype=jnp.float32),
+        "b_enc": jnp.zeros((d_sae,), jnp.float32),
+        "W_dec": jnp.eye(d_sae, d_model, dtype=jnp.float32),
+        "b_dec": jnp.zeros((d_model,), jnp.float32),
+    }
+    state = modeling.init_state(sae_cfg)
+    # Probe: class 1 reads x[0], class 2 reads x[1], background logit 0.
+    probe_w = np.array([[0.0, 10.0, 0.0], [0.0, 0.0, 10.0]], np.float32)
+    probe_b = np.zeros((n_classes,), np.float32)
+
+    run = quantitative._count_fn(
+        sae_cfg, params, state, probe_w, probe_b, scale=-5.0,
+        n_classes=n_classes,
+    )
+    # 4 class-1 patches and 4 class-2 patches.
+    x = np.array([[1.0, 0.0]] * 4 + [[0.0, 1.0]] * 4, np.float32)
+    lookup = np.array([-1, 0, 1], np.int32)  # class c -> latent c-1
+    top_values = jnp.ones((d_sae,), jnp.float32)
+    counts = np.stack(
+        [np.asarray(c) for c in run(x, lookup, top_values, None)], axis=1
+    )
+    # Class 1: suppressing latent 0 everywhere flips all 4 class-1 patches
+    # (orig logit 10 -> -50) and none of the class-2 patches (their logit 1
+    # drops but logit 2 still wins).
+    n_orig, n_changed, n_other, n_other_changed = counts[1]
+    assert (n_orig, n_changed) == (4, 4)
+    assert (n_other, n_other_changed) == (4, 0)
+    n_orig, n_changed, n_other, n_other_changed = counts[2]
+    assert (n_orig, n_changed) == (4, 4)
+    assert (n_other, n_other_changed) == (4, 0)
+    # Background (lookup -1) never intervenes.
+    assert counts[0][1] == 0 and counts[0][3] == 0
+
+
 def test_latent_lookup_shapes(seg_setup):
     from saev_tpu import nn
 
