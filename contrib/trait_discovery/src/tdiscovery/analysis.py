@@ -399,9 +399,13 @@ def _downstream_cols(
         fpath = run.inference / shard_id / "metrics.json"
         if fpath.is_file():
             return float(json.loads(fpath.read_text())["normalized_mse"])
-        return 1.0
+        # Missing reconstruction metrics are MISSING, not "NMSE exactly 1.0"
+        # — a fabricated 1.0 is indistinguishable from a terrible SAE in
+        # every downstream figure; NaN drops out of dropna/nanmean.
+        return float("nan")
 
     mean_ap = mean_prec = mean_recall = mean_f1 = purity = 0.0
+    n_pos = None
     cov = {f"cov_at_{tau}".replace(".", "_"): 0.0 for tau in TAUS}
     ap_fpath = run.inference / val_shard / (
         f"probe1d_metrics__train-{train_shard}.npz"
@@ -414,16 +418,28 @@ def _downstream_cols(
             mean_f1 = float(fd["f1"].mean())
             top_labels = fd["top_labels"] if "top_labels" in fd else None
             nnz = fd["nnz_per_latent"] if "nnz_per_latent" in fd else None
-        mean_ap = float(ap_c.mean())
+            n_pos = fd["n_pos_per_class"] if "n_pos_per_class" in fd else None
+        # Classes with no val positives are stored as 0 in the npz
+        # (nan_to_num); exclude them from the means like trait_metrics.json's
+        # nanmean does, so the run's two artifacts agree.
+        present = (
+            np.asarray(n_pos) > 0 if n_pos is not None
+            else np.ones(ap_c.shape, dtype=bool)
+        )
+        ap_present = ap_c[present]
+        mean_ap = float(ap_present.mean()) if ap_present.size else 0.0
         cov = {
-            f"cov_at_{tau}".replace(".", "_"): float((ap_c > tau).mean())
+            f"cov_at_{tau}".replace(".", "_"): (
+                float((ap_present > tau).mean()) if ap_present.size else 0.0
+            )
             for tau in TAUS
         }
         if top_labels is not None and top_labels.shape[1] >= PURITY_K:
-            got = purity_at(
+            # NaN = unmeasurable (no best latent fires >= k times); do NOT
+            # conflate with worst-possible purity 0.0.
+            purity = purity_at(
                 top_labels, best_i, k=PURITY_K, nnz_per_latent=nnz
             )
-            purity = 0.0 if np.isnan(got) else got
 
     return {
         "train_nmse": nmse(train_shard),
@@ -493,10 +509,18 @@ def load_probe_results_df(
             logger.info("Skipping %s: %s", run.run_id, err)
             continue
 
+        raw_layer = record.get("config/val_data/layer", 0) or 0
+        try:
+            layer = int(raw_layer)
+        except (TypeError, ValueError):
+            # layer='all' (ShuffledConfig supports it) has no single-layer
+            # row semantics; skip the run instead of killing the whole frame.
+            logger.info("Skipping %s: non-integer layer %r.", run.run_id, raw_layer)
+            continue
         rows.append({
             "run_id": run.run_id,
             "model": record["model_key"],
-            "layer": int(record.get("config/val_data/layer", 0) or 0),
+            "layer": layer,
             "objective": record["objective"],
             "sae_data": record.get("data_key"),
             "sae_val_mse": record.get("summary/eval/mse"),

@@ -69,6 +69,11 @@ def fig_overfitting(df, *, model: str | None = None):
     overfitting half-plane shaded. Returns (fig, sub_df)."""
     plt = _plt()
     sub = df if model is None else df[df["model"] == model]
+    if not len(sub):
+        raise ValueError(
+            f"fig_overfitting: no rows for model={model!r} "
+            f"(have {sorted(df['model'].unique()) if len(df) else []})"
+        )
     fig, (ax_ce, ax_r) = plt.subplots(
         ncols=2, dpi=200, figsize=(8, 3), layout="constrained"
     )
@@ -85,7 +90,11 @@ def fig_overfitting(df, *, model: str | None = None):
         linewidth=0, label="Overfitting",
     )
     ax_ce.scatter(tr_ce, va_ce, label="Probe CE", alpha=0.5)
-    ax_ce.scatter(tr_base[:1], va_base[:1], label="Baseline CE", alpha=0.5)
+    # One marker per DISTINCT baseline: mixed shards/datasets carry different
+    # prevalence floors, and a single arbitrary row's baseline would mislabel
+    # the rest.
+    bases = np.unique(np.stack([tr_base, va_base], axis=1), axis=0)
+    ax_ce.scatter(bases[:, 0], bases[:, 1], label="Baseline CE", alpha=0.5)
     _style(ax_ce)
     ax_ce.set_xlabel("Train CE ($\\downarrow$)")
     ax_ce.set_ylabel("Val CE ($\\downarrow$)")

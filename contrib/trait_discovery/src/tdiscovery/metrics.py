@@ -159,6 +159,7 @@ def worker_fn(cfg: Config) -> dict[str, object]:
         f1=f1.astype(np.float32),
         top_labels=top_labels_dk,
         nnz_per_latent=nnz_per_latent.astype(np.int64),
+        n_pos_per_class=labels_onehot.sum(axis=0).astype(np.int64),
     )
     logger.info("mAP=%.4f; wrote %s", results["mean_ap"], out_fpath)
     return results

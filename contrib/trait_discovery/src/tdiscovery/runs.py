@@ -46,6 +46,10 @@ def _flat(prefix: str, dct: dict, out: dict) -> None:
     for key, value in dct.items():
         if isinstance(value, (int, float, str, bool)) or value is None:
             out[f"{prefix}{key}"] = value
+        elif isinstance(value, dict):
+            # trait_metrics.json nests purity@k as {"mean": ..., "min": ...};
+            # flatten to <key>_<stat> so the promised purity columns exist.
+            _flat(f"{prefix}{key}_", value, out)
 
 
 def _load_one(spec: RunSpec) -> dict:
@@ -127,7 +131,10 @@ def pareto_front(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """Boolean mask of (x, y) points on the minimize-x / minimize-y frontier
     (the L0-vs-NMSE plots; reference figures.py pareto helpers)."""
     xs, ys = np.asarray(xs, float), np.asarray(ys, float)
-    order = np.argsort(xs, kind="stable")
+    # Ties on x are the COMMON case (top-k SAEs share exactly equal L0): sort
+    # by (x, y) so only the min-y point of each x can enter the front — a
+    # same-x worse-y point is dominated.
+    order = np.lexsort((ys, xs))
     keep = np.zeros(len(xs), dtype=bool)
     best = np.inf
     for i in order:

@@ -21,6 +21,7 @@ import numpy as np
 import scipy.sparse
 from PIL import Image
 
+import saev_tpu.data.shards
 import saev_tpu.disk
 import saev_tpu.helpers
 import saev_tpu.viz
@@ -189,9 +190,19 @@ def worker_fn(cfg: Config) -> None:
         upper = float(token_values.max())
         for j, example in enumerate(examples):
             display = example.tokens.copy()
-            if cfg.ignore_labels and example.seg is not None:
-                seg_np = np.asarray(example.seg)
-                display = np.where(np.isin(seg_np, cfg.ignore_labels), 0.0, display)
+            # The dataset's mask_transform yields a FULL-RESOLUTION pixel
+            # mask; both the ignore-mask and the seg renders need per-patch
+            # labels (same conversion the extraction worker applies,
+            # shards.pixel_to_patch_labels).
+            patch_seg = None
+            if example.seg is not None:
+                patch_seg = saev_tpu.data.shards.pixel_to_patch_labels(
+                    np.asarray(example.seg.convert("L")), ctpe, patch_size
+                )
+            if cfg.ignore_labels and patch_seg is not None:
+                display = np.where(
+                    np.isin(patch_seg, cfg.ignore_labels), 0.0, display
+                )
             display = display.astype(np.float64)
 
             # Reference file layout (visuals.py:337-364): original, highlighted
@@ -201,9 +212,8 @@ def worker_fn(cfg: Config) -> None:
                 example.img, display, patch_size, upper=max(upper, 1e-9)
             ).save(feature_dir / f"{j}_sae_img.png")
 
-            if cfg.save_seg and example.seg is not None and palette is not None:
-                seg_np = np.asarray(example.seg)
-                seg_img = _render_seg(seg_np, palette, patch_size, example.img.size)
+            if cfg.save_seg and patch_seg is not None and palette is not None:
+                seg_img = _render_seg(patch_seg, palette, patch_size, example.img.size)
                 seg_img.save(feature_dir / f"{j}_seg.png")
                 saev_tpu.viz.add_highlights(
                     seg_img, display, patch_size, upper=max(upper, 1e-9)
@@ -231,7 +241,9 @@ def plot_activation_distributions(cfg: Config, distributions: np.ndarray):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    m = min(cfg.n_distributions, distributions.shape[0])
+    # distributions.pt is (n_samples, n_dists): COLUMNS are the first
+    # n_dists latents (framework/inference.py artifact layout).
+    m = min(cfg.n_distributions, distributions.shape[1])
     n_cols = int(np.ceil(np.sqrt(m)))
     n_rows = int(np.ceil(m / n_cols))
     fig, axes = plt.subplots(
@@ -242,7 +254,7 @@ def plot_activation_distributions(cfg: Config, distributions: np.ndarray):
         if i >= m:
             ax.axis("off")
             continue
-        vals = np.asarray(distributions[i], dtype=np.float64)
+        vals = np.asarray(distributions[:, i], dtype=np.float64)
         vals = vals[vals > 0]
         if vals.size:
             bins = np.logspace(

@@ -138,6 +138,17 @@ def test_purity_at_masks_rare_latents():
     assert analysis.purity_at(top_labels, best_i, k=4) == pytest.approx(1.0)
 
 
+def test_pareto_front_drops_dominated_ties():
+    """Equal-x points are the COMMON case (top-k SAEs share exact L0); only
+    the min-y point of each x may enter the frontier."""
+    from tdiscovery import runs as td_runs
+
+    xs = np.array([32.0, 32.0, 64.0, 64.0])
+    ys = np.array([0.5, 0.3, 0.2, 0.4])
+    keep = td_runs.pareto_front(xs, ys)
+    np.testing.assert_array_equal(keep, [False, True, True, False])
+
+
 def test_purity_at():
     # 3 classes, 4 latents, top-4 labels per latent. best_i picks latents
     # (0, 2, 3): purities 1.0 (all 7s), 0.5 (two 1s of four), 0.75.
