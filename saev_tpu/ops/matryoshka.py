@@ -181,25 +181,28 @@ def _bwd(group_size, precision, res, cts):
 
     db_dec = jnp.einsum("jbd->d", e.astype(jnp.float32)) * scale
 
-    # Group-path cotangent dA_G = sum_j [G < m_j] Ebar_j.
-    da = (
-        jnp.einsum(
-            "jbd,jG->Gbd", e, (mask * scale).astype(e.dtype),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-    ).astype(e.dtype)  # (G, B, D)
-
     # The forward's path choice binds the backward's: Pallas-path residuals are
     # bf16 (its kernels consume them), XLA-path residuals are f32.
     if e.dtype == _BF16:
         from . import pallas_matryoshka as pk
 
         # Remainder gradients are folded into the kernels (predicated in-kernel
-        # DMA of E_j row slices); no XLA-side scatter machinery.
+        # DMA of E_j row slices); no XLA-side scatter machinery. The group
+        # cotangent dA_G = sum_j [G < m_j] Ebar_j is built INSIDE the dgrad
+        # kernel (descending-G suffix accumulation) and handed to wgrad — the
+        # XLA einsum form materializes in a layout the kernels cannot consume
+        # and costs a 1.07 GB relayout copy per step (profiled at 1.6 ms).
         scale_arr = jnp.asarray(scale, jnp.float32)
-        df = pk.grouped_matmul_dgrad(da, w, e, m, r, scale_arr, group_size=g)
+        df, da = pk.grouped_matmul_dgrad(w, e, m, r, scale_arr, group_size=g)
         dw = pk.grouped_matmul_wgrad(f, da, e, m, r, scale_arr, group_size=g)
     else:
+        # Group-path cotangent dA_G = sum_j [G < m_j] Ebar_j, batch-major.
+        da = (
+            jnp.einsum(
+                "jbd,jG->bGd", e, (mask * scale).astype(e.dtype),
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+        ).astype(e.dtype)  # (B, G, D)
         # Remainder path: per-prefix gradients scattered into groups with
         # (J, G) one-hot contractions instead of dynamic-update-slices.
         lane = jnp.arange(g, dtype=jnp.int32)
@@ -236,7 +239,7 @@ def _bwd(group_size, precision, res, cts):
         )
         df_groups = [
             jax.lax.dot_general(
-                da[i], w[i * g : (i + 1) * g],
+                da[:, i], w[i * g : (i + 1) * g],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )
@@ -244,7 +247,7 @@ def _bwd(group_size, precision, res, cts):
         ]
         dw_groups = [
             jax.lax.dot_general(
-                f[:, i * g : (i + 1) * g], da[i],
+                f[:, i * g : (i + 1) * g], da[:, i],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=precision,
             )

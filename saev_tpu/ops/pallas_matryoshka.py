@@ -31,6 +31,17 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
+def _compiler_params(bm: int):
+    """Mosaic scoped-VMEM limit for a given row-tile size. The default limit
+    is 16 MB; v5e has 128 MB physical VMEM, and the 1024-row tiles that cut
+    the W re-read traffic 4x need ~24-44 MB of scoped allocation. 100 MB
+    leaves headroom for XLA's own scoped use while never rejecting our
+    largest tile."""
+    if bm <= 256:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _base_kernel(j_n, n_groups, m_ref, r_ref, f_ref, w_ref, base_ref, xhat_ref,
                  run_ref, snap_ref, sem):
     """One (row-tile, group) step: snapshot base_j = run + (lane-masked f_G) @ W_G
@@ -126,29 +137,57 @@ def grouped_prefix_base(
             jax.ShapeDtypeStruct((b, d_model), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(bm),
     )(m.astype(jnp.int32), r.astype(jnp.int32), f_bf16, w_bf16)
     return base, xhat
 
 
-def _dgrad_kernel(j_n, m_ref, r_ref, da_ref, w_ref, e_ref, scale_ref, df_ref,
-                  esl_ref, sem):
-    """df[:, G] = dA_G @ W_G^T + sum_j [m_j == G] [lane < r_j] (scale * E_j) @ W_G^T.
+def _dgrad_kernel(j_n, n_groups, m_ref, r_ref, w_ref, e_ref, scale_ref,
+                  df_ref, da_ref, run_ref, esl_ref, sem):
+    """df[:, G] = dA_G @ W_G^T + sum_j [m_j == G] [lane < r_j] (scale * E_j) @ W_G^T,
+    with dA_G = scale * sum_j [G < m_j] E_j built IN-KERNEL and emitted as a
+    second output for the wgrad kernel.
 
-    The remainder term DMAs E_j's row slice from HBM only for prefixes cutting
-    in this group (total extra traffic = J*B*D bf16 across the whole grid)."""
-    gi = pl.program_id(1)
+    Grid is (B/bm, G') with G' walking groups in DESCENDING order: per row
+    tile a VMEM f32 accumulator carries the E-suffix, each group step folds
+    in the E_j rows whose cut sits one group above (m_j == G+1), snapshots
+    dA_G, and consumes it for df while it is still in VMEM. The XLA-side
+    alternative (einsum + relayout copy + HBM round-trip of dA into this
+    kernel) costs ~3.7 ms/step at production shape (profiled); here dA's
+    production is one DMA'd E pass and its df-side consumption never touches
+    HBM."""
+    gp = pl.program_id(1)
     bm = df_ref.shape[0]
     g = df_ref.shape[1]
     row0 = pl.multiple_of(pl.program_id(0) * bm, bm)
+    g_cur = n_groups - 1 - gp  # descending group index
 
+    @pl.when(gp == 0)
+    def _():
+        run_ref[:] = jnp.zeros_like(run_ref)
+
+    # Suffix update: prefixes cutting at the group boundary above this one
+    # (m_j == G+1; m_j == n_groups is the full-decode prefix) enter dA here.
+    for j in range(j_n):
+        @pl.when(m_ref[j] == g_cur + 1)
+        def _():
+            copy = pltpu.make_async_copy(
+                e_ref.at[j, pl.ds(row0, bm), :], esl_ref, sem
+            )
+            copy.start()
+            copy.wait()
+            run_ref[:] += esl_ref[:].astype(jnp.float32)
+
+    da = (run_ref[:] * scale_ref[0, 0]).astype(da_ref.dtype)
+    da_ref[:] = da
     df_ref[:] = jax.lax.dot_general(
-        da_ref[0], w_ref[:],
+        da, w_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     lane = jax.lax.broadcasted_iota(jnp.int32, (bm, g), 1)
     for j in range(j_n):
-        @pl.when(m_ref[j] == gi)
+        @pl.when(m_ref[j] == g_cur)
         def _():
             copy = pltpu.make_async_copy(
                 e_ref.at[j, pl.ds(row0, bm), :], esl_ref, sem
@@ -164,44 +203,64 @@ def _dgrad_kernel(j_n, m_ref, r_ref, da_ref, w_ref, e_ref, scale_ref, df_ref,
 
 
 def grouped_matmul_dgrad(
-    da_gbd: Array, w_bf16: Array, e_jbd: Array, m: Array, r: Array,
+    w_bf16: Array, e_jbd: Array, m: Array, r: Array,
     scale: Array, *, group_size: int = 1024, block_rows: int = 256,
     interpret: bool = False,
-) -> Array:
-    """df (B, d_sae) f32 from group cotangents dA (G, B, D) bf16, weights
-    (d_sae, D) bf16, and the per-prefix error tensor E (J, B, D) bf16 whose
-    remainder contribution (scaled by the f32 scalar `scale`) is folded in."""
-    n_groups, b, d_model = da_gbd.shape
+) -> tuple[Array, Array]:
+    """(df, dA): df (B, d_sae) f32 and the group cotangent dA (B, G, D) bf16
+    — dA_G = scale * sum_j [G < m_j] E_j — both built from the weights
+    (d_sae, D) bf16 and the per-prefix error tensor E (J, B, D) bf16. The
+    per-prefix remainder contribution (scaled by the f32 scalar `scale`) is
+    folded into df. dA is emitted batch-major for `grouped_matmul_wgrad`."""
+    b = e_jbd.shape[1]
+    d_model = w_bf16.shape[1]
     g = group_size
-    d_sae = n_groups * g
+    d_sae = w_bf16.shape[0]
+    n_groups = d_sae // g
     bm = min(block_rows, b)
     assert b % bm == 0
     j_n = e_jbd.shape[0]
 
-    kernel = functools.partial(_dgrad_kernel, j_n)
-    return pl.pallas_call(
+    kernel = functools.partial(_dgrad_kernel, j_n, n_groups)
+    df, da2d = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b // bm, n_groups),
             in_specs=[
-                pl.BlockSpec((1, bm, d_model), lambda i, G, m, r: (G, i, 0)),
-                pl.BlockSpec((g, d_model), lambda i, G, m, r: (G, 0)),
+                pl.BlockSpec(
+                    (g, d_model), lambda i, Gp, m, r: (n_groups - 1 - Gp, 0)
+                ),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            out_specs=pl.BlockSpec((bm, g), lambda i, G, m, r: (i, G)),
+            out_specs=[
+                pl.BlockSpec(
+                    (bm, g), lambda i, Gp, m, r: (i, n_groups - 1 - Gp)
+                ),
+                # dA as a 2D (B, G*D) view: a (bm, 1, D) block of (B, G, D)
+                # violates the (8, 128)-divisibility rule on the middle dim.
+                pl.BlockSpec(
+                    (bm, d_model), lambda i, Gp, m, r: (i, n_groups - 1 - Gp)
+                ),
+            ],
             scratch_shapes=[
+                pltpu.VMEM((bm, d_model), jnp.float32),
                 pltpu.VMEM((bm, d_model), e_jbd.dtype),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, d_sae), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, d_sae), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_groups * d_model), e_jbd.dtype),
+        ],
         interpret=interpret,
+        compiler_params=_compiler_params(bm),
     )(
         m.astype(jnp.int32), r.astype(jnp.int32),
-        da_gbd, w_bf16, e_jbd, scale.astype(jnp.float32).reshape(1, 1),
+        w_bf16, e_jbd, scale.astype(jnp.float32).reshape(1, 1),
     )
+    return df, da2d.reshape(b, n_groups, d_model)
 
 
 def _wgrad_kernel(j_n, m_ref, r_ref, f_ref, da_ref, e_ref, scale_ref, dw_ref,
@@ -215,7 +274,7 @@ def _wgrad_kernel(j_n, m_ref, r_ref, f_ref, da_ref, e_ref, scale_ref, dw_ref,
     row0 = pl.multiple_of(bi * bm, bm)
 
     prod = jax.lax.dot_general(
-        f_ref[:], da_ref[0],
+        f_ref[:], da_ref[:],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -247,15 +306,16 @@ def _wgrad_kernel(j_n, m_ref, r_ref, f_ref, da_ref, e_ref, scale_ref, dw_ref,
 
 
 def grouped_matmul_wgrad(
-    f_bf16: Array, da_gbd: Array, e_jbd: Array, m: Array, r: Array,
+    f_bf16: Array, da_bgd: Array, e_jbd: Array, m: Array, r: Array,
     scale: Array, *, group_size: int = 1024, block_rows: int = 256,
     interpret: bool = False,
 ) -> Array:
     # block_rows=256: the double-buffered (g, D) f32 output block costs 8 MB
     # of VMEM; 512-row input tiles push the total past the 16 MB budget.
     """dW (d_sae, D) f32 = per-group f_G^T @ dA_G with the per-prefix
-    remainder term (from E (J, B, D) bf16, scaled by `scale`) folded in."""
-    n_groups, b, d_model = da_gbd.shape
+    remainder term (from E (J, B, D) bf16, scaled by `scale`) folded in.
+    dA is batch-major (B, G, D) — see grouped_matmul_dgrad."""
+    b, n_groups, d_model = da_bgd.shape
     g = group_size
     bm = min(block_rows, b)
     assert b % bm == 0
@@ -269,7 +329,8 @@ def grouped_matmul_wgrad(
             grid=(n_groups, b // bm),
             in_specs=[
                 pl.BlockSpec((bm, g), lambda G, i, m, r: (i, G)),
-                pl.BlockSpec((1, bm, d_model), lambda G, i, m, r: (G, i, 0)),
+                # da flattened (B, G*D); see grouped_matmul_dgrad.
+                pl.BlockSpec((bm, d_model), lambda G, i, m, r: (i, G)),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
@@ -281,7 +342,9 @@ def grouped_matmul_wgrad(
         ),
         out_shape=jax.ShapeDtypeStruct((n_groups * g, d_model), jnp.float32),
         interpret=interpret,
+        compiler_params=_compiler_params(bm),
     )(
         m.astype(jnp.int32), r.astype(jnp.int32),
-        f_bf16, da_gbd, e_jbd, scale.astype(jnp.float32).reshape(1, 1),
+        f_bf16, da_bgd.reshape(b, n_groups * d_model), e_jbd,
+        scale.astype(jnp.float32).reshape(1, 1),
     )

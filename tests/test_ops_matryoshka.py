@@ -22,7 +22,9 @@ def data():
     f = rng.normal(size=(B, S)).astype(np.float32)
     w = (rng.normal(size=(S, D)) / 32).astype(np.float32)
     e = rng.normal(size=(J, B, D)).astype(np.float32)
-    da = rng.normal(size=(S // G, B, D)).astype(np.float32)
+    # Batch-major (B, G, D): the layout the backward's dA einsum
+    # materializes natively (see ops/matryoshka.py::_bwd).
+    da = rng.normal(size=(B, S // G, D)).astype(np.float32)
     p = np.asarray([300, 512, 1100, S], np.int32)  # mid-group, boundary, mid, full
     return f, w, e, da, p
 
@@ -47,19 +49,29 @@ def test_grouped_prefix_base(data):
 
 
 def test_grouped_matmul_dgrad(data):
-    f, w, e, da, p = data
+    f, w, e, da_unused, p = data
     m, r = p // G, p % G
     scale = 0.37
-    df = pk.grouped_matmul_dgrad(
-        _cast(da), _cast(w), _cast(e), jnp.asarray(m), jnp.asarray(r),
+    df, da = pk.grouped_matmul_dgrad(
+        _cast(w), _cast(e), jnp.asarray(m), jnp.asarray(r),
         jnp.asarray(scale), group_size=G, block_rows=64, interpret=True,
     )
     w32 = np.asarray(_cast(w), np.float32)
-    da32 = np.asarray(_cast(da), np.float32)
     e32 = np.asarray(_cast(e), np.float32)
+    # dA_G = scale * sum_j [G < m_j] E_j, built in-kernel (descending-G
+    # suffix) and emitted batch-major (B, G, D) for the wgrad kernel.
+    da_ref = np.zeros((B, S // G, D), np.float32)
+    for gi in range(S // G):
+        for j, pj in enumerate(p):
+            if gi < pj // G:
+                da_ref[:, gi] += e32[j] * scale
+    np.testing.assert_allclose(
+        np.asarray(da, np.float32), da_ref, rtol=3e-2, atol=2e-2
+    )
+    da32 = np.asarray(jnp.asarray(da), np.float32)
     ref = np.zeros((B, S), np.float32)
     for gi in range(S // G):
-        ref[:, gi * G : (gi + 1) * G] = da32[gi] @ w32[gi * G : (gi + 1) * G].T
+        ref[:, gi * G : (gi + 1) * G] = da32[:, gi] @ w32[gi * G : (gi + 1) * G].T
     for j, pj in enumerate(p):
         mj, rj = pj // G, pj % G
         if rj == 0:
@@ -83,7 +95,7 @@ def test_grouped_matmul_wgrad(data):
     e32 = np.asarray(_cast(e), np.float32)
     ref = np.zeros((S, D), np.float32)
     for gi in range(S // G):
-        ref[gi * G : (gi + 1) * G] = f32[:, gi * G : (gi + 1) * G].T @ da32[gi]
+        ref[gi * G : (gi + 1) * G] = f32[:, gi * G : (gi + 1) * G].T @ da32[:, gi]
     for j, pj in enumerate(p):
         mj, rj = pj // G, pj % G
         if rj == 0:
