@@ -24,6 +24,7 @@ modeling.py:288, activations at :111-244, AuxK at :68) but architected for XLA:
 """
 
 import dataclasses
+import functools
 import typing as tp
 
 import jax
@@ -284,6 +285,43 @@ def batch_topk_eval(
     return jnp.where(h > eff, h, jnp.zeros((), h.dtype))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _linear_bias(x: Array, w: Array, b: Array, precision) -> Array:
+    """x @ w + b with a hand-written backward that computes dW and db in ONE
+    MXU contraction: d[W;b] = [x; 1]^T @ dh. Autodiff's separate
+    db = sum_rows(dh) lowers to a VPU pass that re-reads dh AND the
+    pre-activations it is fused with (~2.8 ms/step at the production bench
+    shape, profiled) — as an extra matmul row it is effectively free. db
+    picks up the same bf16-operand rounding dW always had."""
+    return (
+        jnp.dot(x, w, preferred_element_type=jnp.float32, precision=precision)
+        + b
+    )
+
+
+def _linear_bias_fwd(x, w, b, precision):
+    return _linear_bias(x, w, b, precision), (x, w)
+
+
+def _linear_bias_bwd(precision, res, dh):
+    x, w = res
+    xa = jnp.concatenate([x, jnp.ones((x.shape[0], 1), x.dtype)], axis=1)
+    dwb = jax.lax.dot_general(
+        xa, dh, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    # dx is a separate matmul: XLA dead-code-eliminates it when the caller
+    # only differentiates with respect to the parameters (the train step).
+    dx = jax.lax.dot_general(
+        dh, w, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ).astype(x.dtype)
+    return dx, dwb[:-1], dwb[-1]
+
+
+_linear_bias.defvjp(_linear_bias_fwd, _linear_bias_bwd)
+
+
 def encode(
     cfg: SparseAutoencoderConfig,
     params: Params,
@@ -303,13 +341,8 @@ def encode(
     """
     guards.check("x", x, ndim=2, last_dim=params["W_enc"].shape[0],
                  what=f"(batch, d_model) activations for this {cfg.d_model}-d SAE")
-    h_x = (
-        jnp.dot(
-            x, params["W_enc"], preferred_element_type=jnp.float32,
-            precision=precision or MATMUL_PRECISION,
-        )
-        + params["b_enc"]
-    )
+    h_x = _linear_bias(x, params["W_enc"], params["b_enc"],
+                       precision or MATMUL_PRECISION)
     act = cfg.activation
     new_state = state
     if isinstance(act, Relu):

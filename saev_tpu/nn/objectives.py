@@ -302,7 +302,14 @@ def matryoshka_loss(
     new_obj_state = obj_state
     if training:
         toks = obj_state["toks_since_active"]
-        active = jnp.any(jnp.abs(enc.f_x) > 0, axis=0)
+        # Liveness at bf16 resolution: the fused train path materializes
+        # f_x.astype(bf16) for the Pallas decode kernels, and reading THAT
+        # buffer (XLA CSEs the cast) halves this pass's HBM traffic vs
+        # re-deriving the mask from the f32 pre-activations (1.4 -> 0.7
+        # ms/step at the bench shape). Only f32 subnormals (< 1.2e-38) flush
+        # to zero in the cast — a latent "firing" below bf16 resolution is
+        # dead by any practical measure.
+        active = jnp.any(enc.f_x.astype(jnp.bfloat16) != 0, axis=0)
         toks = jnp.minimum(toks + jnp.int32(bsz), _TOKS_CAP)
         toks = jnp.where(active, jnp.zeros((), toks.dtype), toks)
         dead_mask = toks >= obj_cfg.dead_threshold_tokens

@@ -35,6 +35,10 @@ def _wrap(kernel, tile_rows):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    params = (
+        pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        if tile_rows > 32 else None
+    )
     return jax.jit(
         pl.pallas_call(
             functools.partial(kernel, K),
@@ -46,6 +50,7 @@ def _wrap(kernel, tile_rows):
                 )
             ],
             out_specs=pl.BlockSpec((tile_rows, 1), lambda i: (i, 0)),
+            compiler_params=params,
         )
     )
 
@@ -162,13 +167,15 @@ def main():
 
     variants = [
         ("prod t32", _wrap(_prod_kernel, 32), True),
+        ("prod t64", _wrap(_prod_kernel, 64), True),
         ("prod t128", _wrap(_prod_kernel, 128), True),
         ("prod t256", _wrap(_prod_kernel, 256), True),
-        ("i32key t32", _wrap(_i32key_kernel, 32), True),
-        ("i32key t256", _wrap(_i32key_kernel, 256), True),
-        ("subsar t256", _wrap(_subsar_kernel, 256), False),
+        ("subsar t32", _wrap(_subsar_kernel, 32), False),
+        ("f32red t32", _wrap(_f32red_kernel, 32), True),
+        ("mxucount t32", _wrap(_mxu_kernel, 32), True),
         ("f32red t256", _wrap(_f32red_kernel, 256), True),
-        ("mxucount t256", _wrap(_mxu_kernel, 256), True),
+        ("f32red t512", _wrap(_f32red_kernel, 512), True),
+        ("prod t512", _wrap(_prod_kernel, 512), True),
     ]
     for name, fn, check in variants:
         try:
