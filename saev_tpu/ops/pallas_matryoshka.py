@@ -43,11 +43,17 @@ def _compiler_params(bm: int):
 
 
 def _base_kernel(j_n, n_groups, m_ref, r_ref, f_ref, w_ref, base_ref, xhat_ref,
-                 run_ref, snap_ref, sem):
+                 run_ref, snap_ref, pend_ref, sem):
     """One (row-tile, group) step: snapshot base_j = run + (lane-masked f_G) @ W_G
     for every prefix j cutting inside this group (the remainder matmul folded in
     — f/W tiles are already in VMEM, so the sub-group term costs one extra
-    predicated MXU pass and ZERO extra HBM traffic), then run += f_G @ W_G."""
+    predicated MXU pass and ZERO extra HBM traffic), then run += f_G @ W_G.
+
+    Snapshot DMAs are DEFERRED: each copy starts and is only awaited right
+    before the snap buffer is next overwritten (pend_ref tracks the
+    outstanding copy) or at the row tile's last group step — the 1 MB
+    VMEM→HBM write overlaps the following MXU passes instead of stalling
+    them (~640 serialized waits per call at production shape otherwise)."""
     gi = pl.program_id(1)
     bm = f_ref.shape[0]
     g = f_ref.shape[1]
@@ -56,6 +62,13 @@ def _base_kernel(j_n, n_groups, m_ref, r_ref, f_ref, w_ref, base_ref, xhat_ref,
     @pl.when(gi == 0)
     def _():
         run_ref[:] = jnp.zeros_like(run_ref)
+        pend_ref[0] = 0
+
+    def drain():
+        @pl.when(pend_ref[0] != 0)
+        def _():
+            pltpu.make_async_copy(snap_ref, snap_ref, sem).wait()
+            pend_ref[0] = 0
 
     # base_j = sum of groups < m_j  +  masked remainder within group m_j.
     # base is laid out (J, B, D) so the DMA slices the untiled major dim.
@@ -63,16 +76,16 @@ def _base_kernel(j_n, n_groups, m_ref, r_ref, f_ref, w_ref, base_ref, xhat_ref,
     for j in range(j_n):
         @pl.when(m_ref[j] == gi)
         def _():
+            drain()
             f_m = jnp.where(lane < r_ref[j], f_ref[:], jnp.zeros((), f_ref.dtype))
             snap_ref[:] = (
                 run_ref[:]
                 + jnp.dot(f_m, w_ref[:], preferred_element_type=jnp.float32)
             ).astype(snap_ref.dtype)
-            copy = pltpu.make_async_copy(
+            pltpu.make_async_copy(
                 snap_ref, base_ref.at[j, pl.ds(row0, bm), :], sem
-            )
-            copy.start()
-            copy.wait()
+            ).start()
+            pend_ref[0] = 1
 
     run_ref[:] += jnp.dot(f_ref[:], w_ref[:], preferred_element_type=jnp.float32)
 
@@ -82,12 +95,13 @@ def _base_kernel(j_n, n_groups, m_ref, r_ref, f_ref, w_ref, base_ref, xhat_ref,
         for j in range(j_n):
             @pl.when(m_ref[j] == n_groups)
             def _():
+                drain()
                 snap_ref[:] = run_ref[:].astype(snap_ref.dtype)
-                copy = pltpu.make_async_copy(
+                pltpu.make_async_copy(
                     snap_ref, base_ref.at[j, pl.ds(row0, bm), :], sem
-                )
-                copy.start()
-                copy.wait()
+                ).start()
+                pend_ref[0] = 1
+        drain()
 
 
 def grouped_prefix_base(
@@ -129,6 +143,7 @@ def grouped_prefix_base(
             scratch_shapes=[
                 pltpu.VMEM((bm, d_model), jnp.float32),
                 pltpu.VMEM((bm, d_model), base_dtype),
+                pltpu.SMEM((1,), jnp.int32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
