@@ -172,13 +172,6 @@ def _bwd(group_size, precision, res, cts):
     n_groups = d_sae // g
     scale = t_loss * 2.0 / (b * j_n * d_model)
 
-    mask = (
-        jnp.arange(n_groups, dtype=jnp.int32)[None, :] < m[:, None]
-    ).astype(jnp.float32)  # (J, G)
-    eq = (
-        jnp.arange(n_groups, dtype=jnp.int32)[None, :] == m[:, None]
-    ).astype(jnp.float32)  # (J, G); rows with m == n_groups (p == d_sae) are 0
-
     db_dec = jnp.einsum("jbd->d", e.astype(jnp.float32)) * scale
 
     # The forward's path choice binds the backward's: Pallas-path residuals are
@@ -196,6 +189,13 @@ def _bwd(group_size, precision, res, cts):
         df, da = pk.grouped_matmul_dgrad(w, e, m, r, scale_arr, group_size=g)
         dw = pk.grouped_matmul_wgrad(f, da, e, m, r, scale_arr, group_size=g)
     else:
+        mask = (
+            jnp.arange(n_groups, dtype=jnp.int32)[None, :] < m[:, None]
+        ).astype(jnp.float32)  # (J, G)
+        eq = (
+            jnp.arange(n_groups, dtype=jnp.int32)[None, :] == m[:, None]
+        ).astype(jnp.float32)  # (J, G); rows with m == n_groups (p == d_sae) are 0
+
         # Group-path cotangent dA_G = sum_j [G < m_j] Ebar_j, batch-major.
         da = (
             jnp.einsum(

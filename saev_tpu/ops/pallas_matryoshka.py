@@ -32,14 +32,12 @@ Array = jax.Array
 
 
 def _compiler_params(bm: int):
-    """Mosaic scoped-VMEM limit for a given row-tile size. The default limit
-    is 16 MB; v5e has 128 MB physical VMEM, and the 1024-row tiles that cut
-    the W re-read traffic 4x need ~24-44 MB of scoped allocation. 100 MB
-    leaves headroom for XLA's own scoped use while never rejecting our
-    largest tile."""
-    if bm <= 256:
-        return None
-    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    """Mosaic scoped-VMEM limit for a given row-tile size: the 1024-row
+    tiles that cut W re-read traffic 4x need ~24-44 MB of scoped allocation
+    vs the 16 MB default (shared policy: ops/_mosaic.py)."""
+    from . import _mosaic
+
+    return _mosaic.vmem_params(bm, 256)
 
 
 def _base_kernel(j_n, n_groups, m_ref, r_ref, f_ref, w_ref, base_ref, xhat_ref,
@@ -231,6 +229,7 @@ def grouped_matmul_dgrad(
     d_model = w_bf16.shape[1]
     g = group_size
     d_sae = w_bf16.shape[0]
+    assert d_sae % g == 0, (d_sae, g)  # grid covers (d_sae//g)*g columns
     n_groups = d_sae // g
     bm = min(block_rows, b)
     assert b % bm == 0

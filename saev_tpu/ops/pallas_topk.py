@@ -41,12 +41,10 @@ def _tile_rows(b: int) -> int:
 
 def _vmem_params(tile_rows: int, interpret: bool = False):
     """(tile_rows, S) f32 tiles above 32 rows exceed Mosaic's 16 MB default
-    scoped-VMEM limit; v5e has 128 MB physical."""
-    from jax.experimental.pallas import tpu as pltpu
+    scoped-VMEM limit (shared policy: ops/_mosaic.py)."""
+    from . import _mosaic
 
-    if interpret or tile_rows <= 32:
-        return None
-    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    return _mosaic.vmem_params(tile_rows, 32, interpret)
 
 
 def _kernel(k: int, x_ref, out_ref):

@@ -165,11 +165,21 @@ def main():
             fn(x).block_until_ready()
         except Exception:
             continue
+
+        # Salt every dispatch: repeated IDENTICAL dispatches on this setup
+        # can return in ~0.05 ms without executing (NOTES.md traps).
+        @jax.jit
+        def salted(s, a, fn=fn):
+            out = fn(a)
+            return out, out.reshape(-1)[0] + s
+
+        rs = np.random.default_rng(time.time_ns() % (1 << 32))
+        salted(jnp.float32(rs.normal()), x)[1].block_until_ready()
         n = 30
         t0 = time.perf_counter()
         for _ in range(n):
-            out = fn(x)
-        out.block_until_ready()
+            out = salted(jnp.float32(rs.normal()), x)
+        jax.block_until_ready(out)
         ms = (time.perf_counter() - t0) / n * 1e3
         print(f"time   {vname:12s}: {ms:7.2f} ms")
 

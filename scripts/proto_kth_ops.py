@@ -30,6 +30,27 @@ import numpy as np
 
 B, S, K = 16384, 16384, 32
 
+def _salted_time(fn, x, n=30):
+    """Time with a fresh host scalar folded into every dispatch: repeated
+    IDENTICAL dispatches on this setup can return in ~0.05 ms without
+    executing (NOTES.md 'microbench traps'), so never time an unchanged
+    (program, inputs) pair."""
+    import jax
+
+    @jax.jit
+    def salted(s, a):
+        out = fn(a)
+        return out, out.reshape(-1)[0].astype(jnp.float32) + s
+
+    rs = np.random.default_rng(time.time_ns() % (1 << 32))
+    out = salted(jnp.float32(rs.normal()), x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = salted(jnp.float32(rs.normal()), x)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1e3
+
 
 def _wrap(kernel, tile_rows):
     from jax.experimental import pallas as pl
@@ -189,12 +210,7 @@ def main():
         if check and not np.array_equal(got, want):
             print(f"{name:14s}: MISMATCH")
             continue
-        n = 30
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(x)
-        out.block_until_ready()
-        ms = (time.perf_counter() - t0) / n * 1e3
+        ms = _salted_time(fn, x)
         tag = "" if check else "  (timing-only)"
         print(f"{name:14s}: {ms:7.2f} ms{tag}")
 

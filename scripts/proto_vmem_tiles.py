@@ -37,7 +37,8 @@ def main():
     prefixes = np.sort(rng.choice(np.arange(1, S), size=J, replace=False))
     m = jnp.asarray(prefixes // G, jnp.int32)
     r = jnp.asarray(prefixes - (prefixes // G) * G, jnp.int32)
-    da = jnp.asarray(rng.normal(size=(S // G, B, D)).astype(np.float32), jnp.bfloat16)
+    # Batch-major (B, G, D) — the post-c76251a kernel layout.
+    da = jnp.asarray(rng.normal(size=(B, S // G, D)).astype(np.float32), jnp.bfloat16)
     e = jnp.asarray(rng.normal(size=(J, B, D)).astype(np.float32), jnp.bfloat16)
     scale = jnp.float32(0.37)
 
@@ -85,7 +86,7 @@ def main():
     for bm in (256, 512, 1024):
         for name, fn, args, pi in (
             ("base", pk.grouped_prefix_base, (f, w, m, r), 0),
-            ("dgrad", pk.grouped_matmul_dgrad, (da, w, e, m, r, scale), 0),
+            ("dgrad", pk.grouped_matmul_dgrad, (w, e, m, r, scale), 0),
             ("wgrad", pk.grouped_matmul_wgrad, (f, da, e, m, r, scale), 0),
         ):
             try:

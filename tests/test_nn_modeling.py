@@ -355,3 +355,32 @@ def test_vmap_over_sae_sweep():
         enc_i, _ = modeling.encode(cfg, params_list[i], state_list[i], x, training=True)
         ref = modeling.decode(cfg, params_list[i], enc_i.f_x)
         np.testing.assert_allclose(np.asarray(x_hats[i]), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_linear_bias_gradients_match_autodiff():
+    """The hand-written _linear_bias VJP (d[W;b] = [x;1]^T @ dh in one
+    contraction) must match autodiff of the plain x @ w + b formula for all
+    three inputs — every other gradient test routes BOTH sides through the
+    custom VJP, so a bwd regression would cancel out there."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(24, 16)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(16, 40)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(40,)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=(24, 40)), jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+
+    def loss_custom(x, w, b):
+        return jnp.sum(modeling._linear_bias(x, w, b, hi) * ct)
+
+    def loss_plain(x, w, b):
+        return jnp.sum(
+            (jnp.dot(x, w, preferred_element_type=jnp.float32, precision=hi) + b)
+            * ct
+        )
+
+    got = jax.grad(loss_custom, argnums=(0, 1, 2))(x, w, b)
+    want = jax.grad(loss_plain, argnums=(0, 1, 2))(x, w, b)
+    for g, r, name in zip(got, want, ("dx", "dw", "db")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=1e-5, atol=1e-5, err_msg=name
+        )
