@@ -1,5 +1,11 @@
 """Benchmark: SAE training throughput (patches/sec/chip) on the local accelerator.
 
+COMPUTE-ONLY: the headline value (and its vs_baseline ratio) times the jitted
+train step on HBM-resident batches, isolating chip compute from host I/O; the
+reference's 3,500 patches/s baseline is its *loader-bound* end-to-end rate.
+The loader-vs-step balance on this host is measured separately and embedded
+in the JSON as `e2e` (scripts/bench_e2e.py writes the full artifact).
+
 Times the full jitted train step at the reference's production defaults
 (reference framework/train.py:61, shuffled.py:45, modeling.py:265-268):
 batch 16384, d_model 1024, d_sae 16384, TopK k=32 + AuxK, Matryoshka 10
@@ -123,64 +129,6 @@ def time_step(n_sae: int, *, n_iters: int = 20, sweep_vmap_width: int = 1):
     return (time.perf_counter() - t0) / n_iters
 
 
-def select_kth_kernel(n_iters: int = 12) -> dict:
-    """A/B the 32-pass and two-phase-16-bit kth kernels at the production
-    shape and select the faster one for the timed run (via SAEV_KTH16; see
-    ops/pallas_topk._kernel_for). Selection requires a bitwise match; any
-    failure (e.g. a Mosaic lowering error for the 16-bit ops) falls back to
-    the 32-pass kernel and records why."""
-    import os
-
-    import jax
-    import jax.numpy as jnp
-
-    from saev_tpu.ops import pallas_topk
-
-    if os.environ.get("SAEV_KTH16") is not None:
-        return {"selected": os.environ["SAEV_KTH16"] == "1", "reason": "env"}
-
-    rng = np.random.default_rng(0)
-    h = jnp.asarray(rng.normal(size=(BATCH, D_SAE)).astype(np.float32) ** 2)
-
-    def chain(kernel):
-        c = jnp.float32(0)
-
-        # h passed as an argument, NOT closed over: jit closures over ~1 GB
-        # device arrays ship the array in the compile request (NOTES.md
-        # dev-tunnel gotchas).
-        @jax.jit
-        def step(c, h):
-            out = kernel(h * (1 + 1e-12 * c), 32)
-            return out.ravel()[0]
-
-        for _ in range(3):
-            c = step(c, h)
-        jax.block_until_ready(c)
-        t0 = time.perf_counter()
-        for _ in range(n_iters):
-            c = step(c, h)
-        jax.block_until_ready(c)
-        return (time.perf_counter() - t0) / n_iters * 1e3
-
-    try:
-        got16 = np.asarray(pallas_topk.exact_kth_value_pallas16(h, 32))
-        got32 = np.asarray(pallas_topk.exact_kth_value_pallas(h, 32))
-        if not np.array_equal(got16.view(np.uint32), got32.view(np.uint32)):
-            return {"selected": False, "reason": "bitwise mismatch"}
-        ms32 = chain(pallas_topk.exact_kth_value_pallas)
-        ms16 = chain(pallas_topk.exact_kth_value_pallas16)
-    except Exception as err:
-        return {"selected": False, "reason": f"kth16 failed: {str(err)[:120]}"}
-
-    selected = ms16 < ms32 * 0.99
-    os.environ["SAEV_KTH16"] = "1" if selected else "0"
-    return {
-        "selected": selected,
-        "ms32": round(ms32, 2),
-        "ms16": round(ms16, 2),
-    }
-
-
 def _acquire_backend(timeout_s: float = 600.0):
     """jax.devices() with a watchdog: the axon tunnel can hang indefinitely
     when down, which would stall an unattended bench run forever. On timeout,
@@ -240,8 +188,6 @@ def main():
             failed = [k for k, v in result.get("checks", {}).items() if not v["ok"]]
             kernel_parity = "FAIL:" + ",".join(failed or [result.get("error", "?")])
 
-    kth16 = select_kth_kernel() if jax.default_backend() == "tpu" else {}
-
     dt1 = time_step(n_sae)
     # With --n-sae > 1 the throughput is SAE-patches/s (N SAEs amortizing one
     # batch); scale the baseline by N too so vs_baseline stays an
@@ -269,7 +215,6 @@ def main():
             "unit": "patches/s",
             "vs_baseline": round(patches_per_s / baseline, 2),
             "kernel_parity": kernel_parity,
-            "kth16": kth16,
             "sweep": sweep,
         })
     )

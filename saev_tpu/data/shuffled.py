@@ -52,6 +52,14 @@ class Config:
         debug: Whether the dataloader should log debug messages.
         log_every_s: How frequently to log (debug) performance messages.
         use_tmpdir: If True and $TMPDIR is set, copy shards to node-local storage.
+        rank: This process's index among `world` cooperating loader processes.
+        world: Number of cooperating processes. Each process owns the disjoint
+            slice `permutation(n_shards)[rank::world]` of the SAME seeded shard
+            permutation, so the union across processes covers every shard
+            exactly once per epoch with zero coordination (multi-host data
+            parallelism: the trainer gives each host rank=process_index and
+            batch_size=global_batch/world). `n_samples` counts only the owned
+            shards' tokens.
     """
 
     shards: pathlib.Path = pathlib.Path("$SAEV_SCRATCH/saev/shards/abcdefg")
@@ -69,8 +77,11 @@ class Config:
     debug: bool = False
     log_every_s: float = 30.0
     use_tmpdir: bool = False
+    rank: int = 0
+    world: int = 1
 
     def __post_init__(self):
+        assert 0 <= self.rank < self.world, (self.rank, self.world)
         # Frozen dataclass: normalize list for hashing-by-value comparisons elsewhere.
         object.__setattr__(self, "ignore_labels", list(self.ignore_labels))
 
@@ -332,7 +343,10 @@ def _manager_main(
         return
 
     rng = np.random.default_rng(cfg.seed)
-    work_items = rng.permutation(metadata.n_shards)
+    # Every process permutes with the SAME seed, then takes its disjoint
+    # rank-strided slice: the union over ranks covers each shard exactly once
+    # per epoch without any cross-process coordination.
+    work_items = rng.permutation(metadata.n_shards)[cfg.rank :: cfg.world]
     logger.info("First 10 shards: %s", work_items[:10])
 
     # Cap I/O threads at the core count: with fewer cores than threads the
@@ -639,24 +653,46 @@ class DataLoader:
 
             time.sleep(poll_interval_s)
 
+    def _owned_example_mask(self) -> np.ndarray | None:
+        """(n_examples,) bool of examples in this rank's shard slice, or None
+        when world == 1 (everything owned). Mirrors the manager's seeded
+        permutation slice exactly."""
+        if self.cfg.world == 1:
+            return None
+        rng = np.random.default_rng(self.cfg.seed)
+        owned = rng.permutation(self.metadata.n_shards)[
+            self.cfg.rank :: self.cfg.world
+        ]
+        shard_info = shards.ShardInfo.load(self._shards_path)
+        mask = np.zeros(self.metadata.n_examples, dtype=bool)
+        per_shard = self.metadata.examples_per_shard
+        for shard_i in owned:
+            start = int(shard_i) * per_shard
+            mask[start : start + shard_info[int(shard_i)].n_examples] = True
+        return mask
+
     def _calculate_n_samples(self) -> int:
-        """Total samples for this (tokens, layer) view, after label filtering.
+        """Total samples for this (tokens, layer) view, after label filtering
+        — counting only this rank's owned shards when world > 1.
 
         Mirrors reference shuffled.py:638-698.
         """
+        owned = self._owned_example_mask()
+        n_examples = (
+            self.metadata.n_examples if owned is None else int(owned.sum())
+        )
         match (self.cfg.tokens, self.cfg.layer):
             case ("special", "all"):
-                max_samples = self.metadata.n_examples * len(self.metadata.layers)
+                max_samples = n_examples * len(self.metadata.layers)
             case ("special", int()):
-                max_samples = self.metadata.n_examples
+                max_samples = n_examples
             case ("content", int()):
                 max_samples = (
-                    self.metadata.n_examples
-                    * self.metadata.content_tokens_per_example
+                    n_examples * self.metadata.content_tokens_per_example
                 )
             case ("content", "all"):
                 max_samples = (
-                    self.metadata.n_examples
+                    n_examples
                     * len(self.metadata.layers)
                     * self.metadata.content_tokens_per_example
                 )
@@ -685,6 +721,8 @@ class DataLoader:
             shape=(self.metadata.n_examples, self.metadata.content_tokens_per_example),
         )
         mask = ~np.isin(labels, self.cfg.ignore_labels)
+        if owned is not None:
+            mask = mask[owned]
         n_remaining = int(np.sum(mask))
         del labels
         return n_remaining

@@ -36,18 +36,25 @@ def _checkpointer():
 def save(
     runs_root: pathlib.Path, group_key: str, step: int, state: tp.Any
 ) -> pathlib.Path:
-    """Write the sweep state at `step`; keeps only the latest checkpoint."""
+    """Write the sweep state at `step`; keeps only the latest checkpoint.
+
+    Multi-host: EVERY process must call this (orbax's Checkpointer
+    synchronizes all processes internally and gates the actual file writes to
+    the primary host); the pruning of older steps is ours and runs on process
+    0 only."""
     root = state_dir(runs_root, group_key)
     root.mkdir(parents=True, exist_ok=True)
     path = root / f"step_{step:08d}"
     ckptr = _checkpointer()
     host_state = jax.tree.map(np.asarray, state)
     ckptr.save(path, host_state, force=True)
-    # Prune older checkpoints (keep the newest only).
-    for old in sorted(root.glob("step_*"))[:-1]:
-        import shutil
+    # Prune older checkpoints (keep the newest only). ckptr.save ends with a
+    # global barrier, so pruning from process 0 cannot race a reader.
+    if jax.process_index() == 0:
+        for old in sorted(root.glob("step_*"))[:-1]:
+            import shutil
 
-        shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
     logger.info("Saved train state at step %d to '%s'.", step, path)
     return path
 

@@ -45,7 +45,7 @@ from ..data import ShuffledConfig, ShuffledDataLoader
 from ..nn import modeling, objectives
 from ..utils import scheduling, statistics
 from ..utils.monitoring import DataloaderMonitor
-from ..utils.wandb import ParallelWandbRun
+from ..utils.wandb import NullParallelRun, ParallelWandbRun
 
 logger = logging.getLogger("train")
 
@@ -264,6 +264,11 @@ def make_saes(
 
     if any(c.sae.reinit_blend > 0 for c in cfgs):
         n_samples = max(d_sae, 65_536)
+        if jax.process_count() > 1:
+            # Each host's loader is partitioned; sample the init set from this
+            # host's slice, then broadcast process 0's result below so every
+            # host starts from identical params.
+            n_samples = max(d_sae, n_samples // jax.process_count())
         if hasattr(dl, "n_samples"):
             assert dl.n_samples >= d_sae, (
                 f"Need {d_sae} samples for datapoint init; dataloader has {dl.n_samples}."
@@ -307,6 +312,10 @@ def make_saes(
 
         mean_p = sum(c.sae.reinit_blend for c in cfgs) / len(cfgs)
         logger.info("Initialized %d SAEs with avg(p)=%.2f", len(cfgs), mean_p)
+
+        # Datapoint init read THIS host's loader partition; multi-host SPMD
+        # requires identical starting params everywhere.
+        params_list = parallel.broadcast_from_primary(params_list)
 
     stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
     params = stack(params_list)
@@ -819,7 +828,29 @@ def train(
     logger.info("Parallelizing %d runs.", len(cfgs))
     cfg = cfgs[0]
 
-    dataloader = ShuffledDataLoader(cfg.train_data)
+    # Multi-host SPMD (jax.distributed initialized, process_count > 1): this
+    # process loads 1/world of each global batch from its disjoint shard
+    # partition; `parallel.shard_batch` assembles the slices into one global
+    # array. Host-side writes (wandb, checkpoints, run dirs) gate on process 0.
+    world = jax.process_count()
+    data_cfg = cfg.train_data
+    if world > 1:
+        assert cfg.train_data.batch_size % world == 0, (
+            f"Global batch_size={cfg.train_data.batch_size} must divide "
+            f"across {world} processes."
+        )
+        # drop_last: a short local batch at one rank's epoch boundary would
+        # break global-batch assembly (ranks must contribute equal row
+        # counts); BatchLimiter cycles epochs, so no data is lost.
+        data_cfg = dataclasses.replace(
+            cfg.train_data,
+            batch_size=cfg.train_data.batch_size // world,
+            rank=jax.process_index(),
+            world=world,
+            drop_last=True,
+        )
+
+    dataloader = ShuffledDataLoader(data_cfg)
     metadata = dataloader.metadata
     if metadata.d_model != cfg.sae.d_model:
         raise guards.GuardError(
@@ -828,12 +859,19 @@ def train(
             "must be configured for the model family the shards were "
             "extracted from."
         )
-    limited = scheduling.BatchLimiter(dataloader, cfg.n_train)
+    limited = scheduling.BatchLimiter(dataloader, cfg.n_train // world)
     n_steps = len(limited)
 
     mesh = _device_mesh(
         cfg.train_data.batch_size, cfg.sweep_parallel, cfg.feature_parallel
     )
+    if world > 1:
+        assert mesh.devices.size == jax.device_count(), (
+            f"Global batch_size={cfg.train_data.batch_size} must be a "
+            f"multiple of the data-axis extent "
+            f"{jax.device_count() // (cfg.sweep_parallel * cfg.feature_parallel)}; "
+            "multi-host batch assembly needs every device in the mesh."
+        )
     logger.info("Mesh: %d device(s) over '%s'.", mesh.devices.size, parallel.DATA_AXIS)
 
     cohorts = make_cohorts(cfgs)
@@ -977,7 +1015,11 @@ def train(
         cfg_dict = dataclasses.asdict(c)
         cfg_dict["train_data"]["metadata"] = metadata_dict
         wandb_configs.append(cfg_dict)
-    run = ParallelWandbRun(cfg.wandb_project, wandb_configs, mode, list(cfg.tags))
+    run = (
+        ParallelWandbRun(cfg.wandb_project, wandb_configs, mode, list(cfg.tags))
+        if parallel.is_primary()
+        else NullParallelRun()
+    )
     slurm_job_id = os.environ.get("SLURM_JOB_ID")
     if slurm_job_id:
         run.set_summary("slurm_job_id", slurm_job_id)
@@ -1050,6 +1092,14 @@ def train(
                     }
 
             runtimes[ri] = rt._replace(ts=new_ts)
+            # The routing state (pending/risk) is MUTABLE and must stay shared
+            # across _replace copies — step_fn_at mutates it in place. Guard
+            # the aliasing so a future _replace(pending=..., risk=...) or a
+            # deepcopy-style refactor fails here, not as a silent mis-route.
+            assert (
+                runtimes[ri].pending is rt.pending
+                and runtimes[ri].risk is rt.risk
+            ), "cohort routing state must alias across _replace copies"
 
         if log_now:
             run.log(all_metrics, step=global_step)
@@ -1074,8 +1124,13 @@ def train(
 
         if cfg.ckpt_every and global_step % cfg.ckpt_every == 0:
             for ci, rt in enumerate(runtimes):
+                # Both to_host (an allgather for cross-process-sharded
+                # leaves) and checkpoints.save (orbax's internal multihost
+                # barrier; it gates file writes to the primary itself) are
+                # collectives — every process calls them.
+                host_ts = parallel.to_host(rt.ts)
                 checkpoints.save(
-                    cfg.runs_root, f"{group_key}_c{ci}", global_step, rt.ts
+                    cfg.runs_root, f"{group_key}_c{ci}", global_step, host_ts
                 )
 
     return runtimes, run, global_step
@@ -1120,10 +1175,34 @@ def evaluate(cfgs: list[Config], runtimes: list[_CohortRuntime]) -> list[EvalMet
     cfg = cfgs[0]
     almost_dead_lim, dense_lim = 1e-7, 1e-2
 
-    dataloader = ShuffledDataLoader(cfg.val_data)
-    n_val = min(dataloader.n_samples, cfg.n_val)
+    # Same per-process partitioning as training (train()).
+    world = jax.process_count()
+    val_cfg = cfg.val_data
+    if world > 1:
+        assert cfg.val_data.batch_size % world == 0, (
+            f"Global val batch_size={cfg.val_data.batch_size} must divide "
+            f"across {world} processes."
+        )
+        val_cfg = dataclasses.replace(
+            cfg.val_data,
+            batch_size=cfg.val_data.batch_size // world,
+            rank=jax.process_index(),
+            world=world,
+            drop_last=True,
+        )
+
+    dataloader = ShuffledDataLoader(val_cfg)
+    n_val = min(dataloader.n_samples, cfg.n_val // world)
+    if world > 1:
+        # Shard partitions can be uneven; every process must run the SAME
+        # number of (collective-bearing) eval batches.
+        n_val = int(parallel.global_min(np.asarray(n_val)))
     limited = scheduling.BatchLimiter(dataloader, n_val)
-    mesh = _device_mesh(cfg.val_data.batch_size)
+    # Same mesh shape as training (sweep/feature extents included) so params
+    # keep their placement instead of resharding on the first eval batch.
+    mesh = _device_mesh(
+        cfg.val_data.batch_size, cfg.sweep_parallel, cfg.feature_parallel
+    )
 
     n_cfgs = len(cfgs)
     d_sae = cfgs[0].sae.d_sae
@@ -1142,9 +1221,8 @@ def evaluate(cfgs: list[Config], runtimes: list[_CohortRuntime]) -> list[EvalMet
 
         # Same memory bound as training: vmapping N eval forwards
         # materializes N x (batch, d_sae) intermediates; chunking composes
-        # with a device-sharded sweep axis (see _sweep_map). No sharding
-        # constraints here: eval builds its own data mesh while params keep
-        # the train mesh's placement, so GSPMD picks the layouts.
+        # with a device-sharded sweep axis (see _sweep_map, with the same
+        # mesh as training so the chunk rearrange keeps its constraints).
         width = c0.sweep_vmap_width
         if c0.sweep_parallel > 1:
             width = min(width, len(rt.cohort.cfgs) // c0.sweep_parallel)
@@ -1169,21 +1247,27 @@ def evaluate(cfgs: list[Config], runtimes: list[_CohortRuntime]) -> list[EvalMet
 
                 return _sweep_map(
                     one, (params, sae_state, obj_state, prefixes), width,
-                    sweep_parallel=c0.sweep_parallel,
+                    sweep_parallel=c0.sweep_parallel, mesh=mesh,
                 )
 
             return run
 
         eval_fns[ri] = make()
 
-    for batch in helpers.progress(limited, desc="eval", every=cfg.log_every):
+    # Double-buffered device prefetch, same as the train loop: batch i+1
+    # transfers to HBM while batch i's eval forwards run.
+    batches = helpers.progress(limited, desc="eval", every=cfg.log_every)
+    for x, batch in parallel.prefetch_to_device(batches, mesh, depth=2):
+        # batch["act"] is this process's local slice; x is the assembled
+        # global batch. Host f64 accumulators sum locally and cross processes
+        # once at the end (parallel.global_sum); per-batch jit outputs below
+        # are already global (replicated) values.
         x_np = np.asarray(batch["act"])
-        bsz = x_np.shape[0]
+        bsz = x.shape[0]
         x64 = x_np.astype(np.float64)
         sum_sq += float(np.sum(x64 * x64))
         sum_vec += x64.sum(axis=0)
         n_tokens += bsz
-        x = parallel.shard_batch(mesh, x_np)
 
         for ri, rt in enumerate(runtimes):
             n_sae = len(rt.cohort.cfgs)
@@ -1194,8 +1278,8 @@ def evaluate(cfgs: list[Config], runtimes: list[_CohortRuntime]) -> list[EvalMet
                     for _ in range(n_sae)
                 ])
             )
-            out = jax.tree.map(
-                np.asarray, eval_fns[ri](rt.ts.params, rt.ts.sae_state, rt.ts.obj_state, x, prefixes)
+            out = parallel.to_host(
+                eval_fns[ri](rt.ts.params, rt.ts.sae_state, rt.ts.obj_state, x, prefixes)
             )
             for si, gi in enumerate(rt.cohort.indices):
                 total_l0[gi] += float(out["l0"][si]) * bsz
@@ -1206,6 +1290,9 @@ def evaluate(cfgs: list[Config], runtimes: list[_CohortRuntime]) -> list[EvalMet
                 values[gi] += out["values"][si]
 
     assert n_tokens > 0, "Validation dataloader yielded zero tokens."
+    if world > 1:
+        sum_sq = float(parallel.global_sum(np.asarray(sum_sq)))
+        sum_vec = parallel.global_sum(sum_vec)
     sse_baseline = sum_sq - float(sum_vec @ sum_vec) / n_tokens
     assert sse_baseline > 0, (
         f"Validation baseline variance non-positive: sse_baseline={sse_baseline:.6e}"
@@ -1252,11 +1339,14 @@ def worker_fn(cfgs: list[Config]) -> list[str]:
     run.log([m.for_wandb() for m in eval_metrics], step=steps)
     ids = run.finish()
 
-    # Unstack the trained sweep back into per-config checkpoints.
+    # Unstack the trained sweep back into per-config checkpoints. to_host is
+    # a collective for cross-process-sharded leaves, so it runs on every
+    # process; the run-dir writes below only happen on process 0 (run.finish
+    # returns no ids on secondaries — NullParallelRun).
     flat: dict[int, tuple[Config, modeling.Params, modeling.State]] = {}
     for rt in runtimes:
-        params_np = jax.tree.map(np.asarray, rt.ts.params)
-        state_np = jax.tree.map(np.asarray, rt.ts.sae_state)
+        params_np = parallel.to_host(rt.ts.params)
+        state_np = parallel.to_host(rt.ts.sae_state)
         for si, gi in enumerate(rt.cohort.indices):
             flat[gi] = (
                 rt.cohort.cfgs[si],
@@ -1282,6 +1372,7 @@ def worker_fn(cfgs: list[Config]) -> list[str]:
         with open(run_dir.run_dir / "checkpoint" / "config.json", "wb") as fd:
             helpers.jdump(cfg, fd, indent=2)
 
+    parallel.sync("worker_done")
     return ids
 
 

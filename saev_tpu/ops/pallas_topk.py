@@ -106,30 +106,22 @@ def exact_kth_value_pallas(h: jax.Array, k: int, interpret: bool = False) -> jax
     )(h)
 
 
-def _kernel_for(s: int):
-    """Production kernel pick: `SAEV_KTH16=1` selects the two-phase 16-bit
-    bisection when the row counts fit int16 (S <= 32767; see `_kernel16`
-    header). Off by default until its Mosaic lowering is timed on-chip —
-    flip the default once `scripts/microbench_kth.py --p16` confirms a win."""
-    import os
-
-    if s <= 32767 and os.environ.get("SAEV_KTH16", "0") == "1":
-        return exact_kth_value_pallas16
-    return exact_kth_value_pallas
-
-
 def kth_value(h: jax.Array, k: int) -> jax.Array:
     """Exact k-th largest, dispatching to the Pallas kernel on TPU (padding the
-    row count to a tile multiple) and lax.top_k elsewhere."""
+    row count to a tile multiple) and lax.top_k elsewhere.
+
+    A two-phase 16-bit bisection variant (half-width compares packed
+    2-per-lane) was prototyped and deleted: Mosaic on v5e has no 16-bit
+    compare or 16-bit reduction lowering at all (probed op-by-op 2026-08-18;
+    docs/performance.md "Round-4 negative results")."""
     if jax.default_backend() != "tpu" or h.ndim != 2 or h.dtype != jnp.float32:
         return jax.lax.top_k(h, min(k, h.shape[-1]))[0][..., -1:]
     b = h.shape[0]
-    kernel = _kernel_for(h.shape[1])
     pad = (-b) % TILE_ROWS
     if pad:
         h_padded = jnp.pad(h, ((0, pad), (0, 0)))
-        return kernel(h_padded, k)[:b]
-    return kernel(h, k)
+        return exact_kth_value_pallas(h_padded, k)[:b]
+    return exact_kth_value_pallas(h, k)
 
 
 # Order-preserving key of float32 -inf: bits(-inf)=0xFF800000 is negative, so
@@ -206,188 +198,8 @@ def kth_value_masked(h: jax.Array, mask: jax.Array, k: int) -> jax.Array:
         masked = jnp.where(mask[None, :], h, jnp.array(-jnp.inf, h.dtype))
         return jax.lax.top_k(masked, min(k, h.shape[-1]))[0][..., -1:]
     b = h.shape[0]
-    kernel = (
-        exact_kth_value_masked_pallas16
-        if _kernel_for(h.shape[1]) is exact_kth_value_pallas16
-        else exact_kth_value_masked_pallas
-    )
     pad = (-b) % TILE_ROWS
     if pad:
         h = jnp.pad(h, ((0, pad), (0, 0)))
-        return kernel(h, mask[None, :], k)[: b]
-    return kernel(h, mask[None, :], k)
-
-
-# ---------------------------------------------------------------------------
-# Two-phase 16-bit kth (experimental speed path)
-# ---------------------------------------------------------------------------
-#
-# The 32-pass bisection above is VPU-bound: 32 compare+reduce sweeps over the
-# full uint32 keys. This variant splits the key into halves and bisects each
-# half with SIXTEEN-bit element ops, which Mosaic can pack two-per-lane:
-#
-#   phase 1: 16 passes over H = key >> 16 (uint16)    -> h* = kth key's high
-#   bridge:  1 pass  c_above = count(H > h*)
-#   phase 2: 16 passes over L = low16 where H == h*   -> kth key's low half
-#
-# Row counts fit int16 (S <= 32767), so the reduces stay 16-bit end to end.
-# Total: 33 half-width passes ~= 17 full-width equivalents vs 32. Exactness
-# is preserved (pure integer bisection on the same order keys): the result is
-# bit-identical to the 32-pass kernel.
-
-
-def _kernel16(k: int, x_ref, out_ref):
-    x = x_ref[:]  # (TILE_ROWS, S) f32 in VMEM
-    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    neg = (u >> 31) == 1
-    key = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
-
-    hi = (key >> 16).astype(jnp.uint16)  # (T, S)
-    k16 = jnp.int16(k)
-
-    def hi_step(i, cur):
-        bit = (jnp.uint16(1) << (jnp.uint16(15) - jnp.uint16(i))).astype(jnp.uint16)
-        cand = cur | bit
-        count = jnp.sum(
-            (hi >= cand).astype(jnp.int16), axis=1, keepdims=True,
-            dtype=jnp.int16,
-        )
-        return jnp.where(count >= k16, cand, cur)
-
-    h_star = jax.lax.fori_loop(
-        0, 16, hi_step, jnp.zeros((x.shape[0], 1), jnp.uint16), unroll=16
-    )
-
-    c_above = jnp.sum(
-        (hi > h_star).astype(jnp.int16), axis=1, keepdims=True, dtype=jnp.int16
-    )
-
-    # Low halves of the h*-class; everything else becomes 0, which never
-    # counts because bisection candidates are always >= 1.
-    lo = jnp.where(
-        hi == h_star, (key & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.uint16(0)
-    )
-
-    def lo_step(i, cur):
-        bit = (jnp.uint16(1) << (jnp.uint16(15) - jnp.uint16(i))).astype(jnp.uint16)
-        cand = cur | bit
-        count = jnp.sum(
-            (lo >= cand).astype(jnp.int16), axis=1, keepdims=True,
-            dtype=jnp.int16,
-        )
-        return jnp.where(c_above + count >= k16, cand, cur)
-
-    l_star = jax.lax.fori_loop(
-        0, 16, lo_step, jnp.zeros((x.shape[0], 1), jnp.uint16), unroll=16
-    )
-
-    cur = (h_star.astype(jnp.uint32) << 16) | l_star.astype(jnp.uint32)
-    was_nonneg = (cur >> 31) == 1
-    bits = jnp.where(was_nonneg, cur & jnp.uint32(0x7FFFFFFF), ~cur)
-    out_ref[:] = jax.lax.bitcast_convert_type(bits, jnp.float32)
-
-
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def exact_kth_value_pallas16(
-    h: jax.Array, k: int, interpret: bool = False
-) -> jax.Array:
-    """Two-phase 16-bit variant of `exact_kth_value_pallas`; bit-identical
-    output, candidate faster schedule (see header comment). S must fit an
-    int16 count (<= 32767)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, s = h.shape
-    assert h.dtype == jnp.float32
-    assert b % TILE_ROWS == 0, f"batch {b} must be a multiple of {TILE_ROWS}"
-    assert s <= 32767, f"S={s} overflows the int16 row counts"
-    k = min(k, s)
-
-    return pl.pallas_call(
-        functools.partial(_kernel16, k),
-        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
-        grid=(b // TILE_ROWS,),
-        in_specs=[
-            pl.BlockSpec((TILE_ROWS, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((TILE_ROWS, 1), lambda i: (i, 0)),
-        interpret=interpret,
-    )(h)
-
-
-def _kernel16_masked(k: int, x_ref, mask_ref, out_ref):
-    """Masked variant of `_kernel16`: masked-out columns take the
-    `_KEY_NEG_INF` order key before the two-phase bisection, making the
-    result bit-identical to `_kernel_masked` (and to kth over
-    where(mask, x, -inf))."""
-    x = x_ref[:]
-    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    neg = (u >> 31) == 1
-    key = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
-    key = jnp.where(mask_ref[:] != 0, key, jnp.uint32(_KEY_NEG_INF))
-
-    hi = (key >> 16).astype(jnp.uint16)
-    k16 = jnp.int16(k)
-
-    def hi_step(i, cur):
-        bit = (jnp.uint16(1) << (jnp.uint16(15) - jnp.uint16(i))).astype(jnp.uint16)
-        cand = cur | bit
-        count = jnp.sum(
-            (hi >= cand).astype(jnp.int16), axis=1, keepdims=True, dtype=jnp.int16
-        )
-        return jnp.where(count >= k16, cand, cur)
-
-    h_star = jax.lax.fori_loop(
-        0, 16, hi_step, jnp.zeros((x.shape[0], 1), jnp.uint16), unroll=16
-    )
-    c_above = jnp.sum(
-        (hi > h_star).astype(jnp.int16), axis=1, keepdims=True, dtype=jnp.int16
-    )
-    lo = jnp.where(
-        hi == h_star, (key & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.uint16(0)
-    )
-
-    def lo_step(i, cur):
-        bit = (jnp.uint16(1) << (jnp.uint16(15) - jnp.uint16(i))).astype(jnp.uint16)
-        cand = cur | bit
-        count = jnp.sum(
-            (lo >= cand).astype(jnp.int16), axis=1, keepdims=True, dtype=jnp.int16
-        )
-        return jnp.where(c_above + count >= k16, cand, cur)
-
-    l_star = jax.lax.fori_loop(
-        0, 16, lo_step, jnp.zeros((x.shape[0], 1), jnp.uint16), unroll=16
-    )
-    cur = (h_star.astype(jnp.uint32) << 16) | l_star.astype(jnp.uint32)
-    was_nonneg = (cur >> 31) == 1
-    bits = jnp.where(was_nonneg, cur & jnp.uint32(0x7FFFFFFF), ~cur)
-    out_ref[:] = jax.lax.bitcast_convert_type(bits, jnp.float32)
-
-
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def exact_kth_value_masked_pallas16(
-    h: jax.Array, mask: jax.Array, k: int, interpret: bool = False
-) -> jax.Array:
-    """Two-phase 16-bit variant of `exact_kth_value_masked_pallas`;
-    bit-identical output (see `_kernel16_masked`)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    b, s = h.shape
-    assert h.dtype == jnp.float32
-    assert mask.shape == (1, s), mask.shape
-    assert b % TILE_ROWS == 0, f"batch {b} must be a multiple of {TILE_ROWS}"
-    assert s <= 32767, f"S={s} overflows the int16 row counts"
-    k = min(k, s)
-
-    return pl.pallas_call(
-        functools.partial(_kernel16_masked, k),
-        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
-        grid=(b // TILE_ROWS,),
-        in_specs=[
-            pl.BlockSpec((TILE_ROWS, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TILE_ROWS, 1), lambda i: (i, 0)),
-        interpret=interpret,
-    )(h, mask.astype(jnp.int32))
+        return exact_kth_value_masked_pallas(h, mask[None, :], k)[:b]
+    return exact_kth_value_masked_pallas(h, mask[None, :], k)

@@ -20,7 +20,16 @@ Three mesh axes:
   step and inserts the cross-shard collectives, incl. the global top-k).
 
 Multi-host: call `init_distributed()` before any JAX op on each host of a pod
-slice; `jax.devices()` then spans the slice and the same mesh code works.
+slice; `jax.devices()` then spans the slice and the same mesh code works. The
+host-side contract is SPMD: every process runs the same program, each feeding
+its own per-process batch slice (`shard_batch` assembles them into one global
+array via `jax.make_array_from_process_local_data`), with the `data` mesh axis
+crossing process boundaries and `sweep`/`feature` staying within a host (the
+gradient all-reduce rides DCN; sweep/feature traffic stays on ICI). Host-only
+side effects (run dirs, wandb, checkpoints) happen on process 0 only
+(`is_primary`), and host-accumulated statistics cross processes via
+`global_sum`/`to_host`. Validated end to end by `__graft_entry__.
+dryrun_multihost` (N real processes over a Gloo-backed CPU fake pod).
 """
 
 import logging
@@ -69,6 +78,20 @@ def init_distributed(
     )
 
 
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_primary() -> bool:
+    """True on the process that owns host-side side effects (run dirs, wandb,
+    checkpoint writes). Always true single-process."""
+    return jax.process_index() == 0
+
+
 def make_mesh(
     n_devices: int | None = None, devices=None, *, sweep: int = 1,
     feature: int = 1,
@@ -80,6 +103,12 @@ def make_mesh(
     The `feature` axis shards the SAE latent dimension (d_sae) for very wide
     dictionaries — tensor parallelism over the one big axis SAEs have
     (SURVEY.md §2.8's suggested TPU-native extension).
+
+    Multi-host: `data` is the slowest axis over the process-ordered device
+    list, so it is the axis that crosses hosts. `sweep`/`feature` must fit
+    within each host (asserted): a cross-host sweep would require every host
+    in a replica group to feed IDENTICAL batch rows, which contradicts the
+    per-process loader partitioning (`shuffled.Config.rank/world`).
     """
     if devices is None:
         devices = jax.devices()
@@ -89,6 +118,14 @@ def make_mesh(
     assert n % (sweep * feature) == 0, (
         f"{n} devices not divisible by sweep={sweep} x feature={feature}"
     )
+    procs = {d.process_index for d in devices}
+    if len(procs) > 1:
+        per_proc = n // len(procs)
+        assert per_proc % (sweep * feature) == 0, (
+            f"sweep={sweep} x feature={feature} does not fit within one "
+            f"host's {per_proc} devices; the sweep/feature axes may not cross "
+            "process boundaries (batch rows are partitioned per process)."
+        )
     grid = np.asarray(devices).reshape(n // (sweep * feature), sweep, feature)
     return Mesh(grid, (DATA_AXIS, SWEEP_AXIS, FEATURE_AXIS))
 
@@ -113,8 +150,92 @@ def shard_batch(mesh: Mesh, batch: np.ndarray) -> jax.Array:
 
     The batch size must divide evenly by the mesh's data extent (the loaders'
     batch_size is controlled by config, so callers pick a multiple).
+
+    Multi-host: `batch` is this process's LOCAL slice — global_batch /
+    process_count rows off this host's partitioned loader — and the returned
+    array is the GLOBAL (global_batch, d) array assembled across processes
+    (each host's rows land on its own devices; no cross-host copy).
     """
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            batch_sharding(mesh), np.asarray(batch)
+        )
     return jax.device_put(batch, batch_sharding(mesh))
+
+
+def _place(x, sharding: NamedSharding):
+    """device_put that also works on multi-process meshes: each process
+    supplies its addressable shards from the (identical-on-every-host) host
+    value. Callers must guarantee cross-host value equality — `make_saes`
+    broadcasts datapoint-initialized params from process 0 for exactly this."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
+def broadcast_from_primary(tree):
+    """Replicate process 0's host pytree onto every process (identity when
+    single-process). Used to keep data-dependent initialization (datapoint
+    init reads the partitioned loader) identical across hosts."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return jax.tree.map(np.asarray, multihost_utils.broadcast_one_to_all(tree))
+
+
+def global_sum(values) -> np.ndarray:
+    """Element-wise sum of a small host array across processes (identity when
+    single-process). For host-side accumulators (eval f64 sums, token counts)
+    that each process builds from its local batch slices."""
+    if jax.process_count() == 1:
+        return np.asarray(values)
+    from jax.experimental import multihost_utils
+
+    stacked = multihost_utils.process_allgather(np.asarray(values))
+    return np.asarray(stacked).sum(axis=0)
+
+
+def global_min(values) -> np.ndarray:
+    """Element-wise min of a small host array across processes (identity when
+    single-process). For agreeing on a common iteration count when per-process
+    loader partitions are uneven (every process must run the same number of
+    collective-bearing steps)."""
+    if jax.process_count() == 1:
+        return np.asarray(values)
+    from jax.experimental import multihost_utils
+
+    stacked = multihost_utils.process_allgather(np.asarray(values))
+    return np.asarray(stacked).min(axis=0)
+
+
+def to_host(tree):
+    """Device pytree -> host numpy, multi-host-safe: leaves whose shards span
+    other processes are allgathered to their full global value first (e.g.
+    sweep/feature-sharded params at checkpoint time)."""
+    if jax.process_count() == 1:
+        return jax.tree.map(np.asarray, tree)
+    from jax.experimental import multihost_utils
+
+    def one(x):
+        if isinstance(x, jax.Array) and not (
+            x.is_fully_addressable or x.is_fully_replicated
+        ):
+            return np.asarray(multihost_utils.process_allgather(x))
+        return np.asarray(x)
+
+    return jax.tree.map(one, tree)
+
+
+def sync(name: str = "sync") -> None:
+    """Cross-process barrier (no-op single-process)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
 
 
 def shard_sweep(mesh: Mesh, tree):
@@ -132,8 +253,8 @@ def shard_sweep(mesh: Mesh, tree):
             and x.ndim >= 1
             and x.shape[0] % n_sweep == 0
         ):
-            return jax.device_put(x, shard)
-        return jax.device_put(x, repl)
+            return _place(x, shard)
+        return _place(x, repl)
 
     return jax.tree.map(place, tree)
 
@@ -141,7 +262,7 @@ def shard_sweep(mesh: Mesh, tree):
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree onto every device of the mesh."""
     sharding = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree.map(lambda x: _place(x, sharding), tree)
 
 
 def shard_features(mesh: Mesh, tree, d_sae: int):
@@ -175,7 +296,7 @@ def shard_features(mesh: Mesh, tree, d_sae: int):
                 break  # one latent dim per leaf
         while spec and spec[-1] is None:
             spec.pop()
-        return jax.device_put(x, NamedSharding(mesh, PartitionSpec(*spec)))
+        return _place(x, NamedSharding(mesh, PartitionSpec(*spec)))
 
     return jax.tree.map(place, tree)
 
@@ -185,11 +306,12 @@ def prefetch_to_device(iterator, mesh: Mesh, *, depth: int = 2, key: str = "act"
 
     Wraps a host batch iterator: batch i+1's `device_put` (async under JAX's
     dispatch model) is issued while step i computes, hiding host->HBM transfer
-    behind compute. Yields (device_array, host_batch) pairs.
+    behind compute. Yields (device_array, host_batch) pairs. Multi-host, the
+    iterator yields per-process local slices and the device array is global
+    (shard_batch).
     """
     import collections
 
-    sharding = batch_sharding(mesh)
     queue = collections.deque()
     it = iter(iterator)
 
@@ -198,7 +320,7 @@ def prefetch_to_device(iterator, mesh: Mesh, *, depth: int = 2, key: str = "act"
             batch = next(it)
         except StopIteration:
             return False
-        x = jax.device_put(np.asarray(batch[key]), sharding)
+        x = shard_batch(mesh, np.asarray(batch[key]))
         queue.append((x, batch))
         return True
 

@@ -129,3 +129,20 @@ class ParallelWandbRun:
             run.finish()
 
         return ids
+
+
+class NullParallelRun:
+    """ParallelWandbRun stand-in for non-primary processes in multi-host
+    training: the SPMD train loop calls log/set_summary/finish on every
+    process, but only process 0 may own run ids or write tracker files
+    (parallel.is_primary). finish() returns no ids, so run-dir creation
+    (keyed on ids) also skips on secondaries."""
+
+    def log(self, metrics: list[dict[str, object]], *, step: int) -> None:
+        pass
+
+    def set_summary(self, key: str, value: object) -> None:
+        pass
+
+    def finish(self) -> list[str]:
+        return []

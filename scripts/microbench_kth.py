@@ -90,35 +90,5 @@ def main():
 
 
 
-def bench_pallas16():
-    """Append: time the two-phase 16-bit kernel vs the production 32-pass."""
-    rng = np.random.default_rng(1)
-    xf = jnp.asarray(rng.normal(size=(B, S)).astype(np.float32))
-
-    # xf as an ARGUMENT (1 GB closure would 413 the dev tunnel; NOTES.md).
-    @jax.jit
-    def kth16_step(c, x):
-        out = pallas_topk.exact_kth_value_pallas16(x * (1 + 1e-12 * c), 32)
-        return out.ravel()[0]
-
-    @jax.jit
-    def kth32_step(c, x):
-        out = pallas_topk.exact_kth_value_pallas(x * (1 + 1e-12 * c), 32)
-        return out.ravel()[0]
-
-    t32 = chain_time(lambda c: kth32_step(c, xf))
-    t16 = chain_time(lambda c: kth16_step(c, xf))
-    print(f"kth 32-pass f32 bisection: {t32:7.2f} ms")
-    print(f"kth two-phase 16-bit:      {t16:7.2f} ms  ({t32 / t16:.2f}x)")
-    # on-chip parity spot check
-    a = np.asarray(pallas_topk.exact_kth_value_pallas(xf, 32))
-    b = np.asarray(pallas_topk.exact_kth_value_pallas16(xf, 32))
-    assert np.array_equal(a.view(np.uint32), b.view(np.uint32)), "PARITY FAIL"
-    print("on-chip bit parity ok")
-
-
 if __name__ == "__main__":
-    if "--p16" in sys.argv:
-        bench_pallas16()
-        raise SystemExit(0)
     main()

@@ -221,35 +221,3 @@ def test_masked_kth_cpu_fallback():
     np.testing.assert_array_equal(got, want)
 
 
-@given(adversarial_rows())
-@settings(max_examples=40, deadline=None)
-def test_pallas_kth16_bit_identical(case):
-    """The two-phase 16-bit kernel must match the 32-pass kernel BITWISE
-    (same order-statistic on the same keys) and numpy."""
-    h, k = case
-    got = np.asarray(
-        pallas_topk.exact_kth_value_pallas16(jnp.asarray(h), k, True)
-    ).reshape(-1)
-    ref = np.asarray(
-        pallas_topk.exact_kth_value_pallas(jnp.asarray(h), k, True)
-    ).reshape(-1)
-    np.testing.assert_array_equal(got.view(np.uint32), ref.view(np.uint32))
-    want = np.sort(h, axis=-1)[:, ::-1][:, k - 1]
-    np.testing.assert_array_equal(got, want)
-
-
-@given(adversarial_rows())
-@settings(max_examples=25, deadline=None)
-def test_pallas_kth16_masked_bit_identical(case):
-    h, k = case
-    rng = np.random.default_rng(len(h) + k)
-    mask = rng.random(h.shape[1]) < 0.5
-    mask[:1] = True  # never fully empty
-    hj, mj = jnp.asarray(h), jnp.asarray(mask)[None, :]
-    got = np.asarray(
-        pallas_topk.exact_kth_value_masked_pallas16(hj, mj, k, True)
-    ).reshape(-1)
-    ref = np.asarray(
-        pallas_topk.exact_kth_value_masked_pallas(hj, mj, k, True)
-    ).reshape(-1)
-    np.testing.assert_array_equal(got.view(np.uint32), ref.view(np.uint32))
