@@ -293,29 +293,8 @@ def matryoshka_loss(
     with the stats["aux_risk"] counter and a dense fallback step).
     """
     hp = hp or {}
-    enc, new_sae_state = modeling.encode(
-        sae_cfg, params, sae_state, x, training=training,
-        momentum=hp.get("momentum"), precision=precision,
-    )
-    bsz, d_sae = enc.f_x.shape
-
-    new_obj_state = obj_state
-    if training:
-        toks = obj_state["toks_since_active"]
-        # Liveness at bf16 resolution: the fused train path materializes
-        # f_x.astype(bf16) for the Pallas decode kernels, and reading THAT
-        # buffer (XLA CSEs the cast) halves this pass's HBM traffic vs
-        # re-deriving the mask from the f32 pre-activations (1.4 -> 0.7
-        # ms/step at the bench shape). Only f32 subnormals (< 1.2e-38) flush
-        # to zero in the cast — a latent "firing" below bf16 resolution is
-        # dead by any practical measure.
-        active = jnp.any(enc.f_x.astype(jnp.bfloat16) != 0, axis=0)
-        toks = jnp.minimum(toks + jnp.int32(bsz), _TOKS_CAP)
-        toks = jnp.where(active, jnp.zeros((), toks.dtype), toks)
-        dead_mask = toks >= obj_cfg.dead_threshold_tokens
-        new_obj_state = {**obj_state, "toks_since_active": toks}
-    else:
-        dead_mask = None
+    from .. import ops as _ops
+    from ..ops import matryoshka as _fused
 
     # Training at DEFAULT matmul precision uses the fused prefix-MSE
     # (custom VJP; Pallas grouped kernels on TPU — ops/matryoshka.py), which
@@ -332,11 +311,61 @@ def matryoshka_loss(
         and sae_cfg.d_sae % min(1024, sae_cfg.d_sae) == 0
         and (precision is None or precision == jax.lax.Precision.DEFAULT)
     )
-    if use_fused:
-        from ..ops import matryoshka as _fused
+    # On the TPU fused path with TopK, the activation + per-step statistics
+    # (bf16 latents for the decode kernels, liveness, L0, L1) come from ONE
+    # Pallas pass over the pre-activations (ops.topk_stats) — each XLA
+    # formulation re-reads the (batch, d_sae) tensor from HBM (~3.8 ms/step
+    # at the production shape, profiled round 5).
+    use_stats = (
+        use_fused
+        and isinstance(sae_cfg.activation, modeling.TopK)
+        and _fused._use_pallas(x.shape[0])
+    )
+    if use_stats:
+        h_x = modeling._linear_bias(
+            x, params["W_enc"], params["b_enc"],
+            precision or modeling.MATMUL_PRECISION,
+        )
+        st = _ops.topk_stats(h_x, sae_cfg.activation.top_k)
+        # API-compatible f32 latents for Output.f_x; the train step consumes
+        # only the losses, so XLA dead-code-eliminates this materialization.
+        f_api = jnp.where(h_x >= st.kth, h_x, jnp.zeros((), h_x.dtype))
+        enc = modeling.EncodeOut(h_x=h_x, f_x=f_api)
+        new_sae_state = sae_state
+    else:
+        st = None
+        enc, new_sae_state = modeling.encode(
+            sae_cfg, params, sae_state, x, training=training,
+            momentum=hp.get("momentum"), precision=precision,
+        )
+    bsz, d_sae = enc.f_x.shape
 
+    new_obj_state = obj_state
+    if training:
+        toks = obj_state["toks_since_active"]
+        # Liveness at bf16 resolution: the fused train path materializes
+        # f_x.astype(bf16) for the Pallas decode kernels, and reading THAT
+        # buffer (XLA CSEs the cast) halves this pass's HBM traffic vs
+        # re-deriving the mask from the f32 pre-activations (1.4 -> 0.7
+        # ms/step at the bench shape); the stats kernel folds the same
+        # bf16-resolution count into its single pass. Only f32 subnormals
+        # (< 1.2e-38) flush to zero in the cast — a latent "firing" below
+        # bf16 resolution is dead by any practical measure.
+        if st is not None:
+            active = st.live
+        else:
+            active = jnp.any(enc.f_x.astype(jnp.bfloat16) != 0, axis=0)
+        toks = jnp.minimum(toks + jnp.int32(bsz), _TOKS_CAP)
+        toks = jnp.where(active, jnp.zeros((), toks.dtype), toks)
+        dead_mask = toks >= obj_cfg.dead_threshold_tokens
+        new_obj_state = {**obj_state, "toks_since_active": toks}
+    else:
+        dead_mask = None
+
+    if use_fused:
         mse, xhat_full = _fused.prefix_mse(
-            params["W_dec"], params["b_dec"], enc.f_x, x, prefixes,
+            params["W_dec"], params["b_dec"],
+            st.f if st is not None else enc.f_x, x, prefixes,
             min(1024, sae_cfg.d_sae), precision,
         )
         xhat_full = jax.lax.stop_gradient(xhat_full)
@@ -386,7 +415,14 @@ def matryoshka_loss(
         else jnp.zeros((), jnp.int32)
     )
 
-    l1_full = jnp.abs(enc.f_x).sum(axis=1).mean(axis=0)
+    if st is not None:
+        # One-pass kernel statistics: l1 stays differentiable through the
+        # topk_stats custom VJP (sign(h)·mask); l0 is integer-valued in f32.
+        l1_full = st.l1[:, 0].mean(axis=0)
+        l0_full = st.l0[:, 0].astype(x.dtype).mean(axis=0)
+    else:
+        l1_full = jnp.abs(enc.f_x).sum(axis=1).mean(axis=0)
+        l0_full = (enc.f_x != 0).astype(x.dtype).sum(axis=1).mean(axis=0)
     if hp.get("sparsity_coeff") is not None and isinstance(
         sae_cfg.activation.sparsity, modeling.L1Sparsity
     ):
@@ -397,7 +433,7 @@ def matryoshka_loss(
     loss = MatryoshkaLoss(
         mse=mse,
         sparsity=sparsity,
-        l0=(enc.f_x != 0).astype(x.dtype).sum(axis=1).mean(axis=0),
+        l0=l0_full,
         l1=l1_full,
         aux=aux,
         n_dead=n_dead,

@@ -128,7 +128,10 @@ def _fwd_impl(w_dec, b_dec, f_x, x, prefixes, group_size, precision):
         )
         e = (base.astype(jnp.float32) + (b_dec - x)[None]).astype(_BF16)  # (J, B, D)
         loss = _loss_from_e(e, x)
-        return loss, xhat_nb + b_dec, (fb, wb, e, m, r)
+        # Zero-size dtype marker: the df cotangent must match the PRIMAL f_x
+        # dtype (bf16 when the TopK stats kernel feeds pre-cast latents, f32
+        # otherwise).
+        return loss, xhat_nb + b_dec, (fb, wb, e, m, r, jnp.zeros((0,), f_x.dtype))
 
     # XLA path: f32 static-slice matmuls (same algebra, autodiff-grade).
     parts = [
@@ -152,7 +155,7 @@ def _fwd_impl(w_dec, b_dec, f_x, x, prefixes, group_size, precision):
     rem = _rem_matmuls(f_x, w_dec, m, r, g, precision)
     e = base + rem + (b_dec - x)[None]
     loss = _loss_from_e(e, x)
-    return loss, xhat_full, (f_x, w_dec, e, m, r)
+    return loss, xhat_full, (f_x, w_dec, e, m, r, jnp.zeros((0,), f_x.dtype))
 
 
 def _fwd(w_dec, b_dec, f_x, x, prefixes, group_size, precision):
@@ -163,7 +166,7 @@ def _fwd(w_dec, b_dec, f_x, x, prefixes, group_size, precision):
 
 
 def _bwd(group_size, precision, res, cts):
-    f, w, e, m, r = res  # bf16 on the Pallas path, f32 on the XLA path
+    f, w, e, m, r, fdt = res  # f/w/e bf16 on the Pallas path, f32 on the XLA path
     t_loss, _t_xhat = cts  # xhat_full cotangent intentionally dropped (module doc)
 
     j_n, b, d_model = e.shape
@@ -186,7 +189,14 @@ def _bwd(group_size, precision, res, cts):
         # XLA einsum form materializes in a layout the kernels cannot consume
         # and costs a 1.07 GB relayout copy per step (profiled at 1.6 ms).
         scale_arr = jnp.asarray(scale, jnp.float32)
-        df, da = pk.grouped_matmul_dgrad(w, e, m, r, scale_arr, group_size=g)
+        # df emitted directly in the primal dtype: a bf16 primal (the TopK
+        # stats-kernel path) halves the dgrad write AND the encoder-gradient
+        # contraction's read, and is bitwise-equal downstream — the DEFAULT-
+        # precision dwb matmul casts its dh operand to bf16 anyway, and
+        # bf16(df)·mask == bf16(df·mask) for a 0/1 mask.
+        df, da = pk.grouped_matmul_dgrad(
+            w, e, m, r, scale_arr, group_size=g, df_dtype=fdt.dtype
+        )
         dw = pk.grouped_matmul_wgrad(f, da, e, m, r, scale_arr, group_size=g)
     else:
         mask = (
@@ -259,7 +269,10 @@ def _bwd(group_size, precision, res, cts):
     # x and prefixes are non-differentiable data inputs (int cotangents must
     # be float0 per the custom_vjp contract).
     dprefixes = np.zeros(m.shape, dtype=jax.dtypes.float0)
-    return dw, db_dec, df, jnp.zeros((b, d_model), jnp.float32), dprefixes
+    return (
+        dw, db_dec, df.astype(fdt.dtype),
+        jnp.zeros((b, d_model), jnp.float32), dprefixes,
+    )
 
 
 prefix_mse.defvjp(_fwd, _bwd)

@@ -197,7 +197,7 @@ def _dgrad_kernel(j_n, n_groups, m_ref, r_ref, w_ref, e_ref, scale_ref,
         da, w_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(df_ref.dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (bm, g), 1)
     for j in range(j_n):
         @pl.when(m_ref[j] == g_cur)
@@ -212,19 +212,25 @@ def _dgrad_kernel(j_n, n_groups, m_ref, r_ref, w_ref, e_ref, scale_ref,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            df_ref[:] += jnp.where(lane < r_ref[j], prod * scale_ref[0, 0], 0.0)
+            # Accumulate through the output ref; for a bf16 df this rounds
+            # twice on the <= J cut-group blocks only (the consumer casts to
+            # bf16 regardless — DEFAULT-precision matmul operands).
+            df_ref[:] = (
+                df_ref[:].astype(jnp.float32)
+                + jnp.where(lane < r_ref[j], prod * scale_ref[0, 0], 0.0)
+            ).astype(df_ref.dtype)
 
 
 def grouped_matmul_dgrad(
     w_bf16: Array, e_jbd: Array, m: Array, r: Array,
     scale: Array, *, group_size: int = 1024, block_rows: int = 256,
-    interpret: bool = False,
+    df_dtype=jnp.float32, interpret: bool = False,
 ) -> tuple[Array, Array]:
-    """(df, dA): df (B, d_sae) f32 and the group cotangent dA (B, G, D) bf16
-    — dA_G = scale * sum_j [G < m_j] E_j — both built from the weights
-    (d_sae, D) bf16 and the per-prefix error tensor E (J, B, D) bf16. The
-    per-prefix remainder contribution (scaled by the f32 scalar `scale`) is
-    folded into df. dA is emitted batch-major for `grouped_matmul_wgrad`."""
+    """(df, dA): df (B, d_sae) in `df_dtype` and the group cotangent dA
+    (B, G, D) bf16 — dA_G = scale * sum_j [G < m_j] E_j — both built from the
+    weights (d_sae, D) bf16 and the per-prefix error tensor E (J, B, D) bf16.
+    The per-prefix remainder contribution (scaled by the f32 scalar `scale`)
+    is folded into df. dA is emitted batch-major for `grouped_matmul_wgrad`."""
     b = e_jbd.shape[1]
     d_model = w_bf16.shape[1]
     g = group_size
@@ -265,7 +271,7 @@ def grouped_matmul_dgrad(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b, d_sae), jnp.float32),
+            jax.ShapeDtypeStruct((b, d_sae), df_dtype),
             jax.ShapeDtypeStruct((b, n_groups * d_model), e_jbd.dtype),
         ],
         interpret=interpret,

@@ -124,6 +124,112 @@ def kth_value(h: jax.Array, k: int) -> jax.Array:
     return exact_kth_value_pallas(h, k)
 
 
+def _kernel_stats(k: int, x_ref, kth_ref, f_ref, live_ref, l0_ref, l1_ref):
+    """Bisection kth + the TopK epilogue on the VMEM-resident tile.
+
+    The train step consumes four derived tensors whose XLA formulations each
+    re-read the 1 GB pre-activation tensor from HBM (profiled round 5:
+    compare_reduce_fusion 2.3 ms + abs_reduce_fusion 1.4 ms at the production
+    shape): f_bf16 = where(h >= kth, h, 0).astype(bf16) for the decode
+    kernels, per-latent liveness (bf16 resolution, nn/objectives.py), and
+    per-row L0/L1. All four fall out of the tile this kernel already stages
+    for the bisection, so emitting them here removes both follow-up passes.
+    """
+    x = x_ref[:]  # (TILE, S) f32 in VMEM
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    neg = (u >> 31) == 1
+    key = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
+
+    kf = jnp.float32(k)
+
+    def bit_step(i, cur):
+        bit = jnp.uint32(1) << (jnp.uint32(31) - jnp.uint32(i))
+        cand = cur | bit
+        count = jnp.sum((key >= cand).astype(jnp.float32), axis=1, keepdims=True)
+        return jnp.where(count >= kf, cand, cur)
+
+    cur = jax.lax.fori_loop(
+        0, 32, bit_step, jnp.zeros((x.shape[0], 1), jnp.uint32), unroll=32
+    )
+    was_nonneg = (cur >> 31) == 1
+    bits = jnp.where(was_nonneg, cur & jnp.uint32(0x7FFFFFFF), ~cur)
+    kth = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    kth_ref[:] = kth
+
+    mask = x >= kth  # threshold-mask TopK (nn/modeling.topk_activation)
+    f = jnp.where(mask, x, jnp.zeros((), x.dtype))
+    fb = f.astype(jnp.bfloat16)
+    f_ref[:] = fb
+    # Liveness at bf16 resolution — the exact semantics of the XLA pass this
+    # replaces (objectives.matryoshka_loss reads the bf16 decode buffer).
+    # Broadcast into an 8-row block: Mosaic rejects 1-row output blocks
+    # ((8, 128) divisibility); callers reduce with sum(axis=0) > 0 anyway.
+    live_ref[:] = jnp.broadcast_to(
+        jnp.sum((fb != jnp.bfloat16(0)).astype(jnp.float32), axis=0, keepdims=True),
+        live_ref.shape,
+    )
+    # L0 counts f != 0 (mask alone keeps boundary zeros when kth <= 0); L1 in
+    # f32 row sums — both match the XLA formulations they replace bit-for-bit
+    # up to reduction order (L0 is integer-valued, so exactly).
+    l0_ref[:] = jnp.sum(
+        (mask & (x != 0.0)).astype(jnp.float32), axis=1, keepdims=True
+    )
+    l1_ref[:] = jnp.sum(jnp.abs(f), axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def topk_stats_pallas(
+    h: jax.Array, k: int, tile_rows: int | None = None, interpret: bool = False
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """(kth (B,1) f32, f (B,S) bf16, live_partial (8·B/tile, S) f32,
+    l0 (B,1) f32, l1 (B,1) f32) — kth threshold plus TopK epilogue, one HBM
+    pass.
+
+    live_partial rows are per-row-tile counts of bf16-nonzero activations
+    (each tile's count broadcast over an 8-row block — Mosaic's minimum
+    output block); callers reduce over axis 0 (`live_partial.sum(0) > 0`).
+    B must be a multiple of TILE_ROWS (callers pad).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from . import _mosaic
+
+    b, s = h.shape
+    assert h.dtype == jnp.float32
+    assert b % TILE_ROWS == 0, f"batch {b} must be a multiple of {TILE_ROWS}"
+    k = min(k, s)
+    # 256-row tiles: the f32 input + bf16 output blocks double-buffer at
+    # 2*(4+2)*tile*S bytes = 48 MB. 512-row tiles fail to compile at the
+    # production shape (130.3 MB scoped VMEM > the 128 MB capacity — measured
+    # round 5, input window alone is 64 MB double-buffered).
+    tile = tile_rows or min(_tile_rows(b), 256)
+
+    kth, f, live, l0, l1 = pl.pallas_call(
+        functools.partial(_kernel_stats, k),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, s), jnp.bfloat16),
+            jax.ShapeDtypeStruct((8 * (b // tile), s), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ],
+        grid=(b // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile, s), lambda i: (i, 0)),
+            pl.BlockSpec((8, s), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _mosaic.vmem_params(tile, 0),
+    )(h)
+    return kth, f, live, l0, l1
+
+
 # Order-preserving key of float32 -inf: bits(-inf)=0xFF800000 is negative, so
 # key = ~bits = 0x007FFFFF. Masked-out columns take this key, making the
 # masked kth bit-identical to kth over where(mask, x, -inf).

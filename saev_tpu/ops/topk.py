@@ -19,6 +19,9 @@ slightly more than k entries — measured mean L0 of 32.02 for k=32). On CPU
 backends ApproxTopK falls back to exact top-k, so tests are deterministic.
 """
 
+import functools
+import typing
+
 import jax
 import jax.numpy as jnp
 
@@ -30,6 +33,74 @@ Array = jax.Array
 # no GSPMD partitioning rules, so a latent-sharded step must stay XLA-only
 # (same module-global pattern as nn.objectives.FUSED_ENABLED).
 FORCE_LAX = False
+
+
+class TopKStats(typing.NamedTuple):
+    """TopK activation plus the per-step statistics the train loop consumes,
+    computed in one pass (one HBM read of `h` on TPU — ops/pallas_topk.py
+    `_kernel_stats`; the separate XLA passes cost ~3.8 ms/step at the
+    production bench shape, profiled round 5)."""
+
+    kth: Array  # (B, 1) f32 exact k-th largest per row (non-differentiable)
+    f: Array    # (B, S) bf16 where(h >= kth, h, 0) — differentiable
+    live: Array  # (S,) bool: latent fired this batch (bf16 resolution)
+    l0: Array   # (B, 1) f32 per-row count of f != 0 (non-differentiable)
+    l1: Array   # (B, 1) f32 per-row sum |f| — differentiable
+
+
+def _topk_stats_xla(h: Array, k: int) -> TopKStats:
+    kth = exact_kth_value(jax.lax.stop_gradient(h), k)
+    mask = h >= kth
+    f32f = jnp.where(mask, h, jnp.zeros((), h.dtype))
+    f = f32f.astype(jnp.bfloat16)
+    live = jnp.any(f != 0, axis=0)
+    l0 = jnp.sum((mask & (h != 0)).astype(jnp.float32), axis=1, keepdims=True)
+    l1 = jnp.sum(jnp.abs(f32f), axis=1, keepdims=True)
+    return TopKStats(kth=kth, f=f, live=live, l0=l0, l1=l1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def topk_stats(h: Array, k: int) -> TopKStats:
+    """TopK threshold activation with fused statistics; (B, S) f32 input.
+
+    Differentiable in `f` and `l1` (the losses); `kth`/`live`/`l0` carry
+    stop-gradient semantics (the threshold is piecewise-constant in h, the
+    others are counts). On TPU this is one Pallas pass; elsewhere an XLA
+    composition with identical outputs.
+    """
+    from . import pallas_topk
+
+    k = min(k, h.shape[-1])
+    if FORCE_LAX or jax.default_backend() != "tpu" or h.dtype != jnp.float32:
+        return _topk_stats_xla(h, k)
+    b = h.shape[0]
+    pad = (-b) % pallas_topk.TILE_ROWS
+    hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
+    kth, f, live_p, l0, l1 = pallas_topk.topk_stats_pallas(hp, k)
+    # Padded zero rows contribute kth=0, f=0, live=0, l0=0, l1=0 — slicing the
+    # row outputs restores the unpadded result exactly.
+    return TopKStats(
+        kth=kth[:b], f=f[:b], live=live_p.sum(axis=0) > 0, l0=l0[:b], l1=l1[:b]
+    )
+
+
+def _topk_stats_fwd(h, k):
+    out = topk_stats(h, k)
+    return out, (h, out.kth)
+
+
+def _topk_stats_bwd(k, res, cts):
+    h, kth = res
+    # f = where(mask, h, 0) -> dh += t_f * mask;  l1 = sum|f| -> dh += t_l1 *
+    # sign(h) * mask. kth/live/l0 cotangents are zeros/float0 (stop-grad
+    # semantics) and are dropped. XLA fuses this into the encoder-gradient
+    # contraction (the mask re-derives from h + kth, both already live there).
+    mask = h >= kth
+    dh = jnp.where(mask, cts.f.astype(h.dtype) + cts.l1 * jnp.sign(h), 0.0)
+    return (dh,)
+
+
+topk_stats.defvjp(_topk_stats_fwd, _topk_stats_bwd)
 
 
 def exact_kth_value(h: Array, k: int) -> Array:

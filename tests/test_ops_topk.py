@@ -221,3 +221,72 @@ def test_masked_kth_cpu_fallback():
     np.testing.assert_array_equal(got, want)
 
 
+
+
+# ---------------------------------------------------------------------------
+# topk_stats: the fused TopK-epilogue kernel (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_topk_stats_kernel_interpret_matches_xla_composition():
+    """The Pallas stats kernel (kth + f_bf16 + liveness + L0/L1 in one pass)
+    must match the separate XLA formulations it replaces — exactly, except L1
+    which may differ in f32 reduction order."""
+    from saev_tpu.ops import topk as tk
+
+    rng = np.random.default_rng(0)
+    b, s, k = 64, 512, 32
+    h = rng.normal(size=(b, s)).astype(np.float32)
+    h[:, :5] = 0.0  # exact zeros exercise the l0 "f != 0" semantics
+    h[3] = -np.abs(h[3])  # an all-negative row puts kth < 0
+    hj = jnp.asarray(h)
+
+    kth, f, live_p, l0, l1 = pallas_topk.topk_stats_pallas(hj, k, 32, True)
+    ref = tk._topk_stats_xla(hj, k)
+    np.testing.assert_array_equal(np.asarray(kth), np.asarray(ref.kth))
+    np.testing.assert_array_equal(np.asarray(f), np.asarray(ref.f))
+    np.testing.assert_array_equal(
+        np.asarray(live_p).sum(axis=0) > 0, np.asarray(ref.live)
+    )
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(ref.l0))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(ref.l1), rtol=1e-6)
+
+
+def test_topk_stats_grad_matches_composition():
+    """The custom VJP (dh = (t_f + t_l1 sign(h)) * mask) must equal autodiff
+    through the explicit where/abs composition."""
+    from saev_tpu import ops
+
+    rng = np.random.default_rng(1)
+    b, s, k = 16, 128, 8
+    h = jnp.asarray(rng.normal(size=(b, s)).astype(np.float32))
+
+    def loss_stats(hh):
+        st = ops.topk_stats(hh, k)
+        return (st.f.astype(jnp.float32) ** 2).sum() * 0.5 + 3.0 * st.l1.mean()
+
+    def loss_ref(hh):
+        kth = jax.lax.stop_gradient(ops.exact_kth_value(hh, k))
+        ff = jnp.where(hh >= kth, hh, 0.0)
+        fb = ff.astype(jnp.bfloat16)
+        l1 = jnp.abs(ff).sum(axis=1, keepdims=True)
+        return (fb.astype(jnp.float32) ** 2).sum() * 0.5 + 3.0 * l1.mean()
+
+    g1 = jax.grad(loss_stats)(h)
+    g2 = jax.grad(loss_ref)(h)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_topk_stats_row_padding():
+    """Row counts that need TILE_ROWS padding slice back exactly."""
+    from saev_tpu import ops
+
+    rng = np.random.default_rng(2)
+    h = jnp.asarray(rng.normal(size=(13, 256)).astype(np.float32))
+    st = ops.topk_stats(h, 16)
+    ref = ops.topk.__dict__["_topk_stats_xla"](h, 16)
+    np.testing.assert_array_equal(np.asarray(st.kth), np.asarray(ref.kth))
+    np.testing.assert_array_equal(np.asarray(st.f), np.asarray(ref.f))
+    np.testing.assert_array_equal(np.asarray(st.live), np.asarray(ref.live))
+    np.testing.assert_array_equal(np.asarray(st.l0), np.asarray(ref.l0))
+    np.testing.assert_allclose(np.asarray(st.l1), np.asarray(ref.l1), rtol=1e-6)
