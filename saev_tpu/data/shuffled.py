@@ -60,6 +60,18 @@ class Config:
             parallelism: the trainer gives each host rank=process_index and
             batch_size=global_batch/world). `n_samples` counts only the owned
             shards' tokens.
+        descriptor_sampling: If True, the reservoir holds row *descriptors*
+            (example_idx, token_idx — 16 bytes) instead of copied rows, and
+            the consumer gathers sampled rows straight from refcounted shard
+            mmaps. This halves per-row memory traffic (ONE page-cache→batch
+            copy instead of page-cache→pool + pool→batch), roughly doubling
+            the single-core loader roofline (docs/performance.md). Tradeoff:
+            batch-assembly latency is coupled to the page cache — if sampled
+            pages were evicted between the producer's readahead and the
+            consumer's gather (memory pressure, slow disk), the gather blocks
+            on disk I/O, where the row pool would have absorbed it. Shuffle
+            semantics (uniform sampling from a `buffer_size`-batch pool) are
+            identical.
     """
 
     shards: pathlib.Path = pathlib.Path("$SAEV_SCRATCH/saev/shards/abcdefg")
@@ -79,6 +91,7 @@ class Config:
     use_tmpdir: bool = False
     rank: int = 0
     world: int = 1
+    descriptor_sampling: bool = False
 
     def __post_init__(self):
         assert 0 <= self.rank < self.world, (self.rank, self.world)
@@ -140,6 +153,69 @@ def _copy_shards_to_tmpdir(
     return dst_dpath
 
 
+class _ShardRegistry:
+    """Refcounted table of open shard mmaps for descriptor-sampling mode.
+
+    A shard's mmap must outlive every descriptor pointing into it. Producers
+    hold one reference while streaming a shard and add one per *published*
+    descriptor; the consumer drops one per gathered descriptor. The mmap is
+    opened lazily on the first acquire and closed when the count hits zero
+    (i.e. the producer finished the shard AND every sampled row was gathered).
+    All methods are thread-safe; the `np.memmap` handed out stays valid until
+    the caller's references are released.
+    """
+
+    def __init__(self, shards_path: pathlib.Path, shard_shape: tuple[int, ...]):
+        self._path = shards_path
+        self._shape = shard_shape
+        self._lock = threading.Lock()
+        self._mmaps: dict[int, np.memmap] = {}
+        self._refs: dict[int, int] = {}
+        self._closed = False
+
+    def acquire(self, shard_i: int, n: int = 1) -> np.memmap:
+        """Add `n` references to shard `shard_i`, opening its mmap if needed."""
+        with self._lock:
+            if self._closed:
+                raise buffers.BufferClosed("shard registry is closed")
+            mm = self._mmaps.get(shard_i)
+            if mm is None:
+                mm = np.memmap(
+                    self._path / f"acts{shard_i:06}.bin",
+                    mode="r", dtype=np.float32, shape=self._shape,
+                )
+                self._mmaps[shard_i] = mm
+                self._refs[shard_i] = 0
+            self._refs[shard_i] += n
+            return mm
+
+    def get(self, shard_i: int) -> np.memmap:
+        """The open mmap for a shard the caller already holds references to."""
+        with self._lock:
+            return self._mmaps[shard_i]
+
+    def release(self, shard_i: int, n: int = 1) -> None:
+        with self._lock:
+            if shard_i not in self._refs:  # close_all already ran
+                return
+            self._refs[shard_i] -= n
+            assert self._refs[shard_i] >= 0, (shard_i, self._refs[shard_i])
+            if self._refs[shard_i] == 0:
+                del self._refs[shard_i]
+                # Dropping the last array reference unmaps the file.
+                del self._mmaps[shard_i]
+
+    def n_open(self) -> int:
+        with self._lock:
+            return len(self._mmaps)
+
+    def close_all(self) -> None:
+        with self._lock:
+            self._closed = True
+            self._mmaps.clear()
+            self._refs.clear()
+
+
 def _io_worker(
     worker_id: int,
     cfg: Config,
@@ -151,9 +227,15 @@ def _io_worker(
     stop_event: threading.Event,
     err_queue: "queue.Queue[tuple[str, str]]",
     labels_mmap: np.memmap | None = None,
+    registry: "_ShardRegistry | None" = None,
 ):
     """Pull shard indices from the work queue, mmap each shard, and stream
     (example-chunk × token) activation slices into the reservoir.
+
+    With `registry` set (descriptor-sampling mode), no activation bytes are
+    copied here: the worker publishes (example_idx, token_idx) descriptors,
+    holds registry references for them, and relies on the native readahead
+    hints to warm the page cache ahead of the consumer's gather.
 
     Mirrors reference shuffled.py:132-291.
     """
@@ -172,6 +254,7 @@ def _io_worker(
 
     chunk_size = min(1024, math.ceil(cfg.batch_size * cfg.buffer_size / cfg.n_threads))
     reason = ""
+    producer_hold: int | None = None  # shard whose registry ref this worker holds
 
     while not stop_event.is_set():
         try:
@@ -185,9 +268,18 @@ def _io_worker(
         try:
             fname = f"acts{shard_i:06}.bin"
             ex_i_offset = shard_i * md.examples_per_shard
-            mmap = np.memmap(
-                shards_path / fname, mode="r", dtype=np.float32, shape=md.shard_shape
-            )
+            if registry is not None:
+                # Producer hold: keeps the mmap open while this shard streams;
+                # released when the shard's last span is published (or on any
+                # exit path below). Per-descriptor references then keep the
+                # mmap alive until the consumer gathers the rows.
+                mmap = registry.acquire(shard_i, 1)
+                producer_hold = shard_i
+            else:
+                mmap = np.memmap(
+                    shards_path / fname,
+                    mode="r", dtype=np.float32, shape=md.shard_shape,
+                )
             # Native readahead hints (saev_tpu/data/_native): advise the kernel
             # the scan is sequential and prefetch chunk i+1's byte span while
             # chunk i streams into the reservoir. No-ops without the toolchain.
@@ -224,14 +316,21 @@ def _io_worker(
                         valid = np.where(mask)[0]
                         if len(valid) == 0:
                             continue
-                        # Fancy indexing already materializes a copy here.
-                        rows = mmap[start + valid, layer_i, token_idx]
+                        # Fancy indexing materializes a copy (pool mode only —
+                        # descriptor mode must not fault the data pages here).
+                        rows = (
+                            None if registry is not None
+                            else mmap[start + valid, layer_i, token_idx]
+                        )
                         example_idx = ex_i_offset + start + valid
                         token_col = np.full(len(valid), t, dtype=np.int64)
                     else:
                         # Strided VIEW into the mmap: the only copy happens
                         # below, page cache -> reserved pool slots.
-                        rows = mmap[start:end, layer_i, token_idx]
+                        rows = (
+                            None if registry is not None
+                            else mmap[start:end, layer_i, token_idx]
+                        )
                         example_idx = np.arange(
                             ex_i_offset + start, ex_i_offset + end, dtype=np.int64
                         )
@@ -248,12 +347,18 @@ def _io_worker(
                     # reserve/fill/commit: rows land in the reservoir with ONE
                     # memcpy (page cache -> pool), outside the buffer lock —
                     # the 1-core ceiling is memcpy-bound (docs/performance.md).
+                    # Descriptor mode copies no activation bytes at all: the
+                    # slots carry only (example_idx, token_idx), each backed by
+                    # one registry reference until the consumer gathers it.
                     total, done = len(example_idx), 0
                     while done < total:
                         slot_ids = reservoir.reserve(total - done)
                         fit = len(slot_ids)
+                        if registry is not None:
+                            registry.acquire(shard_i, fit)
                         try:
-                            reservoir.acts[slot_ids] = rows[done : done + fit]
+                            if rows is not None:
+                                reservoir.acts[slot_ids] = rows[done : done + fit]
                             reservoir.meta["example_idx"][slot_ids] = example_idx[
                                 done : done + fit
                             ]
@@ -261,6 +366,8 @@ def _io_worker(
                                 done : done + fit
                             ]
                         except BaseException:
+                            if registry is not None:
+                                registry.release(shard_i, fit)
                             reservoir.cancel(slot_ids)
                             raise
                         try:
@@ -268,13 +375,19 @@ def _io_worker(
                         except buffers.BufferClosed:
                             # Keep slot conservation if the buffer closed
                             # between reserve and commit.
+                            if registry is not None:
+                                registry.release(shard_i, fit)
                             reservoir.cancel(slot_ids)
                             raise
                         done += fit
                     t1 = time.perf_counter()
 
                     n_reads += 1
-                    bytes_sent += rows.nbytes + example_idx.nbytes + token_col.nbytes
+                    row_bytes = (
+                        rows.nbytes if rows is not None
+                        else len(example_idx) * md.d_model * 4
+                    )
+                    bytes_sent += row_bytes + example_idx.nbytes + token_col.nbytes
 
                     now = time.time()
                     if cfg.debug and now - t_last_report >= cfg.log_every_s:
@@ -301,6 +414,10 @@ def _io_worker(
             err_queue.put((f"worker{worker_id}", traceback.format_exc()))
             reason = f"exception:{type(err).__name__}"
             break
+        finally:
+            if producer_hold is not None and registry is not None:
+                registry.release(producer_hold, 1)
+                producer_hold = None
 
     if not reason:
         reason = "stop_event_set" if stop_event.is_set() else "loop_exhausted"
@@ -320,6 +437,7 @@ def _manager_main(
     stop_event: threading.Event,
     err_queue: "queue.Queue[tuple[str, str]]",
     labels_mmap: np.memmap | None = None,
+    registry: "_ShardRegistry | None" = None,
 ):
     """Manager thread: permutes shard order with a seeded RNG and runs I/O workers.
 
@@ -383,6 +501,7 @@ def _manager_main(
                     stop_event,
                     err_queue,
                     labels_mmap,
+                    registry,
                 ),
                 daemon=True,
                 name=f"shuffled-io-{i}",
@@ -426,6 +545,7 @@ class DataLoader:
 
         self.manager_thread: threading.Thread | None = None
         self.reservoir: buffers.ReservoirBuffer | None = None
+        self.registry: _ShardRegistry | None = None
         self.stop_event: threading.Event | None = None
         self.err_queue: "queue.Queue[tuple[str, str]] | None" = None
         self._last_reservoir_fill: float | None = None
@@ -484,10 +604,18 @@ class DataLoader:
             return
 
         self.logger.info("Starting manager thread.")
+        # Descriptor mode: zero-width act slots — the reservoir shuffles
+        # 16-byte (example_idx, token_idx) descriptors and the consumer
+        # gathers rows straight from the registry's mmaps in __iter__.
         self.reservoir = buffers.ReservoirBuffer(
             self.cfg.buffer_size * self.cfg.batch_size,
-            self.metadata.d_model,
+            0 if self.cfg.descriptor_sampling else self.metadata.d_model,
             seed=self.cfg.seed,
+        )
+        self.registry = (
+            _ShardRegistry(self._shards_path, self.metadata.shard_shape)
+            if self.cfg.descriptor_sampling
+            else None
         )
         self.stop_event = threading.Event()
         self.err_queue = queue.Queue(maxsize=self.cfg.n_threads + 1)
@@ -514,11 +642,47 @@ class DataLoader:
                 self.stop_event,
                 self.err_queue,
                 labels_mmap,
+                self.registry,
             ),
             daemon=True,
             name="shuffled-manager",
         )
         self.manager_thread.start()
+
+    def _gather_descriptors(
+        self, meta: dict[str, np.ndarray]
+    ) -> tuple[np.ndarray, dict[str, np.ndarray]]:
+        """Assemble the act batch for sampled descriptors with ONE copy, page
+        cache → batch: rows are sorted by shard (meta is permuted to match —
+        row order within a shuffled batch is arbitrary) and each shard's run
+        is gathered by `np.take(..., out=act[lo:hi], mode="clip")` straight
+        from the mmap's flat 2-D row view. mode="clip" skips numpy's buffered
+        bounds-checking path — measured 8.0 GB/s vs 2.7 GB/s for the
+        temp+scatter formulation (descriptors are producer-validated, so the
+        bounds semantics don't differ). Releases the per-descriptor registry
+        references afterwards."""
+        assert self.registry is not None
+        md = self.metadata
+        layer_i = md.layers.index(self.cfg.layer)
+        shard_col = meta["example_idx"] // md.examples_per_shard
+        order = np.argsort(shard_col, kind="stable")
+        shard_col = shard_col[order]
+        meta = {name: col[order] for name, col in meta.items()}
+        ex_row = meta["example_idx"] % md.examples_per_shard
+        tok = meta["token_idx"] + int(md.cls_token)
+        # Flat row index into the (ex·layers·tokens, d_model) view of a shard.
+        _, n_layers, n_tok, _ = md.shard_shape
+        flat = (ex_row * n_layers + layer_i) * n_tok + tok
+        act = np.empty((len(flat), md.d_model), dtype=np.float32)
+        bounds = np.flatnonzero(np.diff(shard_col)) + 1
+        lo = 0
+        for hi in (*bounds.tolist(), len(flat)):
+            shard_i = int(shard_col[lo])
+            mm = self.registry.get(shard_i).reshape(-1, md.d_model)
+            np.take(mm, flat[lo:hi], axis=0, out=act[lo:hi], mode="clip")
+            self.registry.release(shard_i, hi - lo)
+            lo = hi
+        return act, meta
 
     def __iter__(self) -> collections.abc.Iterator[ExampleBatch]:
         """Yields batches until n_samples have been produced."""
@@ -540,6 +704,8 @@ class DataLoader:
                     act, meta = self.reservoir.get(
                         need, timeout=self.cfg.batch_timeout_s
                     )
+                    if self.registry is not None:
+                        act, meta = self._gather_descriptors(meta)
                     if b == 0:
                         guards.check(
                             "act", act, ndim=2, last_dim=self.metadata.d_model,
@@ -591,9 +757,13 @@ class DataLoader:
             self.manager_thread.join(timeout=5.0)
             if self.manager_thread.is_alive():
                 self.logger.warning("Manager thread did not shut down cleanly.")
+        if self.registry is not None:
+            # After stop+join no thread touches the mmaps; drop them all.
+            self.registry.close_all()
 
         self.manager_thread = None
         self.reservoir = None
+        self.registry = None
         self.stop_event = None
         self.err_queue = None
         self._last_reservoir_fill = None

@@ -60,7 +60,9 @@ def write_shards(root: pathlib.Path, total_gb: float) -> pathlib.Path:
     return root / md.hash
 
 
-def measure(shards_dir: pathlib.Path, n_threads: int, uncap: bool) -> dict:
+def measure(
+    shards_dir: pathlib.Path, n_threads: int, uncap: bool, descriptors: bool = False
+) -> dict:
     from saev_tpu.data import shuffled
 
     if uncap:
@@ -74,6 +76,7 @@ def measure(shards_dir: pathlib.Path, n_threads: int, uncap: bool) -> dict:
             n_threads=n_threads,
             buffer_size=16,
             seed=3,
+            descriptor_sampling=descriptors,
         )
         dl = shuffled.DataLoader(cfg)
         t0 = time.perf_counter()
@@ -108,16 +111,18 @@ def main():
         int(sys.argv[sys.argv.index("--trials") + 1]) if "--trials" in sys.argv else 3
     )
     rows = []
-    for n in (1, 2, 4):
-        best = None
-        for _ in range(trials):
-            r = measure(shards_dir, n, uncap)
-            if best is None or r["mb_per_s"] > best["mb_per_s"]:
-                best = r
-        best["capped"] = not uncap and n > (os.cpu_count() or 1)
-        best["trials"] = trials
-        rows.append(best)
-        print(json.dumps(best), flush=True)
+    for descriptors in (False, True):
+        for n in (1, 2, 4):
+            best = None
+            for _ in range(trials):
+                r = measure(shards_dir, n, uncap, descriptors)
+                if best is None or r["mb_per_s"] > best["mb_per_s"]:
+                    best = r
+            best["capped"] = not uncap and n > (os.cpu_count() or 1)
+            best["trials"] = trials
+            best["descriptor_sampling"] = descriptors
+            rows.append(best)
+            print(json.dumps(best), flush=True)
 
     out = pathlib.Path(__file__).resolve().parent.parent / "docs"
     out.mkdir(exist_ok=True)
@@ -125,10 +130,13 @@ def main():
         json.dumps({"cores": os.cpu_count(), "uncap": uncap, "rows": rows}, indent=2)
     )
     print(f"\ncores={os.cpu_count()} uncap={uncap}")
-    print("| threads | MB/s | patches/s |")
-    print("|---|---|---|")
+    print("| threads | descriptors | MB/s | patches/s |")
+    print("|---|---|---|---|")
     for r in rows:
-        print(f"| {r['n_threads']} | {r['mb_per_s']} | {r['patches_per_s']:.0f} |")
+        print(
+            f"| {r['n_threads']} | {r['descriptor_sampling']} "
+            f"| {r['mb_per_s']} | {r['patches_per_s']:.0f} |"
+        )
 
     import shutil
 

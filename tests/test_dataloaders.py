@@ -136,6 +136,88 @@ class TestShuffled:
         assert first_epoch_order(7) == first_epoch_order(7)
 
 
+class TestDescriptorSampling:
+    """descriptor_sampling=True: the reservoir shuffles (example_idx,
+    token_idx) descriptors and the consumer gathers rows from refcounted
+    shard mmaps — one page-cache→batch copy (docs/performance.md)."""
+
+    def test_covers_every_token_with_correct_rows(self, shards_dir, ref_acts):
+        cfg = shuffled.Config(
+            shards=shards_dir, layer=1, batch_size=64, n_threads=2,
+            buffer_size=4, descriptor_sampling=True,
+        )
+        dl = shuffled.DataLoader(cfg)
+        seen = set()
+        for b in dl:
+            assert b["act"].dtype == np.float32
+            for e, t, act in zip(b["example_idx"], b["token_idx"], b["act"]):
+                key = (int(e), int(t))
+                assert key not in seen
+                seen.add(key)
+                np.testing.assert_array_equal(act, ref_acts[e * 16 + t])
+        assert len(seen) == 160
+
+    def test_same_epoch_as_pool_mode(self, shards_dir):
+        """Both modes deliver the identical full epoch — same (example_idx,
+        token_idx) multiset with byte-identical act rows. (Per-BATCH contents
+        are not comparable across modes: sampling draws from whatever the
+        producers have published at draw time, and descriptor producers run
+        far ahead of copying ones.)"""
+        def epoch(descriptor_sampling):
+            cfg = shuffled.Config(
+                shards=shards_dir, layer=1, batch_size=40, n_threads=1,
+                buffer_size=4, seed=11, descriptor_sampling=descriptor_sampling,
+            )
+            es, ts, acts = [], [], []
+            for b in shuffled.DataLoader(cfg):
+                es.append(b["example_idx"]); ts.append(b["token_idx"])
+                acts.append(b["act"].copy())
+            e, t = np.concatenate(es), np.concatenate(ts)
+            a = np.concatenate(acts)
+            key = np.lexsort((t, e))
+            return e[key], t[key], a[key]
+
+        (pe, pt, pa), (de, dt, da) = epoch(False), epoch(True)
+        np.testing.assert_array_equal(pe, de)
+        np.testing.assert_array_equal(pt, dt)
+        np.testing.assert_array_equal(pa, da)
+
+    def test_registry_drains_to_empty(self, shards_dir):
+        cfg = shuffled.Config(
+            shards=shards_dir, layer=0, batch_size=32, n_threads=2,
+            buffer_size=4, descriptor_sampling=True,
+        )
+        dl = shuffled.DataLoader(cfg)
+        it = iter(dl)
+        next(it)
+        assert dl.registry is not None and dl.registry.n_open() >= 1
+        for _ in it:
+            pass
+        # __iter__'s finally ran shutdown: registry torn down.
+        assert dl.registry is None
+
+    def test_label_filtering(self, tmp_path):
+        seg_dir = conftest.write_shards(tmp_path, n_examples=6, seg=True)
+        cfg = shuffled.Config(
+            shards=seg_dir, layer=1, batch_size=16, n_threads=2,
+            ignore_labels=[0], descriptor_sampling=True,
+        )
+        dl = shuffled.DataLoader(cfg)
+        md = shards.Metadata.load(seg_dir)
+        labels = np.array(
+            np.memmap(
+                seg_dir / "labels.bin", mode="r", dtype=np.uint8,
+                shape=(md.n_examples, md.content_tokens_per_example),
+            )
+        )
+        got = 0
+        for b in dl:
+            got += len(b["act"])
+            for e, t in zip(b["example_idx"], b["token_idx"]):
+                assert labels[int(e), int(t)] != 0
+        assert got == dl.n_samples == int((labels != 0).sum())
+
+
 class TestOrdered:
     def test_strict_order_and_content(self, shards_dir, ref_acts):
         cfg = ordered.Config(shards=shards_dir, layer=1, batch_size=48)
