@@ -560,10 +560,12 @@ def make_train_step(
         "dimension and the sharding saves no memory."
     )
     precision = modeling.PRECISIONS[matmul_precision]
-    if feature_parallel > 1:
+    if feature_parallel > 1 or sweep_parallel > 1:
         logger.info(
-            "feature_parallel=%d: Pallas kernels disabled inside this step "
-            "(pure-XLA trace so GSPMD can shard d_sae).", feature_parallel,
+            "feature_parallel=%d sweep_parallel=%d: Pallas kernels disabled "
+            "inside this step (pure-XLA trace so GSPMD can shard the latent/"
+            "sweep axes; the data axis alone keeps kernels via shard_map).",
+            feature_parallel, sweep_parallel,
         )
 
     def loss_one(
@@ -576,10 +578,14 @@ def make_train_step(
             precision=precision,
             any_dead=any_dead,
             aux_subspace_cap=aux_subspace_cap,
-            # Pallas custom-call kernels have no GSPMD partitioning rules; a
-            # feature-sharded step must stay pure-XLA so the partitioner can
-            # slice the latent dimension instead of replicating it.
-            allow_fused=feature_parallel == 1,
+            # Pallas custom-call kernels have no GSPMD partitioning rules.
+            # Data-sharded batches keep the kernels via explicit shard_map
+            # regions (ops/shmap.py, installed below); the feature- and
+            # sweep-sharded axes have no manual-SPMD wrapping (kth over a
+            # latent-sharded row needs a distributed combine; a sweep-sharded
+            # vmap dim would be all-gathered at the region boundary), so those
+            # steps stay pure-XLA for the partitioner.
+            allow_fused=feature_parallel == 1 and sweep_parallel == 1,
         )
         return loss, out, s1, s2
 
@@ -676,8 +682,22 @@ def make_train_step(
         return new_ts, stats
 
     jitted = jax.jit(step, donate_argnums=(0,))
-    if feature_parallel == 1:
-        return jitted
+    if feature_parallel == 1 and sweep_parallel == 1:
+        if mesh is None or mesh.shape.get(parallel.DATA_AXIS, 1) == 1:
+            return jitted
+
+        # Multi-device data parallelism: declare the batch sharding for the
+        # Pallas dispatch layer (trace-time, like FORCE_LAX below) so every
+        # kernel call is wrapped in a shard_map region over the data axis —
+        # GSPMD cannot partition tpu_custom_call and would otherwise
+        # replicate the global batch onto every chip.
+        from ..ops import shmap as _shmap
+
+        def dp_step(ts, x, prefixes, hp):
+            with _shmap.batch_sharded(mesh, (parallel.DATA_AXIS,)):
+                return jitted(ts, x, prefixes, hp)
+
+        return dp_step
 
     # FORCE_LAX is a trace-time switch; scope it to THIS step's calls (the
     # trace happens inside the first call) instead of flipping the module

@@ -48,13 +48,26 @@ _BF16 = jnp.bfloat16
 
 
 def _use_pallas(b: int | None = None) -> bool:
-    """The Pallas path needs a real TPU backend (Mosaic); CPU tests and the
-    virtual-device mesh fall back to the XLA custom-VJP path. The kernels tile
-    rows in 256-row blocks, so odd batch sizes also fall back (production
-    batches are powers of two; the XLA path is correct for any shape)."""
-    if jax.default_backend() != "tpu":
+    """The Pallas path needs a real TPU backend (Mosaic; or the interpreter
+    under the `shmap.INTERPRET` test hook); CPU tests and the virtual-device
+    mesh fall back to the XLA custom-VJP path. The kernels tile rows in
+    256-row blocks, so odd batch sizes also fall back (production batches are
+    powers of two; the XLA path is correct for any shape). Under an active
+    `shmap` batch-sharding context the tiling constraint applies to the
+    PER-SHARD row count (each shard runs the kernel on its slice)."""
+    from . import shmap
+
+    if jax.default_backend() != "tpu" and not shmap.INTERPRET:
         return False
-    return b is None or b % 256 == 0
+    if b is None:
+        return True
+    ns = shmap.n_shards()
+    if b % ns:
+        return False
+    local = b // ns
+    # Interpret mode (CPU tests) has no Mosaic block constraints; 8-row
+    # granularity keeps the BlockSpecs valid at tiny test shapes.
+    return local % (8 if shmap.INTERPRET else 256) == 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -117,15 +130,23 @@ def _fwd_impl(w_dec, b_dec, f_x, x, prefixes, group_size, precision):
 
     if _use_pallas(b):
         from . import pallas_matryoshka as pk
+        from . import shmap
 
         fb = f_x.astype(_BF16)
         wb = w_dec.astype(_BF16)
         # base includes the sub-group remainder (folded into the kernel) and
         # is stored bf16: E is consumed bf16 anyway, and the smaller snapshot
         # scratch keeps the kernel under the VMEM double-buffering budget.
-        base, xhat_nb = pk.grouped_prefix_base(
-            fb, wb, m, r, group_size=g, base_dtype=_BF16
+        # Row-parallel under batch sharding: each shard decodes its rows with
+        # the replicated weights (shmap.shard_rows is identity off-mesh).
+        base_call = shmap.shard_rows(
+            lambda ff, ww, mm, rr: pk.grouped_prefix_base(
+                ff, ww, mm, rr, group_size=g, base_dtype=_BF16,
+                interpret=shmap.INTERPRET,
+            ),
+            in_batch_dims=(0, None, None, None), out_batch_dims=(1, 0),
         )
+        base, xhat_nb = base_call(fb, wb, m, r)
         e = (base.astype(jnp.float32) + (b_dec - x)[None]).astype(_BF16)  # (J, B, D)
         loss = _loss_from_e(e, x)
         # Zero-size dtype marker: the df cotangent must match the PRIMAL f_x
@@ -181,6 +202,7 @@ def _bwd(group_size, precision, res, cts):
     # bf16 (its kernels consume them), XLA-path residuals are f32.
     if e.dtype == _BF16:
         from . import pallas_matryoshka as pk
+        from . import shmap
 
         # Remainder gradients are folded into the kernels (predicated in-kernel
         # DMA of E_j row slices); no XLA-side scatter machinery. The group
@@ -194,10 +216,26 @@ def _bwd(group_size, precision, res, cts):
         # contraction's read, and is bitwise-equal downstream — the DEFAULT-
         # precision dwb matmul casts its dh operand to bf16 anyway, and
         # bf16(df)·mask == bf16(df·mask) for a 0/1 mask.
-        df, da = pk.grouped_matmul_dgrad(
-            w, e, m, r, scale_arr, group_size=g, df_dtype=fdt.dtype
+        # Under batch sharding: dgrad is row-parallel (df/dA live with their
+        # rows); wgrad's dW = f^T @ dA reduces over the batch, so each shard's
+        # partial is psum'd over the batch axes inside the region — the same
+        # all-reduce GSPMD would insert for the XLA formulation.
+        dgrad_call = shmap.shard_rows(
+            lambda ww, ee, mm, rr, sc: pk.grouped_matmul_dgrad(
+                ww, ee, mm, rr, sc, group_size=g, df_dtype=fdt.dtype,
+                interpret=shmap.INTERPRET,
+            ),
+            in_batch_dims=(None, 1, None, None, None), out_batch_dims=(0, 0),
         )
-        dw = pk.grouped_matmul_wgrad(f, da, e, m, r, scale_arr, group_size=g)
+        df, da = dgrad_call(w, e, m, r, scale_arr)
+        wgrad_call = shmap.shard_rows(
+            lambda ff, dd, ee, mm, rr, sc: pk.grouped_matmul_wgrad(
+                ff, dd, ee, mm, rr, sc, group_size=g, interpret=shmap.INTERPRET,
+            ),
+            in_batch_dims=(0, 0, 1, None, None, None), out_batch_dims=(None,),
+            psum_outs=(0,),
+        )
+        dw = wgrad_call(f, da, e, m, r, scale_arr)
     else:
         mask = (
             jnp.arange(n_groups, dtype=jnp.int32)[None, :] < m[:, None]

@@ -114,14 +114,23 @@ def kth_value(h: jax.Array, k: int) -> jax.Array:
     2-per-lane) was prototyped and deleted: Mosaic on v5e has no 16-bit
     compare or 16-bit reduction lowering at all (probed op-by-op 2026-08-18;
     docs/performance.md "Round-4 negative results")."""
-    if jax.default_backend() != "tpu" or h.ndim != 2 or h.dtype != jnp.float32:
+    from . import shmap
+
+    if (
+        (jax.default_backend() != "tpu" and not shmap.INTERPRET)
+        or h.ndim != 2
+        or h.dtype != jnp.float32
+    ):
         return jax.lax.top_k(h, min(k, h.shape[-1]))[0][..., -1:]
     b = h.shape[0]
-    pad = (-b) % TILE_ROWS
-    if pad:
-        h_padded = jnp.pad(h, ((0, pad), (0, 0)))
-        return exact_kth_value_pallas(h_padded, k)[:b]
-    return exact_kth_value_pallas(h, k)
+    quantum = TILE_ROWS * shmap.n_shards()
+    pad = (-b) % quantum
+    hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
+    call = shmap.shard_rows(
+        lambda hh: exact_kth_value_pallas(hh, k, shmap.INTERPRET),
+        in_batch_dims=(0,), out_batch_dims=(0,),
+    )
+    return call(hp)[:b]
 
 
 def _kernel_stats(k: int, x_ref, kth_ref, f_ref, live_ref, l0_ref, l1_ref):
@@ -300,12 +309,21 @@ def kth_value_masked(h: jax.Array, mask: jax.Array, k: int) -> jax.Array:
     """Exact k-th largest of where(mask, h, -inf); mask is (S,) bool shared
     across rows. Pallas on TPU, lax.top_k on the materialized tensor
     elsewhere."""
-    if jax.default_backend() != "tpu" or h.ndim != 2 or h.dtype != jnp.float32:
+    from . import shmap
+
+    if (
+        (jax.default_backend() != "tpu" and not shmap.INTERPRET)
+        or h.ndim != 2
+        or h.dtype != jnp.float32
+    ):
         masked = jnp.where(mask[None, :], h, jnp.array(-jnp.inf, h.dtype))
         return jax.lax.top_k(masked, min(k, h.shape[-1]))[0][..., -1:]
     b = h.shape[0]
-    pad = (-b) % TILE_ROWS
-    if pad:
-        h = jnp.pad(h, ((0, pad), (0, 0)))
-        return exact_kth_value_masked_pallas(h, mask[None, :], k)[:b]
-    return exact_kth_value_masked_pallas(h, mask[None, :], k)
+    quantum = TILE_ROWS * shmap.n_shards()
+    pad = (-b) % quantum
+    hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
+    call = shmap.shard_rows(
+        lambda hh, mm: exact_kth_value_masked_pallas(hh, mm, k, shmap.INTERPRET),
+        in_batch_dims=(0, None), out_batch_dims=(0,),
+    )
+    return call(hp, mask[None, :])[:b]

@@ -68,15 +68,27 @@ def topk_stats(h: Array, k: int) -> TopKStats:
     others are counts). On TPU this is one Pallas pass; elsewhere an XLA
     composition with identical outputs.
     """
-    from . import pallas_topk
+    from . import pallas_topk, shmap
 
     k = min(k, h.shape[-1])
-    if FORCE_LAX or jax.default_backend() != "tpu" or h.dtype != jnp.float32:
+    if (
+        FORCE_LAX
+        or (jax.default_backend() != "tpu" and not shmap.INTERPRET)
+        or h.dtype != jnp.float32
+    ):
         return _topk_stats_xla(h, k)
     b = h.shape[0]
-    pad = (-b) % pallas_topk.TILE_ROWS
+    # Pad so every batch shard is a whole number of row tiles (the kernel is
+    # row-parallel; under an active shmap context it runs per-shard on its
+    # slice of the batch).
+    quantum = pallas_topk.TILE_ROWS * shmap.n_shards()
+    pad = (-b) % quantum
     hp = jnp.pad(h, ((0, pad), (0, 0))) if pad else h
-    kth, f, live_p, l0, l1 = pallas_topk.topk_stats_pallas(hp, k)
+    call = shmap.shard_rows(
+        lambda hh: pallas_topk.topk_stats_pallas(hh, k, None, shmap.INTERPRET),
+        in_batch_dims=(0,), out_batch_dims=(0, 0, 0, 0, 0),
+    )
+    kth, f, live_p, l0, l1 = call(hp)
     # Padded zero rows contribute kth=0, f=0, live=0, l0=0, l1=0 — slicing the
     # row outputs restores the unpadded result exactly.
     return TopKStats(
