@@ -17,13 +17,13 @@ RUNS_ROOT = os.path.join(os.environ.get("SAEV_NFS", "."), "saev", "runs")
 
 
 def make_cfgs() -> list[dict]:
-    # One dict per layer so train/val layers stay PAIRED (a single dict with
-    # list-valued layers would cartesian-product them into mismatched combos);
-    # lr and k expand within each dict: 6 layers x 6 lrs x 5 ks = 180 configs.
+    # Pre-expanded scalar grid (the make_cfgs contract — the launcher's
+    # load_cfgs consumes one dict per run and auto-increments seeds):
+    # 6 lrs x 6 layers x 5 ks = 180 configs, train/val layers paired.
     return [
         {
             "tags": ["birdclef-v0.1"],
-            "lr": [1e-4, 3e-4, 1e-3, 3e-3, 1e-2, 3e-2],
+            "lr": lr,
             "n_lr_warmup": 500,
             "n_sparsity_warmup": N_TRAIN // BATCH_SIZE,
             "runs_root": RUNS_ROOT,
@@ -33,7 +33,7 @@ def make_cfgs() -> list[dict]:
                 "d_sae": 1024 * 16,
                 "normalize_w_dec": True,
                 "remove_parallel_grads": True,
-                "activation": {"top_k": [16, 32, 64, 128, 256]},
+                "activation": {"top_k": k},
                 "reinit_blend": 0.8,
             },
             "train_data": {
@@ -43,5 +43,7 @@ def make_cfgs() -> list[dict]:
             },
             "val_data": {"layer": layer, "shards": SHARDS},
         }
+        for lr in [1e-4, 3e-4, 1e-3, 3e-3, 1e-2, 3e-2]
         for layer in [13, 15, 17, 19, 21, 23]
+        for k in [16, 32, 64, 128, 256]
     ]

@@ -14,13 +14,14 @@ RUNS_ROOT = os.path.join(os.environ.get("SAEV_NFS", "."), "saev", "runs")
 
 
 def make_cfgs() -> list[dict]:
-    # One dict per (layer, d_sae) pairing so train/val layers stay in sync;
-    # k and lr expand within each: 2 x 5 x 4 x 5 = 200 configs.
+    # Pre-expanded scalar grid (the make_cfgs contract — load_cfgs consumes
+    # one dict per run): 2 layers x 5 widths x 4 ks x 5 lrs = 200 configs,
+    # train/val layers paired.
     return [
         {
             "tags": ["mimics-widths-384p-v1.6"],
             "n_hours": 8.0,
-            "lr": [1e-4, 3e-4, 1e-3, 3e-3, 1e-2],
+            "lr": lr,
             "n_lr_warmup": 500,
             "n_sparsity_warmup": N_TRAIN // BATCH_SIZE,
             "runs_root": RUNS_ROOT,
@@ -30,7 +31,7 @@ def make_cfgs() -> list[dict]:
                 "d_sae": d_sae,
                 "normalize_w_dec": True,
                 "remove_parallel_grads": True,
-                "activation": {"top_k": [16, 32, 64, 128]},
+                "activation": {"top_k": k},
                 "reinit_blend": 0.8,
             },
             "train_data": {
@@ -49,4 +50,6 @@ def make_cfgs() -> list[dict]:
         }
         for layer in [21, 23]
         for d_sae in [1024 * w for w in [16, 20, 24, 28, 32]]
+        for k in [16, 32, 64, 128]
+        for lr in [1e-4, 3e-4, 1e-3, 3e-3, 1e-2]
     ]
