@@ -238,8 +238,10 @@ def main():
     baseline = BASELINE_PATCHES_PER_S * n_sae
 
     loader = {} if "--no-loader" in argv else measure_loader()
+    # Loader bound in the SAME unit as the headline: one loaded patch feeds
+    # all n_sae SAEs, so the loader-side ceiling is n_sae x its raw rate.
     e2e_bound = (
-        round(min(patches_per_s, loader["patches_per_s"]), 1)
+        round(min(patches_per_s, loader["patches_per_s"] * n_sae), 1)
         if loader.get("patches_per_s")
         else None
     )

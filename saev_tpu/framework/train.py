@@ -97,9 +97,12 @@ class Config:
     """Shard the latent dimension (d_sae) over this many devices (the
     `feature` mesh axis) — tensor parallelism for dictionaries too wide for
     one chip's HBM. The step runs pure-XLA under GSPMD (Pallas kernels have
-    no partitioning rules), so expect lower single-chip throughput; use only
-    when d_sae forces it. Composes with data/sweep axes; d_sae must divide
-    it. 1 = no latent sharding."""
+    no partitioning rules for a latent-sharded kth): measured 294.7 ms/step
+    vs 37.4 ms for the kernel step at the production shape on one v5e chip
+    (docs/performance.md), so N feature shards must amortize a ~7.9x
+    single-chip slowdown — use ONLY when d_sae genuinely exceeds HBM.
+    Composes with data/sweep axes; d_sae must divide it. 1 = no latent
+    sharding."""
     matmul_precision: tp.Literal["highest", "high", "default"] = "default"
     """Train-step matmul precision: default = bf16 inputs with f32 accumulation
     (the TPU-native choice, 1.43x over bf16x3 end to end), high = bf16x3
@@ -682,38 +685,47 @@ def make_train_step(
         return new_ts, stats
 
     jitted = jax.jit(step, donate_argnums=(0,))
+    return _spmd_wrap(
+        jitted, mesh=mesh, sweep_parallel=sweep_parallel,
+        feature_parallel=feature_parallel,
+    )
+
+
+def _spmd_wrap(jitted, *, mesh, sweep_parallel: int = 1, feature_parallel: int = 1):
+    """Make a jitted function whose batch operand is data-sharded safe for
+    the Pallas dispatch layer. Applies to EVERY jit that reaches the kernels
+    with sharded inputs (train step, heavy metrics, eval forwards) — GSPMD
+    cannot partition tpu_custom_call, so an unwrapped sharded trace either
+    fails to partition or replicates the global batch onto every chip.
+
+    Pure data parallelism installs the `ops.shmap` trace-time context (each
+    kernel call becomes a shard_map region over the data axis). Sweep- or
+    feature-sharded traces instead force the XLA kernel fallbacks
+    (`topk.FORCE_LAX`, scoped to this trace: a later pure-DP jit in the same
+    process must keep its Pallas kernels)."""
     if feature_parallel == 1 and sweep_parallel == 1:
         if mesh is None or mesh.shape.get(parallel.DATA_AXIS, 1) == 1:
             return jitted
 
-        # Multi-device data parallelism: declare the batch sharding for the
-        # Pallas dispatch layer (trace-time, like FORCE_LAX below) so every
-        # kernel call is wrapped in a shard_map region over the data axis —
-        # GSPMD cannot partition tpu_custom_call and would otherwise
-        # replicate the global batch onto every chip.
         from ..ops import shmap as _shmap
 
-        def dp_step(ts, x, prefixes, hp):
+        def dp_call(*args, **kwargs):
             with _shmap.batch_sharded(mesh, (parallel.DATA_AXIS,)):
-                return jitted(ts, x, prefixes, hp)
+                return jitted(*args, **kwargs)
 
-        return dp_step
+        return dp_call
 
-    # FORCE_LAX is a trace-time switch; scope it to THIS step's calls (the
-    # trace happens inside the first call) instead of flipping the module
-    # global for the rest of the process — a later feature_parallel=1 step in
-    # the same process must keep its Pallas kth kernels.
     from ..ops import topk as _topk
 
-    def scoped_step(ts, x, prefixes, hp):
+    def scoped_call(*args, **kwargs):
         prev = _topk.FORCE_LAX
         _topk.FORCE_LAX = True
         try:
-            return jitted(ts, x, prefixes, hp)
+            return jitted(*args, **kwargs)
         finally:
             _topk.FORCE_LAX = prev
 
-    return scoped_step
+    return scoped_call
 
 
 def make_metrics_fn(
@@ -721,6 +733,7 @@ def make_metrics_fn(
     sweep_vmap_width: int = 1,
     sweep_parallel: int = 1,
     mesh=None,
+    feature_parallel: int = 1,
 ):
     """Heavy per-SAE metrics computed every log_every steps (reference
     train.py:365-432): explained variance, dead %, coherence, SSE terms. Re-runs
@@ -762,7 +775,12 @@ def make_metrics_fn(
         per_sae["normalized_mse"] = per_sae["sse_sae"] / sse_baseline
         return per_sae
 
-    return jax.jit(metrics)
+    # Same SPMD treatment as the train step: this jit reaches the Pallas kth
+    # kernels (encode -> topk_activation) with a data-sharded x.
+    return _spmd_wrap(
+        jax.jit(metrics), mesh=mesh, sweep_parallel=sweep_parallel,
+        feature_parallel=feature_parallel,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -999,6 +1017,7 @@ def train(
                 metrics_fn=make_metrics_fn(
                     c0.sae, sweep_vmap_width=eff_width,
                     sweep_parallel=c0.sweep_parallel, mesh=mesh,
+                    feature_parallel=c0.feature_parallel,
                 ),
                 hp=hp,
                 prefix_rng=np.random.default_rng(cfg.seed + 1000 + ci),
@@ -1272,7 +1291,12 @@ def evaluate(cfgs: list[Config], runtimes: list[_CohortRuntime]) -> list[EvalMet
 
             return run
 
-        eval_fns[ri] = make()
+        # Eval forwards also reach the Pallas kth kernels with a data-sharded
+        # x — same SPMD wrapping as the train step and heavy metrics.
+        eval_fns[ri] = _spmd_wrap(
+            make(), mesh=mesh, sweep_parallel=c0.sweep_parallel,
+            feature_parallel=c0.feature_parallel,
+        )
 
     # Double-buffered device prefetch, same as the train loop: batch i+1
     # transfers to HBM while batch i's eval forwards run.

@@ -101,10 +101,17 @@ def shard_rows(fn, in_batch_dims, out_batch_dims, *, psum_outs=()):
             for a, d in zip(args, in_batch_dims)
         )
 
+        def _is_multi(outs):
+            # One predicate for both normalizations: a list return (e.g. raw
+            # pallas_call with a list out_shape) must be multi-output in BOTH
+            # local() and out_specs_of(), or shard_map's out_specs pytree
+            # mismatches (and psum_outs would hit the wrong element).
+            return isinstance(outs, (tuple, list))
+
         def local(*largs):
             outs = fn(*largs)
-            single = not isinstance(outs, tuple)
-            outs = (outs,) if single else outs
+            single = not _is_multi(outs)
+            outs = (outs,) if single else tuple(outs)
             outs = tuple(
                 jax.lax.psum(o, axis_names) if i in psum_outs else o
                 for i, o in enumerate(outs)
@@ -112,8 +119,8 @@ def shard_rows(fn, in_batch_dims, out_batch_dims, *, psum_outs=()):
             return outs[0] if single else outs
 
         def out_specs_of(outs):
-            single = not isinstance(outs, (tuple, list))
-            outs = (outs,) if single else outs
+            single = not _is_multi(outs)
+            outs = (outs,) if single else tuple(outs)
             specs = tuple(
                 batch_spec(o.ndim, d) if d is not None else replicated(o.ndim)
                 for o, d in zip(outs, out_batch_dims)

@@ -145,6 +145,64 @@ def test_prefix_mse_sharded_grads_equal_unsharded(interpret):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-5, atol=1e-6)
 
 
+def test_metrics_fn_dp8_with_pallas_equals_single_device(interpret):
+    """The heavy-metrics jit reaches the Pallas kth kernels with a sharded x
+    too — it must get the same SPMD wrapping as the train step (a sharded
+    tpu_custom_call outside shard_map would not partition)."""
+    from saev_tpu.framework import train as T
+    from saev_tpu.nn import modeling
+
+    n_sae, d_model, d_sae, batch = 2, 16, 32, 64
+    sae_cfg = modeling.SparseAutoencoderConfig(
+        d_model=d_model, d_sae=d_sae, activation=modeling.TopK(top_k=4)
+    )
+    keys = jax.random.split(jax.random.key(0), n_sae)
+    inits = [modeling.init(sae_cfg, k) for k in keys]
+    stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+    params = stack([p for p, _ in inits])
+    sae_state = stack([s for _, s in inits])
+    rng = np.random.default_rng(3)
+    x_np = rng.normal(size=(batch, d_model)).astype(np.float32)
+    prefixes = jnp.asarray([[16, 32], [16, 32]], jnp.int32)
+
+    results = {}
+    for name, mesh in [
+        ("single", parallel.make_mesh(n_devices=1)),
+        ("dp8", parallel.make_mesh()),
+    ]:
+        fn = T.make_metrics_fn(sae_cfg, mesh=mesh)
+        x = parallel.shard_batch(mesh, x_np)
+        ts = T.SweepState(
+            params=params, sae_state=sae_state, obj_state={},
+            opt_state={}, step=jnp.zeros((), jnp.int32),
+        )
+        results[name] = jax.tree.map(np.asarray, fn(ts, x, prefixes))
+
+    for key in results["single"]:
+        np.testing.assert_allclose(
+            results["dp8"][key], results["single"][key], rtol=1e-5, atol=1e-6
+        )
+
+
+def test_spmd_wrap_forces_lax_for_sweep_sharded_traces(interpret):
+    """sweep_parallel>1 traces must not contain Pallas custom calls at all
+    (the sweep-sharded vmap dim cannot cross a shard_map boundary)."""
+    from saev_tpu.framework import train as T
+    from saev_tpu.ops import topk as topk_mod
+
+    mesh = parallel.make_mesh(sweep=2)
+    seen = {}
+
+    def probe(x):
+        seen["force_lax"] = topk_mod.FORCE_LAX
+        return x
+
+    wrapped = T._spmd_wrap(probe, mesh=mesh, sweep_parallel=2)
+    wrapped(jnp.zeros(1))
+    assert seen["force_lax"] is True
+    assert topk_mod.FORCE_LAX is False  # restored after the call
+
+
 def test_train_step_dp8_with_pallas_equals_single_device(interpret):
     """Full jitted train step (stats kernel + fused decode + masked AuxK kth,
     all shard_map'd) over data=8 equals the unsharded interpret run."""
