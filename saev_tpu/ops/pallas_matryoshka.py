@@ -155,6 +155,132 @@ def grouped_prefix_base(
     return base, xhat
 
 
+def _err_kernel(j_n, n_groups, m_ref, r_ref, f_ref, w_ref, x_ref, bd_ref,
+                iu_ref, e_out_ref, xhat_ref, loss_ref, run_ref, snap_ref,
+                pend_ref, acc_ref, sem):
+    """`_base_kernel` with the error epilogue folded in: each snapshot emits
+    E_j = bf16(base_j + b_dec - x) instead of base_j, and the scale-stabilized
+    squared-error partial sum Σ (E_j · inv_upper)² accumulates in SMEM across
+    the row tile's snapshots (emitted once at the last group step). This
+    removes the two XLA follow-up passes over the (J, B, D) tensor — the
+    e-assembly fusion (1.2 ms) and the loss reduction (0.4 ms) at production
+    shape — and E never exists in f32 form in HBM."""
+    gi = pl.program_id(1)
+    bm = f_ref.shape[0]
+    g = f_ref.shape[1]
+    row0 = pl.multiple_of(pl.program_id(0) * bm, bm)
+
+    @pl.when(gi == 0)
+    def _():
+        run_ref[:] = jnp.zeros_like(run_ref)
+        pend_ref[0] = 0
+        acc_ref[0] = 0.0
+
+    def drain():
+        @pl.when(pend_ref[0] != 0)
+        def _():
+            pltpu.make_async_copy(snap_ref, snap_ref, sem).wait()
+            pend_ref[0] = 0
+
+    def emit(j, base_f32):
+        drain()
+        # base here is FULL f32 (no intermediate bf16 rounding of base_j —
+        # strictly tighter than the two-pass formulation it replaces).
+        eb = (base_f32 + (bd_ref[:] - x_ref[:])).astype(snap_ref.dtype)
+        snap_ref[:] = eb
+        acc_ref[0] += jnp.sum((eb.astype(jnp.float32) * iu_ref[0, 0]) ** 2)
+        pltpu.make_async_copy(
+            snap_ref, e_out_ref.at[j, pl.ds(row0, bm), :], sem
+        ).start()
+        pend_ref[0] = 1
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bm, g), 1)
+    for j in range(j_n):
+        @pl.when(m_ref[j] == gi)
+        def _():
+            f_m = jnp.where(lane < r_ref[j], f_ref[:], jnp.zeros((), f_ref.dtype))
+            emit(
+                j,
+                run_ref[:]
+                + jnp.dot(f_m, w_ref[:], preferred_element_type=jnp.float32),
+            )
+
+    run_ref[:] += jnp.dot(f_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+
+    @pl.when(gi == n_groups - 1)
+    def _():
+        xhat_ref[:] = run_ref[:]
+        for j in range(j_n):
+            @pl.when(m_ref[j] == n_groups)
+            def _():
+                emit(j, run_ref[:])
+        drain()
+        # One scalar per row tile, broadcast over the (8, 128) minimum output
+        # block; the caller reads [::8, 0].
+        loss_ref[:] = jnp.full(loss_ref.shape, acc_ref[0], jnp.float32)
+
+
+def grouped_prefix_err(
+    f_bf16: Array, w_bf16: Array, x: Array, b_dec: Array, inv_upper: Array,
+    m: Array, r: Array, *, group_size: int = 1024, block_rows: int = 256,
+    interpret: bool = False,
+) -> tuple[Array, Array, Array]:
+    """(e, xhat_nobias, loss_partials): the grouped prefix decode with the
+    Matryoshka error epilogue fused in. e[j] = bf16(f @ W[:p_j] + b_dec - x)
+    laid out (J, B, D); xhat_nobias (B, D) f32 is the full product;
+    loss_partials ((8·B/bm, 128) f32) carries one Σ (e·inv_upper)² partial
+    per row tile at [::8, 0] — total loss = partials[::8, 0].sum() / (J·B·D)
+    / inv_upper² (ops/matryoshka.py applies the scale-stabilized form)."""
+    b, d_sae = f_bf16.shape
+    d_model = w_bf16.shape[1]
+    g = group_size
+    assert d_sae % g == 0
+    n_groups = d_sae // g
+    j_n = m.shape[0]
+    bm = min(block_rows, b)
+    assert b % bm == 0
+
+    kernel = functools.partial(_err_kernel, j_n, n_groups)
+    e, xhat, loss_p = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b // bm, n_groups),
+            in_specs=[
+                pl.BlockSpec((bm, g), lambda i, G, m, r: (i, G)),
+                pl.BlockSpec((g, d_model), lambda i, G, m, r: (G, 0)),
+                pl.BlockSpec((bm, d_model), lambda i, G, m, r: (i, 0)),
+                pl.BlockSpec((1, d_model), lambda i, G, m, r: (0, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec((bm, d_model), lambda i, G, m, r: (i, 0)),
+                pl.BlockSpec((8, 128), lambda i, G, m, r: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bm, d_model), jnp.float32),
+                pltpu.VMEM((bm, d_model), jnp.bfloat16),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SMEM((1,), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((j_n, b, d_model), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, d_model), jnp.float32),
+            jax.ShapeDtypeStruct((8 * (b // bm), 128), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(bm),
+    )(
+        m.astype(jnp.int32), r.astype(jnp.int32),
+        f_bf16, w_bf16, x, b_dec.reshape(1, d_model),
+        inv_upper.astype(jnp.float32).reshape(1, 1),
+    )
+    return e, xhat, loss_p
+
+
 def _dgrad_kernel(j_n, n_groups, m_ref, r_ref, w_ref, e_ref, scale_ref,
                   df_ref, da_ref, run_ref, esl_ref, sem):
     """df[:, G] = dA_G @ W_G^T + sum_j [m_j == G] [lane < r_j] (scale * E_j) @ W_G^T,

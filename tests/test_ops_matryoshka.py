@@ -48,6 +48,46 @@ def test_grouped_prefix_base(data):
     np.testing.assert_allclose(np.asarray(xhat), f32 @ w32, rtol=2e-2, atol=1e-3)
 
 
+def test_grouped_prefix_err(data):
+    """The fused-error variant: E_j = bf16(base_j + b_dec - x), xhat, and the
+    per-row-tile scale-stabilized squared-error partials, against the same
+    dense reference algebra."""
+    f, w, _, _, p = data
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(B, D)).astype(np.float32)
+    b_dec = (rng.normal(size=(D,)) * 0.1).astype(np.float32)
+    upper = max(float(np.max(np.abs(x))), 1e-12)
+    m, r = p // G, p % G
+    bm = 64
+    e, xhat, loss_p = pk.grouped_prefix_err(
+        _cast(f), _cast(w), jnp.asarray(x), jnp.asarray(b_dec),
+        jnp.asarray(1.0 / upper, jnp.float32),
+        jnp.asarray(m), jnp.asarray(r),
+        group_size=G, block_rows=bm, interpret=True,
+    )
+    assert e.dtype == jnp.bfloat16 and loss_p.shape == (8 * (B // bm), 128)
+    f32 = np.asarray(_cast(f), np.float32)
+    w32 = np.asarray(_cast(w), np.float32)
+    e_ref = np.stack([
+        (f32[:, :pj] @ w32[:pj] + b_dec - x) for pj in p
+    ])
+    np.testing.assert_allclose(
+        np.asarray(e, np.float32), e_ref, rtol=2e-2, atol=2e-3
+    )
+    np.testing.assert_allclose(np.asarray(xhat), f32 @ w32, rtol=2e-2, atol=1e-3)
+    # Loss partials: per-tile sums of (bf16(e)/upper)^2 at [::8, 0].
+    e_bf = np.asarray(e, np.float32)  # the bf16-rounded values
+    total = float(((e_bf / upper) ** 2).sum())
+    got = float(np.asarray(loss_p)[::8, 0].sum())
+    np.testing.assert_allclose(got, total, rtol=1e-4)
+    # Per-tile partial j: rows [i*bm:(i+1)*bm] across all prefixes.
+    for i in range(B // bm):
+        want_i = ((e_bf[:, i * bm:(i + 1) * bm] / upper) ** 2).sum()
+        np.testing.assert_allclose(
+            float(np.asarray(loss_p)[8 * i, 0]), want_i, rtol=1e-4
+        )
+
+
 def test_grouped_matmul_dgrad(data):
     f, w, e, da_unused, p = data
     m, r = p // G, p % G
