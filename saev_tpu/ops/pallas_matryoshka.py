@@ -282,7 +282,7 @@ def grouped_prefix_err(
 
 
 def _dgrad_kernel(j_n, n_groups, m_ref, r_ref, w_ref, e_ref, scale_ref,
-                  df_ref, da_ref, run_ref, esl_ref, sem):
+                  df_ref, da_ref, run_ref, esl_ref, holds_ref, sem):
     """df[:, G] = dA_G @ W_G^T + sum_j [m_j == G] [lane < r_j] (scale * E_j) @ W_G^T,
     with dA_G = scale * sum_j [G < m_j] E_j built IN-KERNEL and emitted as a
     second output for the wgrad kernel.
@@ -304,17 +304,29 @@ def _dgrad_kernel(j_n, n_groups, m_ref, r_ref, w_ref, e_ref, scale_ref,
     @pl.when(gp == 0)
     def _():
         run_ref[:] = jnp.zeros_like(run_ref)
+        holds_ref[0] = -1  # esl content is from the previous row tile
 
-    # Suffix update: prefixes cutting at the group boundary above this one
-    # (m_j == G+1; m_j == n_groups is the full-decode prefix) enter dA here.
-    for j in range(j_n):
-        @pl.when(m_ref[j] == g_cur + 1)
+    def load(j):
+        """DMA E_j's row slice into esl unless it is already there: the
+        descending walk uses each slice twice in consecutive steps (the
+        remainder term at m_j == G, then the suffix entry at m_j == G+1), so
+        tracking the resident j halves the E traffic and its serialized
+        DMA waits."""
+        @pl.when(holds_ref[0] != j)
         def _():
             copy = pltpu.make_async_copy(
                 e_ref.at[j, pl.ds(row0, bm), :], esl_ref, sem
             )
             copy.start()
             copy.wait()
+            holds_ref[0] = j
+
+    # Suffix update: prefixes cutting at the group boundary above this one
+    # (m_j == G+1; m_j == n_groups is the full-decode prefix) enter dA here.
+    for j in range(j_n):
+        @pl.when(m_ref[j] == g_cur + 1)
+        def _():
+            load(j)
             run_ref[:] += esl_ref[:].astype(jnp.float32)
 
     da = (run_ref[:] * scale_ref[0, 0]).astype(da_ref.dtype)
@@ -328,11 +340,7 @@ def _dgrad_kernel(j_n, n_groups, m_ref, r_ref, w_ref, e_ref, scale_ref,
     for j in range(j_n):
         @pl.when(m_ref[j] == g_cur)
         def _():
-            copy = pltpu.make_async_copy(
-                e_ref.at[j, pl.ds(row0, bm), :], esl_ref, sem
-            )
-            copy.start()
-            copy.wait()
+            load(j)
             prod = jax.lax.dot_general(
                 esl_ref[:], w_ref[:],
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -393,6 +401,7 @@ def grouped_matmul_dgrad(
             scratch_shapes=[
                 pltpu.VMEM((bm, d_model), jnp.float32),
                 pltpu.VMEM((bm, d_model), e_jbd.dtype),
+                pltpu.SMEM((1,), jnp.int32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
