@@ -60,13 +60,17 @@ def _drain(cfg: shuffled.Config) -> set[tuple[int, int]]:
     return pairs
 
 
-def test_loader_rank_partition_exactly_once(tiny_shards):
+@pytest.mark.parametrize("descriptor_sampling", [False, True])
+def test_loader_rank_partition_exactly_once(tiny_shards, descriptor_sampling):
     """The union of all ranks' streams covers every (example, token) exactly
-    once per epoch; ranks are disjoint; n_samples accounting matches."""
+    once per epoch; ranks are disjoint; n_samples accounting matches — in
+    both row-pool and descriptor-sampling modes (rank partitioning happens
+    at the shard-permutation level, orthogonal to the gather strategy)."""
     shards_dir, md = tiny_shards
     base = dict(
         shards=shards_dir, layer=0, batch_size=16, n_threads=1,
         buffer_size=4, batch_timeout_s=60.0, seed=11,
+        descriptor_sampling=descriptor_sampling,
     )
     world = 2
     covers, n_total = [], 0
