@@ -18,8 +18,15 @@ Usage (in-process, so the monitored code is this interpreter):
         -- -m pytest tests/ -q
 
 Everything after `--` is handed to `python` semantics: `-m module args...`
-or `script.py args...`. Caveat: subprocesses spawned by tests are not
-monitored (same as bare coverage.py without its subprocess hooks).
+or `script.py args...`.
+
+Subprocess coverage: a temp `sitecustomize.py` is prepended to PYTHONPATH
+and `SMALLCOV_PREFIXES`/`SMALLCOV_DUMP_DIR` are exported, so any child
+interpreter that inherits them (tests launching driver scripts must pass
+PYTHONPATH + SMALLCOV_* through — `conftest._Helpers.subprocess_env` does)
+records its own executed lines and dumps them at exit; the parent merges
+the dumps into the report. Without inheritance a child simply goes
+unmeasured, as before.
 """
 
 import argparse
@@ -30,6 +37,43 @@ import sys
 import types
 
 REPO = pathlib.Path(__file__).resolve().parent.parent
+
+# Injected into child interpreters via a temp dir on PYTHONPATH (see main).
+_SITECUSTOMIZE = '''
+import atexit, json, os, sys, tempfile
+
+_prefixes = tuple(
+    p for p in os.environ.get("SMALLCOV_PREFIXES", "").split(os.pathsep) if p
+)
+_dump = os.environ.get("SMALLCOV_DUMP_DIR")
+if _dump and _prefixes and hasattr(sys, "monitoring"):
+    _executed = {}
+    _mon = sys.monitoring
+    _tool = _mon.COVERAGE_ID
+
+    def _on_line(code, line):
+        f = code.co_filename
+        if f.startswith(_prefixes):
+            _executed.setdefault(f, set()).add(line)
+        return _mon.DISABLE
+
+    try:
+        _mon.use_tool_id(_tool, "smallcov-child")
+        _mon.register_callback(_tool, _mon.events.LINE, _on_line)
+        _mon.set_events(_tool, _mon.events.LINE)
+    except Exception:
+        pass
+    else:
+        def _dump_cov():
+            try:
+                fd, _p = tempfile.mkstemp(suffix=".json", dir=_dump)
+                with os.fdopen(fd, "w") as fh:
+                    json.dump({k: sorted(v) for k, v in _executed.items()}, fh)
+            except Exception:
+                pass
+
+        atexit.register(_dump_cov)
+'''
 
 
 def executable_lines(fpath: pathlib.Path) -> set[int]:
@@ -87,9 +131,21 @@ def main() -> int:
     # `python -m X` puts the cwd on sys.path; runpy from this script puts
     # scripts/ there instead, so restore the normal behavior explicitly.
     import os
+    import tempfile
 
     if os.getcwd() not in sys.path:
         sys.path.insert(0, os.getcwd())
+
+    # Subprocess hook: children that inherit PYTHONPATH + SMALLCOV_* load the
+    # sitecustomize below, self-monitor, and dump executed lines at exit.
+    hook_dir = tempfile.mkdtemp(prefix="smallcov_hook_")
+    dump_dir = tempfile.mkdtemp(prefix="smallcov_dump_")
+    pathlib.Path(hook_dir, "sitecustomize.py").write_text(_SITECUSTOMIZE)
+    os.environ["SMALLCOV_PREFIXES"] = os.pathsep.join(prefixes)
+    os.environ["SMALLCOV_DUMP_DIR"] = dump_dir
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        [hook_dir] + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+    )
 
     rc = 0
     try:
@@ -104,6 +160,19 @@ def main() -> int:
     finally:
         mon.set_events(tool, 0)
         mon.free_tool_id(tool)
+
+    # Merge the children's dumps.
+    n_children = 0
+    for dump in pathlib.Path(dump_dir).glob("*.json"):
+        try:
+            child = json.loads(dump.read_text())
+        except (OSError, ValueError):
+            continue
+        n_children += 1
+        for fname, lines in child.items():
+            executed.setdefault(fname, set()).update(lines)
+    if n_children:
+        print(f"smallcov: merged {n_children} subprocess dumps", file=sys.stderr)
 
     # Totals over every .py under the include roots, imported or not.
     files: dict[str, dict] = {}

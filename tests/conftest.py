@@ -163,6 +163,23 @@ def load_reference_data_module(name: str):
     return load_reference_module(f"data.{name}")
 
 
+def subprocess_env(**extra: str) -> dict:
+    """Minimal clean environment for driver-script subprocesses that still
+    propagates PYTHONPATH and the smallcov subprocess-coverage hook vars
+    (scripts/smallcov.py) — without these, driver files executed via
+    subprocess report 0% coverage in REGRESSIONS.md despite being tested."""
+    env = {
+        "PATH": "/usr/bin:/bin",
+        "JAX_PLATFORMS": "cpu",
+        "HOME": os.environ.get("HOME", "/root"),
+    }
+    for key in ("PYTHONPATH", "SMALLCOV_PREFIXES", "SMALLCOV_DUMP_DIR"):
+        if os.environ.get(key):
+            env[key] = os.environ[key]
+    env.update(extra)
+    return env
+
+
 class _Helpers:
     tmp_shards_root = staticmethod(tmp_shards_root)
     tmp_runs_root = staticmethod(tmp_runs_root)
@@ -170,6 +187,7 @@ class _Helpers:
     write_token_labels = staticmethod(write_token_labels)
     load_reference_module = staticmethod(load_reference_module)
     load_reference_data_module = staticmethod(load_reference_data_module)
+    subprocess_env = staticmethod(subprocess_env)
     fake_ckpt = FAKE_CKPT
 
 

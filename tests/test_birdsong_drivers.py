@@ -29,9 +29,7 @@ def test_birdset_driver_runs_on_fake_shards(tmp_path):
         "BIRDSET_IMG_SHARDS": str(img),
         "BIRDSET_N": "512",
         "BIRDSET_OUT": str(out),
-        "PATH": "/usr/bin:/bin",
-        "JAX_PLATFORMS": "cpu",
-        "HOME": os.environ.get("HOME", "/root"),
+        **helpers.subprocess_env(),
     }
     proc = subprocess.run(
         [sys.executable, str(NOTEBOOKS / "birdset.py")],

@@ -25,15 +25,10 @@ REPO = pathlib.Path(__file__).parent.parent
 
 
 def _run(script: pathlib.Path, env: dict, cwd: pathlib.Path, timeout=280):
-    full_env = {
-        "PATH": "/usr/bin:/bin",
-        "JAX_PLATFORMS": "cpu",
-        "HOME": os.environ.get("HOME", "/root"),
-        **env,
-    }
     return subprocess.run(
         [sys.executable, str(script)],
-        capture_output=True, text=True, env=full_env, cwd=cwd, timeout=timeout,
+        capture_output=True, text=True,
+        env=helpers.subprocess_env(**env), cwd=cwd, timeout=timeout,
     )
 
 

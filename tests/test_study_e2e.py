@@ -123,9 +123,7 @@ def test_study_drivers_run_on_real_runs(trained_study, tmp_path, driver):
         "TD_RUNS_ROOT": str(runs_root),
         "TD_TRACKER": str(study_tmp / ".wandb"),
         "TD_OUT": str(out),
-        "PATH": "/usr/bin:/bin",
-        "JAX_PLATFORMS": "cpu",
-        "HOME": os.environ.get("HOME", "/root"),
+        **helpers.subprocess_env(),
     }
     proc = subprocess.run(
         [_sys.executable, str(NOTEBOOKS / driver)],
@@ -148,9 +146,7 @@ def test_auxk_ablation_driver_runs(trained_study, tmp_path):
         "AUXK_RUNS": str(runs_root),
         "AUXK_TRACKER": str(study_tmp / ".wandb"),
         "AUXK_EXPECTED": "2",
-        "PATH": "/usr/bin:/bin",
-        "JAX_PLATFORMS": "cpu",
-        "HOME": os.environ.get("HOME", "/root"),
+        **helpers.subprocess_env(),
     }
     proc = subprocess.run(
         [_sys.executable, str(NOTEBOOKS / "003_auxk.py")],
@@ -172,9 +168,7 @@ def test_actfn_driver_runs(trained_study, tmp_path):
     study_tmp, _, run_ids = trained_study
     env = {
         "SAEV_TRACKER": str(study_tmp / ".wandb" / "saev"),
-        "PATH": "/usr/bin:/bin",
-        "JAX_PLATFORMS": "cpu",
-        "HOME": os.environ.get("HOME", "/root"),
+        **helpers.subprocess_env(),
     }
     proc = subprocess.run(
         [_sys.executable, str(NOTEBOOKS / "001_actfn.py")],
@@ -196,9 +190,7 @@ def test_ablations_driver_runs(trained_study, tmp_path):
     study_tmp, _, run_ids = trained_study
     env = {
         "SAEV_TRACKER": str(study_tmp / ".wandb" / "saev"),
-        "PATH": "/usr/bin:/bin",
-        "JAX_PLATFORMS": "cpu",
-        "HOME": os.environ.get("HOME", "/root"),
+        **helpers.subprocess_env(),
     }
     proc = subprocess.run(
         [_sys.executable, str(NOTEBOOKS / "002_ablations.py")],

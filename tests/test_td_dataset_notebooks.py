@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+from conftest import _Helpers as helpers
+
 sys.path.insert(
     0, str(pathlib.Path(__file__).parent.parent / "contrib" / "trait_discovery" / "src")
 )
@@ -81,7 +83,7 @@ def test_butterflies_driver_renders_pairs(tmp_path, monkeypatch):
     out = tmp_path / "gallery"
     env = {
         "BF_ROOT": str(root), "BF_N": "2", "BF_OUT": str(out),
-        "PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+        **helpers.subprocess_env(),
     }
     proc = subprocess.run(
         [_sys.executable, str(NOTEBOOKS / "butterflies.py")],
