@@ -10,9 +10,12 @@ materializes bf16 conversions/relayouts of its operands.
 
 This op computes the same scalar with a custom VJP in two flavors:
 
-- **Pallas path (TPU)**: `pallas_matryoshka.grouped_prefix_base` keeps the
-  per-group running sum in VMEM and snapshots prefix bases via predicated
-  DMA — the (B, G, D) partials never exist. The backward's key identity:
+- **Pallas path (TPU)**: `pallas_matryoshka.grouped_prefix_err` keeps the
+  per-group running sum in VMEM and snapshots E_j = bf16(base_j + b_dec − x)
+  via predicated DMA, accumulating the scale-stabilized squared-error
+  partials in SMEM — the (B, G, D) partials never exist and the (J, B, D)
+  error tensor is written exactly once (no XLA e-assembly or loss-reduce
+  re-read). The backward's key identity:
   with Ebar_j = 2/(B J D) (xhat_j - x), the group-path cotangent
   dA_G = sum_j [G < m_j] Ebar_j serves BOTH parameter gradients:
       df_G = dA_G @ W_G^T + remainder term   (grouped_matmul_dgrad)

@@ -7,13 +7,16 @@ static-slice matmuls + mask einsum) materialize bf16 conversions and
 relayouts of every (B, G, D) intermediate — ~29 GB of HBM traffic for the
 fwd+bwd at production shape (measured via cost_analysis), ~57 ms/step.
 
-`grouped_prefix_base` keeps the per-group running sum in VMEM: grid
-(B/bm, G) with G innermost; each step does one (bm, g) @ (g, D) MXU matmul
-into a running-sum scratch, and snapshots the running sum into base[:, j]
-via an async DMA when group index == m_j (predicated on SMEM scalars — the
-prefix cuts are traced values, never shapes). The (B, G, D) partials tensor
-never exists; HBM traffic is f (bf16) + W (bf16, re-read per row tile) +
-base (f32, written once) ≈ 2.2 GB.
+`grouped_prefix_err` (the production forward) keeps the per-group running
+sum in VMEM: grid (B/bm, G) with G innermost; each step does one
+(bm, g) @ (g, D) MXU matmul into a running-sum scratch, and when group
+index == m_j (predicated on SMEM scalars — the prefix cuts are traced
+values, never shapes) snapshots E_j = bf16(base_j + b_dec − x) via an async
+DMA while accumulating the scale-stabilized squared-error partial in SMEM.
+The (B, G, D) partials tensor never exists and E is written exactly once;
+HBM traffic is f (bf16) + W (bf16, re-read per row tile) + x (f32) +
+E (bf16, written once) ≈ 1.9 GB. `grouped_prefix_base` is the same kernel
+without the error epilogue (kept for kernel-level tests/benches).
 
 The backward uses the same kernel shape twice (see ops/matryoshka.py):
   dA_G = sum_j [G < m_j] Ebar_j   (small XLA contraction)

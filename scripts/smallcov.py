@@ -42,6 +42,28 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 _SITECUSTOMIZE = '''
 import atexit, json, os, sys, tempfile
 
+# Chain to any sitecustomize this hook shadows (conda/venv site config):
+# exec the next sitecustomize.py on sys.path under a private name, so the
+# environment's own site setup still runs during coverage runs.
+_here = os.path.dirname(os.path.abspath(__file__))
+try:
+    import importlib.util
+
+    for _p in sys.path:
+        _ap = os.path.abspath(_p or ".")
+        if _ap == _here:
+            continue
+        _cand = os.path.join(_ap, "sitecustomize.py")
+        if os.path.isfile(_cand):
+            _spec = importlib.util.spec_from_file_location(
+                "_smallcov_chained_sitecustomize", _cand
+            )
+            _mod = importlib.util.module_from_spec(_spec)
+            _spec.loader.exec_module(_mod)
+            break
+except Exception:
+    pass
+
 _prefixes = tuple(
     p for p in os.environ.get("SMALLCOV_PREFIXES", "").split(os.pathsep) if p
 )
@@ -161,7 +183,9 @@ def main() -> int:
         mon.set_events(tool, 0)
         mon.free_tool_id(tool)
 
-    # Merge the children's dumps.
+    # Merge the children's dumps, then drop both temp dirs.
+    import shutil
+
     n_children = 0
     for dump in pathlib.Path(dump_dir).glob("*.json"):
         try:
@@ -173,6 +197,8 @@ def main() -> int:
             executed.setdefault(fname, set()).update(lines)
     if n_children:
         print(f"smallcov: merged {n_children} subprocess dumps", file=sys.stderr)
+    shutil.rmtree(hook_dir, ignore_errors=True)
+    shutil.rmtree(dump_dir, ignore_errors=True)
 
     # Totals over every .py under the include roots, imported or not.
     files: dict[str, dict] = {}
