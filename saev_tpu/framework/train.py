@@ -723,10 +723,18 @@ def _auto_layout_jit(step):
         step, donate_argnums=(0,),
         in_shardings=(auto, None, None, None), out_shardings=(auto, None),
     )
-    cache: dict[str, tp.Any] = {}
+    # AOT-compiled executables are shape-specialized (no retrace on a new
+    # shape, unlike plain jit), so key the cache on the argument shapes.
+    cache: dict[tuple, tuple] = {}
+    plain = None
 
     def call(ts, x, prefixes, hp):
-        if "fn" not in cache:
+        nonlocal plain
+        key = tuple(
+            (l.shape, str(l.dtype))
+            for l in jax.tree.leaves((ts, x, prefixes, hp))
+        )
+        if key not in cache:
             try:
                 comp = jitted.lower(ts, x, prefixes, hp).compile()
                 in_fmt = comp.input_formats[0][0]
@@ -734,22 +742,21 @@ def _auto_layout_jit(step):
                 if jax.tree.all(jax.tree.map(
                     lambda a, b: a.layout == b.layout, in_fmt, out_fmt
                 )):
-                    cache["fn"], cache["fmt"] = comp, in_fmt
+                    cache[key] = (comp, in_fmt)
                 else:  # pragma: no cover - compiler-dependent
                     logger.info(
                         "AUTO in/out layouts disagree; keeping default layouts."
                     )
-                    cache["fn"], cache["fmt"] = (
-                        jax.jit(step, donate_argnums=(0,)), None,
-                    )
+                    plain = plain or jax.jit(step, donate_argnums=(0,))
+                    cache[key] = (plain, None)
             except Exception as exc:  # pragma: no cover - backend-dependent
                 logger.info("AUTO-layout jit unavailable (%s); plain jit.", exc)
-                cache["fn"], cache["fmt"] = jax.jit(step, donate_argnums=(0,)), None
-        if cache["fmt"] is not None:
-            fmt = cache["fmt"]
-            if jax.tree.map(lambda l: l.format, ts) != fmt:
-                ts = jax.device_put(ts, fmt)
-        return cache["fn"](ts, x, prefixes, hp)
+                plain = plain or jax.jit(step, donate_argnums=(0,))
+                cache[key] = (plain, None)
+        fn, fmt = cache[key]
+        if fmt is not None and jax.tree.map(lambda l: l.format, ts) != fmt:
+            ts = jax.device_put(ts, fmt)
+        return fn(ts, x, prefixes, hp)
 
     return call
 

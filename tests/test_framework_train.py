@@ -128,3 +128,86 @@ def test_non_parallelizable_raises(tmp_path):
     other = dataclasses.replace(base, n_train=999)
     with pytest.raises(ValueError, match="not parallelizeable"):
         train_mod.train([base, other])
+
+
+def _tiny_sweep_state(train_mod, modeling, n_sae=1):
+    import jax
+    import jax.numpy as jnp
+
+    cfg = modeling.SparseAutoencoderConfig(
+        d_model=8, d_sae=32, activation=modeling.TopK(top_k=4)
+    )
+    stack = lambda trees: jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+    inits = [modeling.init(cfg, jax.random.key(i)) for i in range(n_sae)]
+    params = stack([p for p, _ in inits])
+    ts = train_mod.SweepState(
+        params=params,
+        sae_state=stack([s for _, s in inits]),
+        obj_state=stack([
+            {"toks_since_active": jnp.zeros((32,), jnp.int32)}
+            for _ in range(n_sae)
+        ]),
+        opt_state=train_mod._adam_init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    hp = {
+        "lr": jnp.full((n_sae,), 1e-3, jnp.float32),
+        "n_lr_warmup": jnp.full((n_sae,), 2.0, jnp.float32),
+        "grad_clip": jnp.ones((n_sae,), jnp.float32),
+        "sparsity_coeff": jnp.zeros((n_sae,), jnp.float32),
+        "aux_alpha": jnp.full((n_sae,), 1 / 32, jnp.float32),
+        "momentum": jnp.zeros((n_sae,), jnp.float32),
+    }
+    pfx = jnp.tile(jnp.asarray([[5, 17, 32]], jnp.int32), (n_sae, 1))
+    return cfg, ts, hp, pfx
+
+
+def test_auto_layout_step_handles_shape_changes_and_matches_plain_jit():
+    """`_auto_layout_jit` AOT-compiles per shape (a Compiled is
+    shape-specialized, unlike plain jit, so a new batch size must re-lower
+    rather than error) and its trajectory is identical to the default-layout
+    jit of the same step."""
+    import jax
+    import jax.numpy as jnp
+
+    from saev_tpu.framework import train as train_mod
+    from saev_tpu.nn import modeling, objectives
+
+    obj_cfg = objectives.Matryoshka(n_prefixes=3, dead_threshold_tokens=100)
+    cfg, ts, hp, pfx = _tiny_sweep_state(train_mod, modeling)
+    ts_plain = jax.tree.map(jnp.copy, ts)  # both steps donate their state
+
+    step_auto = train_mod.make_train_step(cfg, obj_cfg, n_steps=10, optim="adam")
+    x16 = np.asarray(
+        jax.random.normal(jax.random.key(3), (16, 8)), np.float32
+    )
+    x24 = np.asarray(
+        jax.random.normal(jax.random.key(4), (24, 8)), np.float32
+    )
+
+    # Reference trajectory: the same inner step under a default-layout jit.
+    orig = train_mod._auto_layout_jit
+    try:
+        train_mod._auto_layout_jit = lambda step: jax.jit(
+            step, donate_argnums=(0,)
+        )
+        step_plain = train_mod.make_train_step(
+            cfg, obj_cfg, n_steps=10, optim="adam"
+        )
+    finally:
+        train_mod._auto_layout_jit = orig
+
+    for x in (x16, x24, x16):  # shape change mid-stream must re-lower, not raise
+        xb = jnp.asarray(x)
+        ts, stats_a = step_auto(ts, xb, pfx, hp)
+        ts_plain, stats_p = step_plain(ts_plain, xb, pfx, hp)
+        np.testing.assert_allclose(
+            np.asarray(stats_a["loss"]), np.asarray(stats_p["loss"]),
+            rtol=1e-6, atol=0,
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        ts.params, ts_plain.params,
+    )
