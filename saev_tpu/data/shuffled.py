@@ -354,9 +354,15 @@ def _io_worker(
                     while done < total:
                         slot_ids = reservoir.reserve(total - done)
                         fit = len(slot_ids)
-                        if registry is not None:
-                            registry.acquire(shard_i, fit)
+                        acquired = False
                         try:
+                            if registry is not None:
+                                # Inside the try: an acquire failure (registry
+                                # closed mid-shutdown, mmap OSError) must
+                                # cancel the just-reserved slots or they leak
+                                # from the pool's slot-conservation invariant.
+                                registry.acquire(shard_i, fit)
+                                acquired = True
                             if rows is not None:
                                 reservoir.acts[slot_ids] = rows[done : done + fit]
                             reservoir.meta["example_idx"][slot_ids] = example_idx[
@@ -366,7 +372,7 @@ def _io_worker(
                                 done : done + fit
                             ]
                         except BaseException:
-                            if registry is not None:
+                            if acquired:
                                 registry.release(shard_i, fit)
                             reservoir.cancel(slot_ids)
                             raise
@@ -429,6 +435,18 @@ def _io_worker(
     )
 
 
+def owned_shards(cfg: Config, n_shards: int) -> np.ndarray:
+    """This rank's disjoint slice of the seeded shard permutation.
+
+    Every process permutes with the SAME seed, then takes its rank-strided
+    slice: the union over ranks covers each shard exactly once per epoch
+    without any cross-process coordination. The manager's work list and the
+    consumer's sample accounting (`_owned_example_mask`) both call THIS
+    function, so the two views of "which shards are mine" cannot drift."""
+    rng = np.random.default_rng(cfg.seed)
+    return rng.permutation(n_shards)[cfg.rank :: cfg.world]
+
+
 def _manager_main(
     cfg: Config,
     metadata: shards.Metadata,
@@ -460,11 +478,7 @@ def _manager_main(
         ))
         return
 
-    rng = np.random.default_rng(cfg.seed)
-    # Every process permutes with the SAME seed, then takes its disjoint
-    # rank-strided slice: the union over ranks covers each shard exactly once
-    # per epoch without any cross-process coordination.
-    work_items = rng.permutation(metadata.n_shards)[cfg.rank :: cfg.world]
+    work_items = owned_shards(cfg, metadata.n_shards)
     logger.info("First 10 shards: %s", work_items[:10])
 
     # Cap I/O threads at the core count: with fewer cores than threads the
@@ -565,6 +579,16 @@ class DataLoader:
             raise NotImplementedError("scale_norm not implemented.")
 
         self.metadata = shards.Metadata.load(self._shards_path)
+
+        if self.cfg.world > self.metadata.n_shards:
+            raise ValueError(
+                f"world={self.cfg.world} cooperating loader processes over "
+                f"{self.metadata.n_shards} shard(s): rank-strided partitioning "
+                "would leave some rank(s) owning no shards — that rank yields "
+                "nothing and times out while its peers hang in their next "
+                "collective. Use at most n_shards processes, or re-extract "
+                "with a smaller max_tokens_per_shard."
+            )
 
         shard_info = shards.ShardInfo.load(self._shards_path)
         shard_info.validate(self._shards_path)
@@ -829,10 +853,7 @@ class DataLoader:
         permutation slice exactly."""
         if self.cfg.world == 1:
             return None
-        rng = np.random.default_rng(self.cfg.seed)
-        owned = rng.permutation(self.metadata.n_shards)[
-            self.cfg.rank :: self.cfg.world
-        ]
+        owned = owned_shards(self.cfg, self.metadata.n_shards)
         shard_info = shards.ShardInfo.load(self._shards_path)
         mask = np.zeros(self.metadata.n_examples, dtype=bool)
         per_shard = self.metadata.examples_per_shard

@@ -70,10 +70,21 @@ def latest_step(runs_root: pathlib.Path, group_key: str) -> int | None:
 def restore(
     runs_root: pathlib.Path, group_key: str, step: int, template: tp.Any
 ) -> tp.Any:
-    """Restore the sweep state saved at `step`, shaped like `template`."""
+    """Restore the sweep state saved at `step`, shaped like `template`.
+
+    Returns full GLOBAL host (numpy) values; callers re-place them onto the
+    template's device shardings with `parallel.place_like`. Multi-host, every
+    process calls this (reading the shared checkpoint dir). The template is
+    reduced to shape/dtype zeros — orbax only reads its structure, and
+    np.asarray on a cross-process-sharded device leaf would raise."""
     path = state_dir(runs_root, group_key) / f"step_{step:08d}"
     ckptr = _checkpointer()
-    host_template = jax.tree.map(np.asarray, template)
+    host_template = jax.tree.map(
+        lambda l: np.zeros(l.shape, l.dtype)
+        if isinstance(l, jax.Array)
+        else np.asarray(l),
+        template,
+    )
     restored = ckptr.restore(path, item=host_template)
     logger.info("Restored train state from '%s'.", path)
     return restored

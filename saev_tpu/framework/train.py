@@ -925,6 +925,42 @@ def _device_mesh(batch_size: int, sweep: int = 1, feature: int = 1):
     )
 
 
+def _partitioned_data_cfg(data_cfg, what: str):
+    """Per-process slice of a loader config under multi-host SPMD: 1/world of
+    the global batch rows off this process's disjoint shard partition
+    (identity when single-process). drop_last because a short local batch at
+    one rank's epoch boundary would break global-batch assembly — ranks must
+    contribute equal row counts; BatchLimiter cycles epochs, so no data is
+    lost."""
+    world = jax.process_count()
+    if world == 1:
+        return data_cfg
+    assert data_cfg.batch_size % world == 0, (
+        f"Global {what} batch_size={data_cfg.batch_size} must divide "
+        f"across {world} processes."
+    )
+    return dataclasses.replace(
+        data_cfg,
+        batch_size=data_cfg.batch_size // world,
+        rank=jax.process_index(),
+        world=world,
+        drop_last=True,
+    )
+
+
+def _check_full_mesh(mesh, batch_size: int, sweep: int, feature: int) -> None:
+    """Multi-host: the mesh must span every global device. `_device_mesh`
+    shrinks the data axis until it divides the batch size; a partial mesh
+    would make `make_array_from_process_local_data`'s per-process shard
+    math (and every collective) straddle hosts unevenly and fail mid-run."""
+    if jax.process_count() > 1:
+        assert mesh.devices.size == jax.device_count(), (
+            f"Global batch_size={batch_size} must be a multiple of the "
+            f"data-axis extent {jax.device_count() // (sweep * feature)}; "
+            "multi-host batch assembly needs every device in the mesh."
+        )
+
+
 def train(
     cfgs: list[Config],
 ) -> tuple[list[_CohortRuntime], ParallelWandbRun, int]:
@@ -941,22 +977,7 @@ def train(
     # partition; `parallel.shard_batch` assembles the slices into one global
     # array. Host-side writes (wandb, checkpoints, run dirs) gate on process 0.
     world = jax.process_count()
-    data_cfg = cfg.train_data
-    if world > 1:
-        assert cfg.train_data.batch_size % world == 0, (
-            f"Global batch_size={cfg.train_data.batch_size} must divide "
-            f"across {world} processes."
-        )
-        # drop_last: a short local batch at one rank's epoch boundary would
-        # break global-batch assembly (ranks must contribute equal row
-        # counts); BatchLimiter cycles epochs, so no data is lost.
-        data_cfg = dataclasses.replace(
-            cfg.train_data,
-            batch_size=cfg.train_data.batch_size // world,
-            rank=jax.process_index(),
-            world=world,
-            drop_last=True,
-        )
+    data_cfg = _partitioned_data_cfg(cfg.train_data, "train")
 
     dataloader = ShuffledDataLoader(data_cfg)
     metadata = dataloader.metadata
@@ -973,13 +994,9 @@ def train(
     mesh = _device_mesh(
         cfg.train_data.batch_size, cfg.sweep_parallel, cfg.feature_parallel
     )
-    if world > 1:
-        assert mesh.devices.size == jax.device_count(), (
-            f"Global batch_size={cfg.train_data.batch_size} must be a "
-            f"multiple of the data-axis extent "
-            f"{jax.device_count() // (cfg.sweep_parallel * cfg.feature_parallel)}; "
-            "multi-host batch assembly needs every device in the mesh."
-        )
+    _check_full_mesh(
+        mesh, cfg.train_data.batch_size, cfg.sweep_parallel, cfg.feature_parallel
+    )
     logger.info("Mesh: %d device(s) over '%s'.", mesh.devices.size, parallel.DATA_AXIS)
 
     cohorts = make_cohorts(cfgs)
@@ -1106,11 +1123,17 @@ def train(
         latest = checkpoints.latest_step(cfg.runs_root, f"{group_key}_c0")
         if latest is not None:
             for ci, rt in enumerate(runtimes):
+                # Every process restores (orbax reads the shared checkpoint
+                # dir and returns full global host values); place_like puts
+                # them back onto the template's exact device shardings —
+                # jnp.asarray here would commit everything to one local
+                # device and break the meshed step (multi-host or
+                # sweep/feature-sharded states).
                 restored = checkpoints.restore(
                     cfg.runs_root, f"{group_key}_c{ci}", latest, rt.ts
                 )
                 runtimes[ci] = rt._replace(
-                    ts=jax.tree.map(jnp.asarray, restored)
+                    ts=parallel.place_like(rt.ts, restored)
                 )
             start_step = latest
             logger.info("Resuming training from step %d.", start_step)
@@ -1286,19 +1309,7 @@ def evaluate(cfgs: list[Config], runtimes: list[_CohortRuntime]) -> list[EvalMet
 
     # Same per-process partitioning as training (train()).
     world = jax.process_count()
-    val_cfg = cfg.val_data
-    if world > 1:
-        assert cfg.val_data.batch_size % world == 0, (
-            f"Global val batch_size={cfg.val_data.batch_size} must divide "
-            f"across {world} processes."
-        )
-        val_cfg = dataclasses.replace(
-            cfg.val_data,
-            batch_size=cfg.val_data.batch_size // world,
-            rank=jax.process_index(),
-            world=world,
-            drop_last=True,
-        )
+    val_cfg = _partitioned_data_cfg(cfg.val_data, "val")
 
     dataloader = ShuffledDataLoader(val_cfg)
     n_val = min(dataloader.n_samples, cfg.n_val // world)
@@ -1311,6 +1322,9 @@ def evaluate(cfgs: list[Config], runtimes: list[_CohortRuntime]) -> list[EvalMet
     # keep their placement instead of resharding on the first eval batch.
     mesh = _device_mesh(
         cfg.val_data.batch_size, cfg.sweep_parallel, cfg.feature_parallel
+    )
+    _check_full_mesh(
+        mesh, cfg.val_data.batch_size, cfg.sweep_parallel, cfg.feature_parallel
     )
 
     n_cfgs = len(cfgs)

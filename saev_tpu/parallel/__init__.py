@@ -230,6 +230,30 @@ def to_host(tree):
     return jax.tree.map(one, tree)
 
 
+def place_like(template, host_tree):
+    """Place host (global-value) numpy leaves onto the exact shardings of
+    `template`'s device leaves — the inverse of `to_host`, used on checkpoint
+    restore. Works on multi-process meshes: each process supplies its
+    addressable shards from the identical-on-every-host global value (orbax
+    restores the same bytes on every process, satisfying `_place`'s cross-host
+    equality contract)."""
+
+    def one(t, h):
+        h = np.asarray(h)
+        if isinstance(t, jax.Array):
+            assert t.shape == h.shape, (t.shape, h.shape)
+            h = h.astype(t.dtype, copy=False)
+            if t.committed:
+                return _place(h, t.sharding)
+            # Uncommitted template leaves (e.g. a plain jnp scalar) must stay
+            # uncommitted: committing them to their current single device
+            # conflicts with mesh-committed siblings at the next jit.
+            return jax.device_put(h)
+        return h
+
+    return jax.tree.map(one, template, host_tree)
+
+
 def sync(name: str = "sync") -> None:
     """Cross-process barrier (no-op single-process)."""
     if jax.process_count() > 1:

@@ -91,8 +91,52 @@ def run_checks(quick: bool = False) -> dict:
             "ok": bool(np.array_equal(got, want)),
         }
 
+    # --- fused TopK-stats kernel (the production TopK train path) vs XLA ---
+    # One Pallas pass emits kth + bf16 f + live + L0/L1; the train loop's
+    # dead-latent routing reads live/L0, so silent corruption here ships wrong
+    # training, not just wrong speed. FORCE_LAX carves out the true XLA
+    # reference (plain _topk_stats_xla's kth would itself dispatch to Pallas).
+    stats_shapes = [(512, 2048, 32), (992, 4096, 7)]  # non-tile-multiple rows
+    if not quick:
+        stats_shapes.append((16384, 16384, 32))
+    for b, s, k in stats_shapes:
+        h = rng.normal(size=(b, s)).astype(np.float32)
+        h[:, : s // 4] = 0.0  # heavy ties at zero (the hard case)
+        hj = jnp.asarray(h)
+        c1 = jnp.asarray(rng.normal(size=(b, s)).astype(np.float32))
+        c2 = jnp.asarray(rng.normal(size=(b, 1)).astype(np.float32))
+
+        def stats_loss(a, c1_, c2_, k=k):
+            out = topk.topk_stats(a, k)
+            # Touch both differentiable outputs so the custom VJP runs whole.
+            return (
+                jnp.sum(out.f.astype(jnp.float32) * c1_) + jnp.sum(out.l1 * c2_),
+                out,
+            )
+
+        dh_p, out_p = jax.jit(jax.grad(stats_loss, has_aux=True))(hj, c1, c2)
+        orig_lax = topk.FORCE_LAX
+        try:
+            topk.FORCE_LAX = True
+            dh_x, out_x = jax.jit(jax.grad(stats_loss, has_aux=True))(hj, c1, c2)
+        finally:
+            topk.FORCE_LAX = orig_lax
+        l1_err = _rel_err(out_p.l1, out_x.l1)  # f32 reduction-order noise only
+        checks[f"topk_stats_{b}x{s}_k{k}"] = {
+            "l1_rel_err": l1_err,
+            "tol": 1e-6,
+            "ok": bool(
+                np.array_equal(np.asarray(out_p.kth), np.asarray(out_x.kth))
+                and np.array_equal(np.asarray(out_p.f), np.asarray(out_x.f))
+                and np.array_equal(np.asarray(out_p.live), np.asarray(out_x.live))
+                and np.array_equal(np.asarray(out_p.l0), np.asarray(out_x.l0))
+                and np.array_equal(np.asarray(dh_p), np.asarray(dh_x))
+                and l1_err < 1e-6
+            ),
+        }
+
     # --- fused Matryoshka prefix-MSE: Pallas vs XLA custom-VJP path ---
-    def prefix_case(b, d_model, d_sae, name):
+    def prefix_case(b, d_model, d_sae, name, f_dtype=np.float32):
         f = np.maximum(rng.normal(size=(b, d_sae)), 0).astype(np.float32)
         f *= rng.random((b, d_sae)) < 0.01  # realistic sparsity
         x = rng.normal(size=(b, d_model)).astype(np.float32)
@@ -103,7 +147,12 @@ def run_checks(quick: bool = False) -> dict:
         )
         # Big operands passed as arguments, not closures: jit closures ship
         # their captures inside the compile request on the dev tunnel (NOTES.md).
-        args = (jnp.asarray(w), jnp.asarray(bd), jnp.asarray(f), jnp.asarray(x))
+        # f_dtype=bfloat16 exercises the bf16-latent path the TopK stats
+        # kernel feeds in the train step (dgrad then emits df in bf16).
+        args = (
+            jnp.asarray(w), jnp.asarray(bd),
+            jnp.asarray(f).astype(f_dtype), jnp.asarray(x),
+        )
 
         def loss_fn(w_, bd_, f_, x_):
             loss, _ = matryoshka.prefix_mse(w_, bd_, f_, x_, prefixes)
@@ -136,6 +185,7 @@ def run_checks(quick: bool = False) -> dict:
         }
 
     prefix_case(512, 256, 4096, "prefix_mse_small")
+    prefix_case(512, 256, 4096, "prefix_mse_bf16_latents", f_dtype=jnp.bfloat16)
     if not quick:
         prefix_case(16384, 1024, 16384, "prefix_mse_production")
 

@@ -114,3 +114,33 @@ def test_checkpoint_roundtrip_exact(tmp_path):
 
     for a, b in zip(jax.tree.leaves(ts), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_accepts_sharded_device_template(tmp_path):
+    """restore() reads only the template's structure/shapes — a device
+    template sharded over a mesh (multi-host leaves aren't even
+    host-addressable) must work, and place_like must return the restored
+    values onto the template's exact shardings (the train.py resume path)."""
+    import jax.numpy as jnp
+
+    from saev_tpu import parallel
+    from saev_tpu.framework import checkpoints
+
+    rng = np.random.default_rng(0)
+    state = {
+        "w": rng.normal(size=(4, 3)).astype(np.float32),
+        "step": np.asarray(3, np.int32),
+    }
+    runs_root = helpers.tmp_runs_root(tmp_path)
+    checkpoints.save(runs_root, "g", 3, state)
+
+    mesh = parallel.make_mesh(sweep=2)
+    template = parallel.shard_sweep(
+        mesh,
+        {"w": jnp.zeros((4, 3), jnp.float32), "step": jnp.zeros((), jnp.int32)},
+    )
+    restored = checkpoints.restore(runs_root, "g", 3, template)
+    placed = parallel.place_like(template, restored)
+    assert placed["w"].sharding == template["w"].sharding
+    np.testing.assert_array_equal(np.asarray(placed["w"]), state["w"])
+    assert int(placed["step"]) == 3

@@ -182,6 +182,26 @@ class TestDescriptorSampling:
         np.testing.assert_array_equal(pt, dt)
         np.testing.assert_array_equal(pa, da)
 
+    def test_acquire_failure_keeps_slot_conservation(self, shards_dir, monkeypatch):
+        """A registry.acquire that raises mid-span (registry closed during a
+        shutdown race, mmap OSError on re-open) must cancel the just-reserved
+        reservoir slots: live + free == capacity once no producer is in
+        flight, or the pool silently shrinks for the rest of training."""
+        def boom(self, shard_i, n=1):
+            raise RuntimeError("acquire boom")
+
+        monkeypatch.setattr(shuffled._ShardRegistry, "acquire", boom)
+        cfg = shuffled.Config(
+            shards=shards_dir, layer=1, batch_size=32, n_threads=1,
+            buffer_size=4, descriptor_sampling=True, batch_timeout_s=2.0,
+        )
+        dl = shuffled.DataLoader(cfg)
+        dl._start_manager()
+        res = dl.reservoir  # shutdown() nulls the attribute; keep a handle
+        with pytest.raises(RuntimeError, match="acquire boom"):
+            next(iter(dl))
+        assert res._n + res._n_free == res.capacity
+
     def test_registry_drains_to_empty(self, shards_dir):
         cfg = shuffled.Config(
             shards=shards_dir, layer=0, batch_size=32, n_threads=2,

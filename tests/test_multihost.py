@@ -116,6 +116,57 @@ def test_invalid_rank_world():
         shuffled.Config(rank=-1, world=1)
 
 
+def test_world_exceeding_shard_count_raises(tiny_shards):
+    """More loader processes than shards: some rank would own no shards, yield
+    nothing, and stall the pod in its next collective — refuse loudly at
+    construction instead."""
+    shards_dir, md = tiny_shards
+    cfg = shuffled.Config(
+        shards=shards_dir, layer=0, batch_size=8,
+        rank=0, world=md.n_shards + 1,
+    )
+    with pytest.raises(ValueError, match="owning no shards"):
+        shuffled.DataLoader(cfg)
+
+
+def test_partitioned_data_cfg(tiny_shards, monkeypatch):
+    """train()/evaluate()'s shared per-process partitioning helper: identity
+    single-process; 1/world rows + rank-strided shard slice + drop_last under
+    a (faked) multi-process runtime."""
+    import jax
+
+    from saev_tpu.framework import train as train_mod
+
+    shards_dir, _ = tiny_shards
+    cfg = shuffled.Config(shards=shards_dir, layer=0, batch_size=32)
+    assert train_mod._partitioned_data_cfg(cfg, "train") is cfg
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    monkeypatch.setattr(jax, "process_index", lambda: 2)
+    out = train_mod._partitioned_data_cfg(cfg, "train")
+    assert (out.batch_size, out.rank, out.world, out.drop_last) == (8, 2, 4, True)
+    bad = shuffled.Config(shards=shards_dir, layer=0, batch_size=30)
+    with pytest.raises(AssertionError, match="must divide"):
+        train_mod._partitioned_data_cfg(bad, "train")
+
+
+def test_check_full_mesh_rejects_partial_mesh(monkeypatch):
+    """Multi-host guard shared by train() and evaluate(): a mesh that dropped
+    devices to divide the batch size must be rejected before any collective
+    (make_array_from_process_local_data would fail mid-run otherwise)."""
+    import jax
+
+    from saev_tpu.framework import train as train_mod
+
+    full = parallel.make_mesh()
+    train_mod._check_full_mesh(full, 64, 1, 1)  # single-process: no-op
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    train_mod._check_full_mesh(full, 64, 1, 1)  # full mesh: fine
+    partial = parallel.make_mesh(n_devices=5)
+    with pytest.raises(AssertionError, match="every device in the mesh"):
+        train_mod._check_full_mesh(partial, 100, 1, 1)
+
+
 def test_parallel_helpers_single_process_identity():
     """global_sum / global_min / broadcast_from_primary / to_host / sync are
     exact identities in single-process mode (the multi-process branches are

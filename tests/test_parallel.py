@@ -42,6 +42,25 @@ def test_shard_batch_and_sweep_placement():
     assert odd["w"].sharding.spec == jax.sharding.PartitionSpec()
 
 
+def test_place_like_restores_template_shardings():
+    """place_like (checkpoint restore) puts host values back onto the
+    template's exact shardings — including a device-sharded sweep axis."""
+    mesh = parallel.make_mesh(sweep=2)
+    template = parallel.shard_sweep(
+        mesh,
+        {"w": jnp.zeros((4, 3), jnp.float32), "s": jnp.zeros((), jnp.int32)},
+    )
+    host = {
+        "w": np.arange(12, dtype=np.float32).reshape(4, 3),
+        "s": np.int32(7),
+    }
+    placed = parallel.place_like(template, host)
+    assert placed["w"].sharding == template["w"].sharding
+    assert placed["s"].sharding == template["s"].sharding
+    np.testing.assert_array_equal(np.asarray(placed["w"]), host["w"])
+    assert int(placed["s"]) == 7
+
+
 def test_data_parallel_equals_single_device():
     """The sharded train step produces the same numbers as a 1-device run."""
     from saev_tpu.framework import train as T
