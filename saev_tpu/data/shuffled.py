@@ -590,10 +590,27 @@ class DataLoader:
                 "with a smaller max_tokens_per_shard."
             )
 
-        shard_info = shards.ShardInfo.load(self._shards_path)
-        shard_info.validate(self._shards_path)
+        self._shard_info = shards.ShardInfo.load(self._shards_path)
+        self._shard_info.validate(self._shards_path)
 
         self._n_samples = self._calculate_n_samples()
+
+        if self.cfg.drop_last and self._n_samples < self.cfg.batch_size:
+            # Same stall class as the world > n_shards guard: a drop_last
+            # loader over fewer samples than one batch yields NOTHING, and a
+            # BatchLimiter around it spins forever (fatal on a pod: this
+            # rank never reaches its first collective). Uneven multi-host
+            # shard partitions with small shards hit this.
+            raise ValueError(
+                f"drop_last with n_samples={self._n_samples} < batch_size="
+                f"{self.cfg.batch_size}"
+                + (
+                    f" (rank {self.cfg.rank}/{self.cfg.world}'s shard "
+                    "partition)" if self.cfg.world > 1 else ""
+                )
+                + ": this loader would yield zero batches. Lower the batch "
+                "size or provide more data."
+            )
 
         if self.cfg.ignore_labels:
             labels_path = self._shards_path / "labels.bin"
@@ -854,12 +871,11 @@ class DataLoader:
         if self.cfg.world == 1:
             return None
         owned = owned_shards(self.cfg, self.metadata.n_shards)
-        shard_info = shards.ShardInfo.load(self._shards_path)
         mask = np.zeros(self.metadata.n_examples, dtype=bool)
         per_shard = self.metadata.examples_per_shard
         for shard_i in owned:
             start = int(shard_i) * per_shard
-            mask[start : start + shard_info[int(shard_i)].n_examples] = True
+            mask[start : start + self._shard_info[int(shard_i)].n_examples] = True
         return mask
 
     def _calculate_n_samples(self) -> int:

@@ -34,23 +34,32 @@ def _checkpointer():
 
 
 def save(
-    runs_root: pathlib.Path, group_key: str, step: int, state: tp.Any
+    runs_root: pathlib.Path,
+    group_key: str,
+    step: int,
+    state: tp.Any,
+    *,
+    prune: bool = True,
 ) -> pathlib.Path:
-    """Write the sweep state at `step`; keeps only the latest checkpoint.
+    """Write the sweep state at `step`; by default keeps only the latest
+    checkpoint.
 
     Multi-host: EVERY process must call this (orbax's Checkpointer
     synchronizes all processes internally and gates the actual file writes to
     the primary host); the pruning of older steps is ours and runs on process
-    0 only."""
+    0 only. Callers saving SEVERAL groups that must stay resumable together
+    (the train loop's cohorts) pass prune=False and call `prune_below` only
+    after every group's save at `step` succeeded — pruning inside each save
+    would leave no common restorable step if a crash lands between them."""
     root = state_dir(runs_root, group_key)
     root.mkdir(parents=True, exist_ok=True)
     path = root / f"step_{step:08d}"
     ckptr = _checkpointer()
     host_state = jax.tree.map(np.asarray, state)
     ckptr.save(path, host_state, force=True)
-    # Prune older checkpoints (keep the newest only). ckptr.save ends with a
-    # global barrier, so pruning from process 0 cannot race a reader.
-    if jax.process_index() == 0:
+    # ckptr.save ends with a global barrier, so pruning from process 0 cannot
+    # race a reader.
+    if prune and jax.process_index() == 0:
         for old in sorted(root.glob("step_*"))[:-1]:
             import shutil
 
@@ -59,11 +68,31 @@ def save(
     return path
 
 
-def latest_step(runs_root: pathlib.Path, group_key: str) -> int | None:
+def prune_below(runs_root: pathlib.Path, group_key: str, step: int) -> None:
+    """Delete checkpoints older than `step` (process 0 only). Call after all
+    cooperating groups saved at `step` — see `save(prune=False)`."""
+    if jax.process_index() != 0:
+        return
     root = state_dir(runs_root, group_key)
     if not root.exists():
-        return None
-    steps = sorted(int(p.name.split("_")[1]) for p in root.glob("step_*"))
+        return
+    import shutil
+
+    for p in root.glob("step_*"):
+        if int(p.name.split("_")[1]) < step:
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def available_steps(runs_root: pathlib.Path, group_key: str) -> list[int]:
+    """Sorted steps with a saved checkpoint for this group."""
+    root = state_dir(runs_root, group_key)
+    if not root.exists():
+        return []
+    return sorted(int(p.name.split("_")[1]) for p in root.glob("step_*"))
+
+
+def latest_step(runs_root: pathlib.Path, group_key: str) -> int | None:
+    steps = available_steps(runs_root, group_key)
     return steps[-1] if steps else None
 
 

@@ -1120,7 +1120,15 @@ def train(
     ).hexdigest()[:16]
     start_step = 0
     if cfg.resume:
-        latest = checkpoints.latest_step(cfg.runs_root, f"{group_key}_c0")
+        # The latest step SHARED by every cohort: per-cohort saves are
+        # sequential, so a crash can land between them — a max-over-c0 choice
+        # would then demand a step some cohort never saved and brick resume.
+        step_sets = [
+            set(checkpoints.available_steps(cfg.runs_root, f"{group_key}_c{ci}"))
+            for ci in range(len(runtimes))
+        ]
+        common = set.intersection(*step_sets) if step_sets else set()
+        latest = max(common) if common else None
         if latest is not None:
             for ci, rt in enumerate(runtimes):
                 # Every process restores (orbax reads the shared checkpoint
@@ -1259,10 +1267,18 @@ def train(
                 # Both to_host (an allgather for cross-process-sharded
                 # leaves) and checkpoints.save (orbax's internal multihost
                 # barrier; it gates file writes to the primary itself) are
-                # collectives — every process calls them.
+                # collectives — every process calls them. Pruning waits until
+                # EVERY cohort saved this step (prune=False): a crash between
+                # the sequential saves must leave a previous step restorable
+                # for all cohorts.
                 host_ts = parallel.to_host(rt.ts)
                 checkpoints.save(
-                    cfg.runs_root, f"{group_key}_c{ci}", global_step, host_ts
+                    cfg.runs_root, f"{group_key}_c{ci}", global_step, host_ts,
+                    prune=False,
+                )
+            for ci in range(len(runtimes)):
+                checkpoints.prune_below(
+                    cfg.runs_root, f"{group_key}_c{ci}", global_step
                 )
 
     return runtimes, run, global_step

@@ -144,3 +144,74 @@ def test_restore_accepts_sharded_device_template(tmp_path):
     assert placed["w"].sharding == template["w"].sharding
     np.testing.assert_array_equal(np.asarray(placed["w"]), state["w"])
     assert int(placed["step"]) == 3
+
+
+def test_crash_between_cohort_saves_resumes_from_common_step(tmp_path, monkeypatch):
+    """Per-cohort checkpoints are saved sequentially; a crash between them
+    must leave a step restorable by ALL cohorts. Pruning is deferred until
+    every cohort saved the step, and resume picks the latest COMMON step
+    (a max-over-cohort-0 choice would demand a step cohort 1 never saved)."""
+    import dataclasses as dc
+
+    from saev_tpu.framework import checkpoints
+    from saev_tpu.framework import train as train_mod
+    from saev_tpu.nn import modeling
+
+    shards_dir = helpers.write_shards(tmp_path, n_examples=16, layers=(0,))
+    runs_root = helpers.tmp_runs_root(tmp_path)
+    base = _cfg(tmp_path, shards_dir, runs_root, ckpt_every=4)
+    # A second cohort: same data stream, different compiled step (top_k is a
+    # static of the traced step; d_sae/d_model are CANNOT_PARALLELIZE).
+    cfgs = [
+        base,
+        dc.replace(
+            base, sae=dc.replace(base.sae, activation=modeling.TopK(top_k=8))
+        ),
+    ]
+
+    real_save = checkpoints.save
+    calls = {"n": 0}
+
+    def crashing_save(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 4:  # step 8: after c0's save, BEFORE c1's
+            raise RuntimeError("simulated preemption between cohort saves")
+        return real_save(*args, **kwargs)
+
+    monkeypatch.setattr(checkpoints, "save", crashing_save)
+    with pytest.raises(RuntimeError, match="simulated preemption"):
+        train_mod.train(cfgs)
+    monkeypatch.setattr(checkpoints, "save", real_save)
+
+    # Crash state: c0 has {4, 8} (step-8 prune never ran), c1 has {4} only.
+    state_root = runs_root / ".train_state"
+    groups = sorted(p.name for p in state_root.iterdir())
+    assert len(groups) == 2
+    steps_per_group = {
+        g: [int(p.name.split("_")[1]) for p in sorted((state_root / g).iterdir())]
+        for g in groups
+    }
+    assert sorted(map(tuple, steps_per_group.values())) == [(4,), (4, 8)]
+
+    # Resume must restore the common step 4 (NOT c0's latest, 8) for every
+    # cohort and complete the run.
+    restore_steps = []
+    real_restore = checkpoints.restore
+
+    def spy_restore(root, gk, step, template):
+        restore_steps.append(step)
+        return real_restore(root, gk, step, template)
+
+    monkeypatch.setattr(checkpoints, "restore", spy_restore)
+    resumed = [dc.replace(c, resume=True) for c in cfgs]
+    runtimes, run, steps = train_mod.train(resumed)
+    run.finish()
+    assert restore_steps == [4, 4], restore_steps
+    # 11 batches total minus the 4 already done, modulo BatchLimiter's
+    # partial-epoch drift on the reshuffled stream.
+    assert steps in (10, 11), steps
+    assert all(int(rt.ts.step) == steps for rt in runtimes)
+    # The completed run prunes everything below the final saved step.
+    for g in groups:
+        left = [int(p.name.split("_")[1]) for p in (state_root / g).iterdir()]
+        assert left == [8], left

@@ -200,3 +200,22 @@ def test_dryrun_multihost_two_processes():
         dryrun_multihost(2)
     finally:
         sys.path.remove(str(repo_root))
+
+
+def test_drop_last_smaller_than_batch_raises(tiny_shards):
+    """A drop_last loader over fewer samples than one batch yields zero
+    batches forever (BatchLimiter spins; a pod rank never reaches its first
+    collective) — refuse at construction. Rank partitions with small shards
+    are the multi-host trigger."""
+    shards_dir, md = tiny_shards
+    # rank 0 of 5 owns one 6-example shard = 6*8 = 48 samples < 64.
+    cfg = shuffled.Config(
+        shards=shards_dir, layer=0, batch_size=64,
+        rank=0, world=5, drop_last=True,
+    )
+    with pytest.raises(ValueError, match="zero batches"):
+        shuffled.DataLoader(cfg)
+    # Without drop_last the loader yields a short final batch: allowed.
+    shuffled.DataLoader(
+        shuffled.Config(shards=shards_dir, layer=0, batch_size=64, rank=0, world=5)
+    )
